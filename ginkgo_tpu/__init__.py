@@ -1,0 +1,21 @@
+"""ginkgo_tpu — a TPU-native sparse linear-algebra framework.
+
+From-scratch JAX/XLA/Pallas framework covering the capability surface of
+ginkgo-project/ginkgo (sparse formats, Krylov solvers, preconditioners,
+incomplete factorizations, algebraic multigrid, batched and distributed
+solvers), designed TPU-first: static shapes, fused jitted iteration bodies,
+Pallas kernels on the hot paths and `jax.sharding` meshes for multi-chip.
+"""
+
+from .base.matrix_data import MatrixData
+from .base.mtx_io import read_mtx, write_mtx, read_binary, write_binary
+from .base.linop import LinOp, linop_dataclass, static_field
+from .base.composition import Composition, Combination, Perturbation, BlockOperator
+from .matrix.dense import Dense
+from .matrix.csr import Csr
+from .matrix.coo import Coo
+from .matrix.ell import Ell
+from .matrix.diagonal import Diagonal
+from .matrix.identity import Identity
+
+__version__ = "0.1.0"

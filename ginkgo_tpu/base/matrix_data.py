@@ -1,0 +1,121 @@
+"""Host-side COO assembly container.
+
+TPU-native analog of Ginkgo's ``matrix_data`` / ``device_matrix_data``
+(``include/ginkgo/core/base/matrix_data.hpp``, ``device_matrix_data.hpp``;
+kernels ``core/base/device_matrix_data_kernels.hpp:22-52``: sort_row_major,
+sum_duplicates, remove_zeros).  Assembly is a *build-time* activity with
+dynamic sizes, so it lives on the host in numpy — the device tiers only ever
+see the static-shaped format arrays produced from it.  This mirrors the
+reference's split between host ``matrix_data`` (AoS, flexible) and device
+formats (static, tuned).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class MatrixData:
+    """COO triplets + shape. Always held in structure-of-arrays numpy form."""
+
+    shape: tuple[int, int]
+    row_idx: np.ndarray  # (nnz,) integer
+    col_idx: np.ndarray  # (nnz,) integer
+    values: np.ndarray   # (nnz,) value dtype
+
+    def __post_init__(self):
+        self.row_idx = np.asarray(self.row_idx)
+        self.col_idx = np.asarray(self.col_idx)
+        self.values = np.asarray(self.values)
+        if not (self.row_idx.shape == self.col_idx.shape == self.values.shape):
+            raise ValueError("row/col/values must have matching shapes")
+
+    # -- construction -----------------------------------------------------
+    @classmethod
+    def empty(cls, shape, dtype=np.float64, index_dtype=np.int32):
+        z = np.zeros(0, dtype)
+        zi = np.zeros(0, index_dtype)
+        return cls(shape, zi, zi.copy(), z)
+
+    @classmethod
+    def from_dense(cls, dense: np.ndarray, drop_tol: float = 0.0):
+        dense = np.asarray(dense)
+        mask = np.abs(dense) > drop_tol
+        r, c = np.nonzero(mask)
+        return cls(dense.shape, r.astype(np.int32), c.astype(np.int32),
+                   dense[r, c])
+
+    @classmethod
+    def diag(cls, diag_values: np.ndarray):
+        diag_values = np.asarray(diag_values)
+        n = diag_values.shape[0]
+        idx = np.arange(n, dtype=np.int32)
+        return cls((n, n), idx, idx.copy(), diag_values)
+
+    # -- canonicalisation (device_matrix_data_kernels analogs) -------------
+    @property
+    def nnz(self) -> int:
+        return int(self.values.shape[0])
+
+    def sort_row_major(self) -> "MatrixData":
+        """Stable sort by (row, col) — ``sort_row_major`` kernel analog."""
+        order = np.lexsort((self.col_idx, self.row_idx))
+        return MatrixData(self.shape, self.row_idx[order],
+                          self.col_idx[order], self.values[order])
+
+    def sum_duplicates(self) -> "MatrixData":
+        """Combine duplicate (row, col) entries — ``sum_duplicates`` analog."""
+        d = self.sort_row_major()
+        if d.nnz == 0:
+            return d
+        keys = d.row_idx.astype(np.int64) * self.shape[1] + d.col_idx
+        uniq, inv = np.unique(keys, return_inverse=True)
+        values = np.zeros(uniq.shape[0], d.values.dtype)
+        np.add.at(values, inv, d.values)
+        rows = (uniq // self.shape[1]).astype(d.row_idx.dtype)
+        cols = (uniq % self.shape[1]).astype(d.col_idx.dtype)
+        return MatrixData(self.shape, rows, cols, values)
+
+    def remove_zeros(self) -> "MatrixData":
+        mask = self.values != 0
+        return MatrixData(self.shape, self.row_idx[mask], self.col_idx[mask],
+                          self.values[mask])
+
+    def canonical(self) -> "MatrixData":
+        """sum_duplicates + remove_zeros + row-major order — the state every
+        format's ``read`` expects (``core/matrix/csr.cpp`` read path)."""
+        return self.sum_duplicates().remove_zeros()
+
+    # -- dense conversion (tests/oracle) ------------------------------------
+    def to_dense(self) -> np.ndarray:
+        out = np.zeros(self.shape, self.values.dtype)
+        np.add.at(out, (self.row_idx, self.col_idx), self.values)
+        return out
+
+    # -- transformations ----------------------------------------------------
+    def transpose(self) -> "MatrixData":
+        return MatrixData((self.shape[1], self.shape[0]), self.col_idx,
+                          self.row_idx, self.values)
+
+    def conj_transpose(self) -> "MatrixData":
+        t = self.transpose()
+        return MatrixData(t.shape, t.row_idx, t.col_idx, np.conj(t.values))
+
+    def astype(self, dtype) -> "MatrixData":
+        return MatrixData(self.shape, self.row_idx, self.col_idx,
+                          self.values.astype(dtype))
+
+    def filter(self, pred: Callable[[np.ndarray, np.ndarray, np.ndarray],
+                                    np.ndarray]) -> "MatrixData":
+        mask = pred(self.row_idx, self.col_idx, self.values)
+        return MatrixData(self.shape, self.row_idx[mask], self.col_idx[mask],
+                          self.values[mask])
+
+    # row_ptr for CSR builds
+    def row_ptrs(self) -> np.ndarray:
+        counts = np.bincount(self.row_idx, minlength=self.shape[0])
+        return np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)

@@ -1,0 +1,174 @@
+"""CSR format — the workhorse.
+
+Analog of ``include/ginkgo/core/matrix/csr.hpp:104`` / ``core/matrix/csr.cpp``.
+Ginkgo's SpMV strategy objects (``csr.hpp:176-212``: classical / load_balance /
+merge_path / sparselib / automatical) become *build-time layout choices*: the
+constructor precomputes whatever auxiliary arrays the chosen kernel needs
+(Ginkgo's ``strategy_type::process`` analog), and the kernel registry picks
+the jnp reference or Pallas TPU implementation.
+
+Strategies here:
+  - ``classical``: gather + segment-sum over an explicit row-index expansion
+    (reference oracle; XLA-compiled it is also the general-matrix TPU path).
+  - ``banded``: diagonal-offset (DIA) layout auto-detected for stencil-like
+    matrices — the TPU-native answer to load-balanced CSR: SpMV becomes a sum
+    of shifted dense axpys with zero gather (see ops/spmv_pallas.py).
+  - ``automatical``: pick ``banded`` when the band census says the matrix is
+    effectively banded, else ``classical`` (Ginkgo's automatical analog,
+    ``csr.hpp:522-650``).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..base.linop import LinOp, linop_dataclass, static_field
+from ..base.matrix_data import MatrixData
+from ..ops.registry import lookup
+from .coo import pad_nnz
+
+
+@linop_dataclass
+class Csr(LinOp):
+    row_ptr: jnp.ndarray   # (n+1,) int
+    col_idx: jnp.ndarray   # (nnz_stored,) int
+    values: jnp.ndarray    # (nnz_stored,)
+    row_idx: jnp.ndarray   # (nnz_stored,) int — expanded rows (strategy aux)
+    shape: tuple = static_field()
+    nnz: int = static_field()
+    strategy: str = static_field(default="classical")
+    # banded-strategy aux: (num_diags,) offsets + (num_diags, n) diagonal values
+    diag_offsets: object = static_field(default=None)  # tuple of ints
+    diag_values: jnp.ndarray | None = None
+
+    # -- SpMV ------------------------------------------------------------------
+    def _apply(self, b):
+        if self.strategy == "banded" and self.diag_values is not None:
+            return lookup("dia_spmv")(self.diag_offsets, self.diag_values, b)
+        return lookup("coo_spmv")(self.row_idx, self.col_idx, self.values,
+                                  b, self.shape[0])
+
+    # -- construction ------------------------------------------------------------
+    @classmethod
+    def from_data(cls, data: MatrixData, dtype=None, index_dtype=jnp.int32,
+                  strategy: str = "automatical", pad_multiple: int = 8):
+        d = data.canonical()
+        n, m = d.shape
+        nnz = d.nnz
+        values_np = d.values if dtype is None else d.values.astype(dtype)
+
+        strategy, diag_offsets, diag_values = _process_strategy(
+            strategy, d, values_np)
+
+        cap = pad_nnz(nnz, pad_multiple)
+        rows = np.full(cap, n, np.int64)
+        cols = np.zeros(cap, np.int64)
+        vals = np.zeros(cap, values_np.dtype)
+        rows[:nnz] = d.row_idx
+        cols[:nnz] = d.col_idx
+        vals[:nnz] = values_np
+        row_ptr = d.row_ptrs()
+        return cls(row_ptr=jnp.asarray(row_ptr, index_dtype),
+                   col_idx=jnp.asarray(cols, index_dtype),
+                   values=jnp.asarray(vals),
+                   row_idx=jnp.asarray(rows, index_dtype),
+                   shape=(n, m), nnz=nnz, strategy=strategy,
+                   diag_offsets=diag_offsets,
+                   diag_values=None if diag_values is None
+                   else jnp.asarray(diag_values))
+
+    @classmethod
+    def from_dense(cls, dense, **kwargs):
+        return cls.from_data(MatrixData.from_dense(np.asarray(dense)), **kwargs)
+
+    # -- conversions ---------------------------------------------------------------
+    def to_dense(self):
+        return jnp.zeros(self.shape, self.values.dtype).at[
+            self.row_idx, self.col_idx].add(self.values, mode="drop")
+
+    def to_coo(self):
+        from .coo import Coo
+        return Coo(row_idx=self.row_idx, col_idx=self.col_idx,
+                   values=self.values, shape=self.shape, nnz=self.nnz)
+
+    def to_matrix_data(self) -> MatrixData:
+        return MatrixData(self.shape,
+                          np.asarray(self.row_idx)[:self.nnz],
+                          np.asarray(self.col_idx)[:self.nnz],
+                          np.asarray(self.values)[:self.nnz])
+
+    def transpose(self):
+        t = self.to_coo().transpose()
+        return t.to_csr()
+
+    def conj_transpose(self):
+        t = self.to_coo().conj_transpose()
+        return t.to_csr()
+
+    def extract_diagonal(self):
+        return self.to_coo().extract_diagonal()
+
+    def scale(self, alpha):
+        new = dataclass_replace(self, values=self.values * alpha)
+        if new.diag_values is not None:
+            new = dataclass_replace(new, diag_values=self.diag_values * alpha)
+        return new
+
+    # row lengths (for strategy decisions / ELL conversion)
+    def row_lengths(self):
+        return self.row_ptr[1:] - self.row_ptr[:-1]
+
+    def astype(self, dtype):
+        return dataclass_replace(
+            self, values=self.values.astype(dtype),
+            diag_values=None if self.diag_values is None
+            else self.diag_values.astype(dtype))
+
+
+def dataclass_replace(obj, **changes):
+    import dataclasses
+    return dataclasses.replace(obj, **changes)
+
+
+# ---------------------------------------------------------------------------
+# Strategy processing (build-time, host side) — strategy_type::process analog
+# ---------------------------------------------------------------------------
+
+_BANDED_MAX_DIAGS = 64        # cap aux storage at 64 diagonals
+_BANDED_MIN_FILL = 0.55       # required nnz density along kept diagonals
+
+
+def _process_strategy(strategy: str, d: MatrixData, values_np: np.ndarray):
+    """Decide the kernel layout and precompute its aux arrays."""
+    if strategy not in ("classical", "banded", "automatical", "load_balance",
+                        "merge_path", "sparselib"):
+        raise ValueError(f"unknown CSR strategy {strategy!r}")
+    # merge_path/load_balance/sparselib are GPU-ism aliases: on TPU they all
+    # resolve to the load-balanced segment-sum path (classical).
+    if strategy in ("load_balance", "merge_path", "sparselib"):
+        return "classical", None, None
+    if strategy == "classical":
+        return "classical", None, None
+
+    n, m = d.shape
+    if n != m or d.nnz == 0:
+        return "classical", None, None
+    offsets = np.unique(d.col_idx.astype(np.int64) - d.row_idx)
+    if strategy == "automatical" and offsets.size > _BANDED_MAX_DIAGS:
+        return "classical", None, None
+    # fill check: banded only pays if diagonals are dense
+    fill = d.nnz / (offsets.size * n)
+    if strategy == "automatical" and fill < _BANDED_MIN_FILL:
+        return "classical", None, None
+    if offsets.size > 4096:
+        return "classical", None, None
+
+    # Build (num_diags, n) diagonal value array indexed by row.
+    off_lookup = {int(o): k for k, o in enumerate(offsets)}
+    diag_values = np.zeros((offsets.size, n), values_np.dtype)
+    diag_of_entry = np.array(
+        [off_lookup[int(c) - int(r)]
+         for r, c in zip(d.row_idx, d.col_idx)], np.int64)
+    diag_values[diag_of_entry, d.row_idx] = values_np
+    return "banded", tuple(int(o) for o in offsets), diag_values

@@ -1,0 +1,104 @@
+"""Dense row-major operator + multivector BLAS.
+
+Analog of Ginkgo's ``matrix::Dense`` (``include/ginkgo/core/matrix/dense.hpp:88``,
+BLAS ops :962-1121).  In JAX, plain arrays are the idiomatic multivector, so
+the BLAS-1 surface here is free functions over (n, k) arrays (used by solvers
+with per-column stopping masks); ``Dense`` itself is the dense *operator*
+whose apply is an MXU matmul.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..base.linop import LinOp, linop_dataclass, static_field
+from ..base.matrix_data import MatrixData
+
+
+@linop_dataclass
+class Dense(LinOp):
+    data: jnp.ndarray  # (n, m)
+
+    @property
+    def shape(self):
+        return self.data.shape
+
+    def _apply(self, b):
+        return jnp.dot(self.data, b.astype(self.data.dtype),
+                       preferred_element_type=_acc_dtype(self.data.dtype))
+
+    def _apply_advanced(self, alpha, b, beta, x):
+        return alpha * self._apply(b) + beta * x
+
+    # -- construction -------------------------------------------------------
+    @classmethod
+    def from_data(cls, data: MatrixData, dtype=None):
+        dense = data.canonical().to_dense()
+        return cls(data=jnp.asarray(dense, dtype=dtype))
+
+    @classmethod
+    def create(cls, array, dtype=None):
+        return cls(data=jnp.asarray(array, dtype=dtype))
+
+    # -- ops ------------------------------------------------------------------
+    def to_dense(self):
+        return self.data
+
+    def transpose(self):
+        return Dense(data=self.data.T)
+
+    def conj_transpose(self):
+        return Dense(data=self.data.conj().T)
+
+    def extract_diagonal(self):
+        from .diagonal import Diagonal
+        return Diagonal(values=jnp.diagonal(self.data))
+
+
+def _acc_dtype(dtype):
+    """Accumulate bf16/f16 matmuls in f32 on the MXU."""
+    if jnp.dtype(dtype) in (jnp.dtype(jnp.bfloat16), jnp.dtype(jnp.float16)):
+        return jnp.float32
+    return dtype
+
+
+# ---------------------------------------------------------------------------
+# Multivector BLAS-1 (columnwise), mirroring dense.hpp's op list.
+# ---------------------------------------------------------------------------
+
+def compute_dot(a, b):
+    """Columnwise non-conjugated dot: (k,) for (n,k) inputs."""
+    return jnp.sum(a * b, axis=0)
+
+
+def compute_conj_dot(a, b):
+    return jnp.sum(jnp.conj(a) * b, axis=0)
+
+
+def compute_norm2(a):
+    return jnp.sqrt(jnp.real(compute_conj_dot(a, a)))
+
+
+def compute_norm1(a):
+    return jnp.sum(jnp.abs(a), axis=0)
+
+
+def compute_mean(a):
+    return jnp.mean(a, axis=0)
+
+
+def scale(alpha, a):
+    return alpha * a
+
+
+def inv_scale(alpha, a):
+    return a / alpha
+
+
+def add_scaled(alpha, x, y):
+    """y + alpha*x (Ginkgo's add_scaled mutates y; we return)."""
+    return y + alpha * x
+
+
+def sub_scaled(alpha, x, y):
+    return y - alpha * x

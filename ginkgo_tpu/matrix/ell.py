@@ -1,0 +1,73 @@
+"""ELL format (``include/ginkgo/core/matrix/ell.hpp:52``).
+
+Fixed nnz-per-row padded layout — on TPU the (n, width) value/col planes map
+directly onto VPU lanes, with padded slots carrying col=0/val=0 so no mask is
+needed on the multiply path.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..base.linop import LinOp, linop_dataclass, static_field
+from ..base.matrix_data import MatrixData
+from ..ops.registry import lookup
+
+
+@linop_dataclass
+class Ell(LinOp):
+    col_idx: jnp.ndarray      # (n, width) int, padded with 0
+    values: jnp.ndarray       # (n, width), padded with 0
+    row_lengths: jnp.ndarray  # (n,) int
+    shape: tuple = static_field()
+    nnz: int = static_field()
+
+    @property
+    def width(self):
+        return self.values.shape[1]
+
+    def _apply(self, b):
+        mask = (jnp.arange(self.width)[None, :]
+                < self.row_lengths[:, None])
+        return lookup("ell_spmv")(self.col_idx, self.values, b, mask)
+
+    @classmethod
+    def from_data(cls, data: MatrixData, dtype=None, index_dtype=jnp.int32,
+                  width: int | None = None):
+        d = data.canonical()
+        n, m = d.shape
+        lengths = np.diff(d.row_ptrs())
+        w = int(lengths.max()) if width is None else width
+        w = max(w, 1)
+        cols = np.zeros((n, w), np.int64)
+        vals = np.zeros((n, w), d.values.dtype if dtype is None else dtype)
+        pos = np.concatenate([np.arange(l) for l in lengths]) if d.nnz else \
+            np.zeros(0, np.int64)
+        keep = pos < w
+        cols[d.row_idx[keep], pos[keep]] = d.col_idx[keep]
+        vals[d.row_idx[keep], pos[keep]] = d.values[keep]
+        return cls(col_idx=jnp.asarray(cols, index_dtype),
+                   values=jnp.asarray(vals),
+                   row_lengths=jnp.asarray(np.minimum(lengths, w), index_dtype),
+                   shape=(n, m), nnz=int(keep.sum()))
+
+    def to_dense(self):
+        mask = (jnp.arange(self.width)[None, :] < self.row_lengths[:, None])
+        rows = jnp.broadcast_to(
+            jnp.arange(self.shape[0])[:, None], self.col_idx.shape)
+        return jnp.zeros(self.shape, self.values.dtype).at[
+            rows, self.col_idx].add(jnp.where(mask, self.values, 0))
+
+    def to_csr(self, **kwargs):
+        from .csr import Csr
+        return Csr.from_data(self.to_matrix_data(), **kwargs)
+
+    def to_matrix_data(self) -> MatrixData:
+        cols = np.asarray(self.col_idx)
+        vals = np.asarray(self.values)
+        lens = np.asarray(self.row_lengths)
+        mask = np.arange(self.width)[None, :] < lens[:, None]
+        r, c = np.nonzero(mask)
+        return MatrixData(self.shape, r.astype(np.int32), cols[r, c],
+                          vals[r, c]).sort_row_major()

@@ -1,0 +1,8 @@
+"""Kernel layer: backend registry + reference (jnp) and TPU (Pallas) tiers.
+
+Importing this package registers the reference kernels; the Pallas tier is
+imported lazily/optionally since it requires a Mosaic-capable backend.
+"""
+
+from . import spmv  # noqa: F401  (registers reference kernels)
+from .registry import lookup, register, use_tier, current_tier  # noqa: F401

@@ -1,0 +1,72 @@
+"""Sparse matrix-vector product kernels, reference tier.
+
+Reference-tier analogs of Ginkgo's per-format SpMV kernels
+(``reference/matrix/csr_kernels.cpp:49-80`` triple loop etc.), expressed as
+gather + segment-sum so XLA maps them to vectorised gathers and the padding
+keeps all shapes static.  The TPU tier (Pallas) registers faster
+implementations under the same names in ``ops/spmv_pallas.py``.
+
+Conventions: multivectors are (n, k); padded entries carry
+``col = 0, val = 0, row = num_rows`` (segment id == num_segments drops them).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .registry import register
+
+
+@register("coo_spmv", "reference")
+def coo_spmv(row_idx, col_idx, values, b, num_rows):
+    """y = A @ b for COO triplets (also the CSR classical fallback)."""
+    gathered = b[col_idx] * values[:, None].astype(b.dtype)
+    return jax.ops.segment_sum(gathered, row_idx, num_segments=num_rows + 1,
+                               indices_are_sorted=True)[:num_rows]
+
+
+@register("ell_spmv", "reference")
+def ell_spmv(col_idx, values, b, valid_mask):
+    """ELL: col_idx/values (n, max_nnz_row); y = sum_j vals[:,j]*b[cols[:,j]]."""
+    gathered = b[col_idx]                            # (n, w, k)
+    vals = jnp.where(valid_mask, values, 0).astype(b.dtype)
+    return jnp.einsum("nw,nwk->nk", vals, gathered)
+
+
+@register("dia_spmv", "reference")
+def dia_spmv(offsets, diag_values, b):
+    """Diagonal-offset (banded) SpMV: y[i] = sum_d diag[d, i] * b[i + off_d].
+
+    ``offsets`` is a static tuple, so the loop unrolls at trace time into a
+    chain of shifted fused axpys — zero gather, fully contiguous HBM traffic.
+    This is the TPU-native strategy for stencil-like matrices.
+    """
+    n = diag_values.shape[1]
+    out = jnp.zeros((n, b.shape[1]), jnp.result_type(diag_values.dtype, b.dtype))
+    for d, off in enumerate(offsets):
+        if off >= 0:
+            width = n - off
+            out = out.at[:width].add(
+                diag_values[d, :width, None].astype(b.dtype) * b[off:off + width])
+        else:
+            width = n + off
+            out = out.at[-off:].add(
+                diag_values[d, -off:, None].astype(b.dtype) * b[:width])
+    return out
+
+
+@register("dense_spmv", "reference")
+def dense_spmv(a, b):
+    return a @ b
+
+
+@register("sellp_spmv", "reference")
+def sellp_spmv(col_idx, values, b, valid_mask, num_rows):
+    """SELL-P: per-slice padded ELL; arrays are (num_slices, slice_size, w)."""
+    s, c, w = col_idx.shape
+    flat_cols = col_idx.reshape(s * c, w)
+    flat_vals = jnp.where(valid_mask, values, 0).reshape(s * c, w)
+    gathered = b[flat_cols]                          # (s*c, w, k)
+    out = jnp.einsum("nw,nwk->nk", flat_vals.astype(b.dtype), gathered)
+    return out[:num_rows]

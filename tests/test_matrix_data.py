@@ -1,0 +1,90 @@
+"""matrix_data / IO / generator tests (core/test/base analogs)."""
+
+import io
+
+import numpy as np
+import pytest
+
+from ginkgo_tpu.base.matrix_data import MatrixData
+from ginkgo_tpu.base.mtx_io import read_mtx, write_mtx
+from ginkgo_tpu.utils.generators import (generate_random_matrix, make_spd,
+                                         stencil_2d, stencil_3d)
+
+
+def test_sum_duplicates_and_remove_zeros():
+    d = MatrixData((2, 2), [0, 0, 1, 1], [0, 0, 1, 0], [1.0, 2.0, 5.0, 0.0])
+    c = d.canonical()
+    assert c.nnz == 2
+    np.testing.assert_allclose(c.to_dense(), [[3.0, 0.0], [0.0, 5.0]])
+
+
+def test_sort_row_major():
+    d = MatrixData((2, 3), [1, 0, 0], [0, 2, 1], [1.0, 2.0, 3.0])
+    s = d.sort_row_major()
+    assert list(s.row_idx) == [0, 0, 1]
+    assert list(s.col_idx) == [1, 2, 0]
+    assert list(s.values) == [3.0, 2.0, 1.0]
+
+
+def test_transpose():
+    d = MatrixData.from_dense(np.array([[1.0, 2.0], [0.0, 3.0]]))
+    np.testing.assert_allclose(d.transpose().to_dense(),
+                               [[1.0, 0.0], [2.0, 3.0]])
+
+
+def test_mtx_roundtrip():
+    d = generate_random_matrix(13, 7, nonzeros_per_row=(1, 5), seed=3)
+    buf = io.StringIO()
+    write_mtx(buf, d)
+    buf.seek(0)
+    back = read_mtx(buf)
+    np.testing.assert_allclose(back.to_dense(), d.to_dense(), rtol=1e-14)
+
+
+def test_mtx_symmetric():
+    text = """%%MatrixMarket matrix coordinate real symmetric
+3 3 4
+1 1 2.0
+2 1 -1.0
+2 2 2.0
+3 3 1.5
+"""
+    d = read_mtx(text)
+    dense = d.to_dense()
+    np.testing.assert_allclose(dense, dense.T)
+    assert dense[0, 1] == -1.0
+
+
+def test_stencil_shapes():
+    d5 = stencil_2d(4, points=5)
+    assert d5.shape == (16, 16)
+    dense = d5.to_dense()
+    np.testing.assert_allclose(dense, dense.T)  # symmetric
+    assert np.all(np.diag(dense) == 4.0)
+
+    d27 = stencil_3d(3, points=27)
+    assert d27.shape == (27, 27)
+    # center node has all 26 neighbors
+    center = 13
+    assert (d27.to_dense()[center] != 0).sum() == 27
+
+
+def test_stencil_spd():
+    d = stencil_3d(4, points=7)
+    w = np.linalg.eigvalsh(d.to_dense())
+    assert w.min() > 0
+
+
+def test_random_matrix_diag():
+    d = generate_random_matrix(20, 20, nonzeros_per_row=(2, 6), seed=0,
+                               ensure_diag=True)
+    dense = d.to_dense()
+    assert np.all(np.abs(np.diag(dense)) > 0)
+
+
+def test_make_spd():
+    d = generate_random_matrix(15, 15, nonzeros_per_row=(1, 6), seed=1)
+    spd = make_spd(d)
+    dense = spd.to_dense()
+    np.testing.assert_allclose(dense, dense.T, atol=1e-14)
+    assert np.linalg.eigvalsh(dense).min() > 0
