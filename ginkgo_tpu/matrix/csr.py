@@ -38,14 +38,17 @@ class Csr(LinOp):
     shape: tuple = static_field()
     nnz: int = static_field()
     strategy: str = static_field(default="classical")
-    # banded-strategy aux: (num_diags,) offsets + (num_diags, n) diagonal values
+    # banded-strategy aux (strategy_type::process analog): static diagonal
+    # offsets + layout plan, plus the (G, D, S, 128) blocked diagonal values
     diag_offsets: object = static_field(default=None)  # tuple of ints
-    diag_values: jnp.ndarray | None = None
+    band_meta: object = static_field(default=None)     # frozen layout dict
+    diag_values: jnp.ndarray | None = None             # (G, D, S, 128)
 
     # -- SpMV ------------------------------------------------------------------
     def _apply(self, b):
         if self.strategy == "banded" and self.diag_values is not None:
-            return lookup("dia_spmv")(self.diag_offsets, self.diag_values, b)
+            return lookup("dia_spmv")(self.diag_offsets, self.diag_values,
+                                      dict(self.band_meta), b)
         return lookup("coo_spmv")(self.row_idx, self.col_idx, self.values,
                                   b, self.shape[0])
 
@@ -58,7 +61,7 @@ class Csr(LinOp):
         nnz = d.nnz
         values_np = d.values if dtype is None else d.values.astype(dtype)
 
-        strategy, diag_offsets, diag_values = _process_strategy(
+        strategy, diag_offsets, band_meta, diag_values = _process_strategy(
             strategy, d, values_np)
 
         cap = pad_nnz(nnz, pad_multiple)
@@ -74,7 +77,7 @@ class Csr(LinOp):
                    values=jnp.asarray(vals),
                    row_idx=jnp.asarray(rows, index_dtype),
                    shape=(n, m), nnz=nnz, strategy=strategy,
-                   diag_offsets=diag_offsets,
+                   diag_offsets=diag_offsets, band_meta=band_meta,
                    diag_values=None if diag_values is None
                    else jnp.asarray(diag_values))
 
@@ -146,29 +149,32 @@ def _process_strategy(strategy: str, d: MatrixData, values_np: np.ndarray):
         raise ValueError(f"unknown CSR strategy {strategy!r}")
     # merge_path/load_balance/sparselib are GPU-ism aliases: on TPU they all
     # resolve to the load-balanced segment-sum path (classical).
-    if strategy in ("load_balance", "merge_path", "sparselib"):
-        return "classical", None, None
-    if strategy == "classical":
-        return "classical", None, None
+    if strategy in ("load_balance", "merge_path", "sparselib", "classical"):
+        return "classical", None, None, None
 
     n, m = d.shape
     if n != m or d.nnz == 0:
-        return "classical", None, None
+        return "classical", None, None, None
     offsets = np.unique(d.col_idx.astype(np.int64) - d.row_idx)
     if strategy == "automatical" and offsets.size > _BANDED_MAX_DIAGS:
-        return "classical", None, None
+        return "classical", None, None, None
     # fill check: banded only pays if diagonals are dense
     fill = d.nnz / (offsets.size * n)
     if strategy == "automatical" and fill < _BANDED_MIN_FILL:
-        return "classical", None, None
+        return "classical", None, None, None
     if offsets.size > 4096:
-        return "classical", None, None
+        return "classical", None, None, None
 
-    # Build (num_diags, n) diagonal value array indexed by row.
+    # Build (num_diags, n) diagonal value array indexed by row, then block it
+    # into the pipeline layout the Pallas kernel consumes.
+    from ..ops.spmv_pallas import block_diag_values, plan_banded_layout
     off_lookup = {int(o): k for k, o in enumerate(offsets)}
     diag_values = np.zeros((offsets.size, n), values_np.dtype)
     diag_of_entry = np.array(
         [off_lookup[int(c) - int(r)]
          for r, c in zip(d.row_idx, d.col_idx)], np.int64)
     diag_values[diag_of_entry, d.row_idx] = values_np
-    return "banded", tuple(int(o) for o in offsets), diag_values
+    offsets_t = tuple(int(o) for o in offsets)
+    meta = plan_banded_layout(offsets_t, n)
+    dvb = block_diag_values(diag_values, meta)
+    return "banded", offsets_t, tuple(sorted(meta.items())), dvb

@@ -5,4 +5,5 @@ imported lazily/optionally since it requires a Mosaic-capable backend.
 """
 
 from . import spmv  # noqa: F401  (registers reference kernels)
+from . import spmv_pallas  # noqa: F401  (registers TPU-tier kernels)
 from .registry import lookup, register, use_tier, current_tier  # noqa: F401

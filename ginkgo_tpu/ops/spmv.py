@@ -35,25 +35,26 @@ def ell_spmv(col_idx, values, b, valid_mask):
 
 
 @register("dia_spmv", "reference")
-def dia_spmv(offsets, diag_values, b):
+def dia_spmv(offsets, dvb, meta, b):
     """Diagonal-offset (banded) SpMV: y[i] = sum_d diag[d, i] * b[i + off_d].
 
-    ``offsets`` is a static tuple, so the loop unrolls at trace time into a
-    chain of shifted fused axpys — zero gather, fully contiguous HBM traffic.
-    This is the TPU-native strategy for stencil-like matrices.
+    Reference tier: unblock the (G, D, S, 128) build-time layout back to
+    (D, n), pad b once by the band extent, and accumulate full-length
+    statically-shifted slices — one fused elementwise sum, no gather.
+    The Pallas TPU tier consumes the blocked layout directly.
     """
-    n = diag_values.shape[1]
-    out = jnp.zeros((n, b.shape[1]), jnp.result_type(diag_values.dtype, b.dtype))
-    for d, off in enumerate(offsets):
-        if off >= 0:
-            width = n - off
-            out = out.at[:width].add(
-                diag_values[d, :width, None].astype(b.dtype) * b[off:off + width])
-        else:
-            width = n + off
-            out = out.at[-off:].add(
-                diag_values[d, -off:, None].astype(b.dtype) * b[:width])
-    return out
+    from .spmv_pallas import unblock_diag_values
+    diag_values = unblock_diag_values(dvb, meta)
+    n = meta["n"]
+    lo = -min(min(offsets), 0)
+    hi = max(max(offsets), 0)
+    xp = jnp.pad(b, ((lo, hi), (0, 0)))
+    acc = diag_values[0][:, None].astype(b.dtype) * xp[lo + offsets[0]:
+                                                       lo + offsets[0] + n]
+    for d, off in enumerate(offsets[1:], start=1):
+        acc = acc + diag_values[d][:, None].astype(b.dtype) * \
+            xp[lo + off: lo + off + n]
+    return acc
 
 
 @register("dense_spmv", "reference")

@@ -1,0 +1,148 @@
+"""Shared iterative-solver driver.
+
+Ginkgo factors each solver into an ``apply_dense_impl`` host loop calling
+fused per-iteration kernels (``core/solver/cg.cpp:92-180``) with device-side
+per-column ``stopping_status``.  Here the whole iteration *is* one jitted
+``lax.while_loop`` body: XLA fuses the axpys/dots exactly where Ginkgo's
+hand-written ``step_1``/``step_2`` kernels draw the lines, the status mask
+lives in the loop carry, and converged columns are frozen by a masked
+tree-update (Ginkgo's per-column stopping semantics, multi-RHS included).
+
+Solver-state convention: every array in the state pytree has a trailing
+RHS-column axis k — vectors are (n, k), iteration scalars are (k,) — so one
+``where(active)`` broadcast freezes stopped columns across the whole state.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..base.linop import LinOp, as_multivector, linop_dataclass, static_field
+from ..matrix.dense import compute_norm2
+from ..matrix.identity import Identity
+from ..stop.criterion import CheckArgs, Criterion, as_criterion
+
+DEFAULT_TRIP_CAP = 100_000
+
+
+@linop_dataclass
+class SolveResult:
+    """What Ginkgo's Convergence logger captures, as a return value."""
+
+    x: jnp.ndarray            # solution, caller's rank
+    iterations: jnp.ndarray   # (k,) int32 per-column iteration count
+    resnorm: jnp.ndarray      # (k,) final recurrent residual norm
+    converged: jnp.ndarray    # (k,) bool
+    resnorm_history: jnp.ndarray | None = None  # (trips+1, k) if trace=True
+
+
+def mask_cols(active, new, old):
+    """Freeze stopped columns: per-array where() with trailing-k broadcast."""
+
+    def sel(n, o):
+        if n.ndim == 0:
+            return n  # global scalars advance regardless
+        m = active if n.ndim == 1 else active[(None,) * (n.ndim - 1) + (...,)]
+        return jnp.where(m, n, o)
+
+    return jax.tree_util.tree_map(sel, new, old)
+
+
+def prepare_rhs(A, b, x0):
+    """Canonicalise b/x0 to (n, k); returns (b2, x2, squeeze)."""
+    if A.shape[0] != A.shape[1]:
+        raise ValueError(f"iterative solvers need a square operator, "
+                         f"got {A.shape}")
+    b2, squeeze = as_multivector(b)
+    if b2.shape[0] != A.shape[0]:
+        raise ValueError(f"rhs rows {b2.shape[0]} != op rows {A.shape[0]}")
+    if x0 is None:
+        x2 = jnp.zeros_like(b2)
+    else:
+        x2, _ = as_multivector(x0)
+    return b2, x2, squeeze
+
+
+def resolve_precond(preconditioner, A):
+    """None -> Identity; factory-like (has .generate) -> generate(A)."""
+    if preconditioner is None:
+        return Identity(size=A.shape[0])
+    if hasattr(preconditioner, "generate") and not isinstance(
+            preconditioner, LinOp):
+        return preconditioner.generate(A)
+    return preconditioner
+
+
+def run_iteration_loop(step_fn, make_check_args, state0, criterion: Criterion,
+                       b, r0_norm, b_norm, *, trace: bool = False,
+                       trip_cap: int | None = None):
+    """The while_loop driver shared by every Krylov solver.
+
+    step_fn(state) -> state'        one fused iteration (unmasked)
+    make_check_args(state, it) -> CheckArgs
+
+    With ``trace=True`` runs a fixed-trip ``lax.scan`` instead and returns
+    per-iteration residual norms (the SolverProgress logger analog).
+    """
+    criterion = as_criterion(criterion)
+    crit_state = criterion.init(b, r0_norm, b_norm)
+    cap = trip_cap if trip_cap is not None else (
+        criterion.max_trip_count() or DEFAULT_TRIP_CAP)
+    k = b.shape[1]
+
+    args0 = make_check_args(state0, jnp.int32(0))
+    stop0, conv0, crit_state = criterion.check(crit_state, args0)
+    carry0 = dict(state=state0, crit=crit_state, it=jnp.int32(0),
+                  active=~stop0, converged=conv0,
+                  iters=jnp.zeros((k,), jnp.int32))
+
+    def body(carry):
+        new_state = step_fn(carry["state"])
+        state = mask_cols(carry["active"], new_state, carry["state"])
+        it = carry["it"] + 1
+        args = make_check_args(state, it)
+        stop, conv, crit = criterion.check(carry["crit"], args)
+        newly = carry["active"] & stop
+        return dict(
+            state=state, crit=crit, it=it,
+            active=carry["active"] & ~stop,
+            converged=carry["converged"] | (newly & conv),
+            iters=carry["iters"] + carry["active"].astype(jnp.int32))
+
+    if not trace:
+        def cond(carry):
+            return jnp.any(carry["active"]) & (carry["it"] < cap)
+
+        final = jax.lax.while_loop(cond, body, carry0)
+        return final, None
+
+    def scan_body(carry, _):
+        do = jnp.any(carry["active"])
+        carry = jax.lax.cond(do, body, lambda c: c, carry)
+        args = make_check_args(carry["state"], carry["it"])
+        return carry, args.get_residual_norm()
+
+    final, history = jax.lax.scan(scan_body, carry0, None, length=cap)
+    history = jnp.concatenate([args0.get_residual_norm()[None], history])
+    return final, history
+
+
+def finish(final, history, x, r, squeeze):
+    """Assemble a SolveResult from loop carry + extracted x, r."""
+    resnorm = compute_norm2(r)
+    return SolveResult(
+        x=x[:, 0] if squeeze else x,
+        iterations=final["iters"],
+        resnorm=resnorm,
+        converged=final["converged"],
+        resnorm_history=history)
+
+
+def safe_div(num, den):
+    """num/den with 0/0 -> 0 (stopped columns carry zeroed updates)."""
+    safe = jnp.where(den == 0, jnp.ones_like(den), den)
+    return jnp.where(den == 0, jnp.zeros_like(num), num / safe)
