@@ -146,3 +146,82 @@ def safe_div(num, den):
     """num/den with 0/0 -> 0 (stopped columns carry zeroed updates)."""
     safe = jnp.where(den == 0, jnp.ones_like(den), den)
     return jnp.where(den == 0, jnp.zeros_like(num), num / safe)
+
+
+# ---------------------------------------------------------------------------
+# Solver-as-LinOp + fluent factory machinery.
+#
+# Ginkgo spells ``Solver::build().with_x(...).on(exec)->generate(A)``
+# (``include/ginkgo/core/base/abstract_factory.hpp:394-496``); here each
+# solver module exposes ``solve(A, b, ...)`` and the class surface below
+# wraps it so ``Bicgstab.build(criteria=...).generate(A)`` yields a LinOp
+# usable as an inner solver / preconditioner.
+# ---------------------------------------------------------------------------
+
+
+@linop_dataclass
+class SolverOp(LinOp):
+    """A generated solver: LinOp whose apply runs ``solve_fn``."""
+
+    system_matrix: LinOp
+    preconditioner: object = None
+    criteria: object = static_field(default=None)
+    solve_fn: object = static_field(default=None)
+    name: str = static_field(default="solver")
+    params: tuple = static_field(default=())   # extra kwargs, sorted items
+
+    @property
+    def shape(self):
+        return self.system_matrix.shape
+
+    def _apply(self, b):
+        kwargs = dict(self.params)
+        if self.preconditioner is not None:
+            kwargs["preconditioner"] = self.preconditioner
+        return self.solve_fn(self.system_matrix, b, criteria=self.criteria,
+                             **kwargs).x
+
+    def solve(self, b, x0=None, **kw):
+        kwargs = dict(self.params)
+        if self.preconditioner is not None:
+            kwargs["preconditioner"] = self.preconditioner
+        kwargs.update(kw)
+        return self.solve_fn(self.system_matrix, b, x0,
+                             criteria=self.criteria, **kwargs)
+
+
+class SolverFactory:
+    """The ``build()`` product: holds params, generates SolverOps."""
+
+    def __init__(self, solve_fn, name, params):
+        self.solve_fn = solve_fn
+        self.name = name
+        self.params = dict(params)
+
+    def generate(self, A) -> SolverOp:
+        params = dict(self.params)
+        criteria = params.pop("criteria", None)
+        M = params.pop("preconditioner", None)
+        if M is not None:
+            M = resolve_precond(M, A)
+        hashable = tuple(sorted(params.items(), key=lambda kv: kv[0]))
+        return SolverOp(system_matrix=A, preconditioner=M, criteria=criteria,
+                        solve_fn=self.solve_fn, name=self.name,
+                        params=hashable)
+
+
+class SolverAPI:
+    """Class-like facade: ``Cg.build(...)`` / ``Cg.solve(A, b, ...)``."""
+
+    def __init__(self, name, solve_fn):
+        self.__name__ = self.name = name
+        self.solve = solve_fn
+
+    def build(self, **params) -> SolverFactory:
+        return SolverFactory(self.solve, self.name, params)
+
+    def __call__(self, **params) -> SolverFactory:
+        return self.build(**params)
+
+    def __repr__(self):
+        return f"<solver {self.name}>"

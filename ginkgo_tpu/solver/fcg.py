@@ -1,11 +1,10 @@
-"""Conjugate gradient.
+"""Flexible CG.
 
-Analog of ``core/solver/cg.cpp`` (kernels ``core/solver/cg_kernels.hpp``:
-initialize / step_1 / step_2).  One jitted while_loop iteration performs
-Ginkgo's exact update order (cg.cpp:142-176): z = M r; rho = <r, z>;
-p = z + (rho/prev_rho) p; q = A p; beta = <p, q>; x += (rho/beta) p;
-r -= (rho/beta) q.  The implicit squared residual norm rho feeds the
-ImplicitResidualNorm criterion for free, as in the reference.
+Analog of ``core/solver/fcg.cpp`` (``include/ginkgo/core/solver/fcg.hpp:52``):
+CG with the Polak-Ribiere style beta ``rho_t / prev_rho`` where
+``rho_t = <r_new - r_old, z>``, making the method robust to non-constant
+(flexible) preconditioners.  Since ``r_new - r_old = -alpha q``, the extra
+memory traffic of Ginkgo's ``t`` vector collapses into the fused step here.
 """
 
 from __future__ import annotations
@@ -20,29 +19,32 @@ from .common import (SolverAPI, finish, prepare_rhs, resolve_precond,
 
 def solve(A, b, x0=None, *, criteria=None, preconditioner=None,
           trace: bool = False):
-    """Solve A x = b with (preconditioned) CG. Jit-compatible."""
+    """Solve A x = b with flexible CG. Jit-compatible."""
     b2, x, squeeze = prepare_rhs(A, b, x0)
     M = resolve_precond(preconditioner, A)
     if criteria is None:
         criteria = default_criterion(b2.dtype)
 
     r = b2 - A._apply(x)
-    z = M._apply(r)
-    rho = compute_conj_dot(r, z)
+    ones = jnp.ones((b2.shape[1],), r.dtype)
+    # t starts equal to r so the first beta reduces to plain CG's rho/1 with
+    # p = 0 (Ginkgo's initialize kernel semantics).
+    state = dict(x=x, r=r, t=r, p=jnp.zeros_like(r), prev_rho=ones,
+                 rho=compute_conj_dot(r, M._apply(r)))
+
     b_norm = compute_norm2(b2)
     r0_norm = compute_norm2(r)
-    # p starts at zero so the first step_1 yields p = z regardless of the
-    # rho/prev_rho ratio (Ginkgo's initialize kernel semantics).
-    state = dict(x=x, r=r, p=jnp.zeros_like(r), rho=rho)
 
     def step(s):
         z = M._apply(s["r"])
         rho = compute_conj_dot(s["r"], z)
-        p = z + safe_div(rho, s["rho"])[None, :] * s["p"]
+        rho_t = compute_conj_dot(s["t"], z)
+        p = z + safe_div(rho_t, s["prev_rho"])[None, :] * s["p"]
         q = A._apply(p)
         beta = compute_conj_dot(p, q)
         alpha = safe_div(rho, beta)[None, :]
-        return dict(x=s["x"] + alpha * p, r=s["r"] - alpha * q, p=p, rho=rho)
+        return dict(x=s["x"] + alpha * p, r=s["r"] - alpha * q,
+                    t=-alpha * q, p=p, prev_rho=rho, rho=rho)
 
     def make_check_args(s, it):
         return CheckArgs(iteration=it, residual=s["r"],
@@ -55,6 +57,4 @@ def solve(A, b, x0=None, *, criteria=None, preconditioner=None,
                   squeeze)
 
 
-# Fluent factory surface: Cg.build(criteria=..., preconditioner=...)
-# .generate(A) yields a solver LinOp (``cg.hpp:48`` analog).
-Cg = SolverAPI("Cg", solve)
+Fcg = SolverAPI("Fcg", solve)

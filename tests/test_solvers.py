@@ -1,0 +1,150 @@
+"""Solver breadth tests — every Krylov/relaxation solver against dense
+oracles (reference/test/solver/* analogs, one battery instead of per-file)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ginkgo_tpu import Csr
+from ginkgo_tpu.preconditioner.jacobi import Jacobi
+from ginkgo_tpu.solver import (Bicg, Bicgstab, Cg, Cgs, Chebyshev, Fcg, Ir,
+                               Minres, PipeCg)
+from ginkgo_tpu.stop.criterion import Iteration, ResidualNorm
+from ginkgo_tpu.utils.generators import (generate_random_matrix, make_spd,
+                                         stencil_2d, stencil_3d)
+
+SPD_SOLVERS = [Cg, Fcg, PipeCg, Minres, Bicgstab, Cgs, Bicg]
+GENERAL_SOLVERS = [Bicgstab, Cgs, Bicg]
+
+
+def _spd_system(n=60, seed=0):
+    data = make_spd(generate_random_matrix(
+        n, n, nonzeros_per_row=(2, 8), seed=seed), shift=1.0)
+    A = Csr.from_data(data)
+    rng = np.random.default_rng(seed + 1)
+    x_true = jnp.asarray(rng.standard_normal(n))
+    return A, x_true, A.apply(x_true)
+
+
+def _nonsym_system(n=50, seed=7):
+    """Diagonally dominant nonsymmetric matrix."""
+    data = generate_random_matrix(n, n, nonzeros_per_row=(2, 6), seed=seed)
+    dense = data.to_dense()
+    dense += np.diag(np.abs(dense).sum(1) + 1.0)
+    A = Csr.from_dense(dense)
+    rng = np.random.default_rng(seed + 1)
+    x_true = jnp.asarray(rng.standard_normal(n))
+    return A, x_true, A.apply(x_true)
+
+
+@pytest.mark.parametrize("solver", SPD_SOLVERS, ids=lambda s: s.name)
+def test_solver_spd(solver):
+    A, x_true, b = _spd_system()
+    res = solver.solve(A, b, criteria=Iteration(1000) | ResidualNorm(1e-12))
+    assert bool(res.converged.all()), solver.name
+    np.testing.assert_allclose(res.x, x_true, rtol=1e-7, atol=1e-8)
+
+
+@pytest.mark.parametrize("solver", GENERAL_SOLVERS, ids=lambda s: s.name)
+def test_solver_nonsymmetric(solver):
+    A, x_true, b = _nonsym_system()
+    res = solver.solve(A, b, criteria=Iteration(1000) | ResidualNorm(1e-12))
+    assert bool(res.converged.all()), solver.name
+    np.testing.assert_allclose(res.x, x_true, rtol=1e-6, atol=1e-7)
+
+
+@pytest.mark.parametrize("solver", SPD_SOLVERS, ids=lambda s: s.name)
+def test_solver_multi_rhs(solver):
+    A, _, _ = _spd_system(40, seed=3)
+    rng = np.random.default_rng(9)
+    x_true = jnp.asarray(rng.standard_normal((40, 3)))
+    b = A.apply(x_true)
+    res = solver.solve(A, b, criteria=Iteration(1000) | ResidualNorm(1e-11))
+    assert bool(res.converged.all()), solver.name
+    np.testing.assert_allclose(res.x, x_true, rtol=1e-6, atol=1e-7)
+
+
+@pytest.mark.parametrize("solver", [Cg, Bicgstab, Fcg, Minres],
+                         ids=lambda s: s.name)
+def test_solver_jacobi_preconditioned(solver):
+    A, x_true, b = _spd_system(80, seed=5)
+    res = solver.solve(A, b, preconditioner=Jacobi(),
+                       criteria=Iteration(1000) | ResidualNorm(1e-12))
+    assert bool(res.converged.all()), solver.name
+    np.testing.assert_allclose(res.x, x_true, rtol=1e-7, atol=1e-8)
+
+
+@pytest.mark.parametrize("solver", [Bicgstab, Cgs, Minres, PipeCg],
+                         ids=lambda s: s.name)
+def test_solver_jittable(solver):
+    A, x_true, b = _spd_system(30, seed=11)
+    crit = Iteration(500) | ResidualNorm(1e-10)
+    jitted = jax.jit(lambda A, b: solver.solve(A, b, criteria=crit).x)
+    np.testing.assert_allclose(jitted(A, b), x_true, rtol=1e-6, atol=1e-7)
+
+
+def test_ir_with_inner_cg():
+    """ir-ilu/iterative-refinement example analog: IR wrapping inner CG."""
+    A, x_true, b = _spd_system(40, seed=13)
+    inner = Cg.build(criteria=Iteration(10) | ResidualNorm(1e-2))
+    res = Ir.solve(A, b, solver=inner,
+                   criteria=Iteration(100) | ResidualNorm(1e-12))
+    assert bool(res.converged.all())
+    np.testing.assert_allclose(res.x, x_true, rtol=1e-7, atol=1e-8)
+
+
+def test_richardson_scalar_jacobi():
+    A, x_true, b = _spd_system(40, seed=17)
+    res = Ir.solve(A, b, solver=Jacobi().generate(A), relaxation_factor=0.9,
+                   criteria=Iteration(5000) | ResidualNorm(1e-10))
+    assert bool(res.converged.all())
+    np.testing.assert_allclose(res.x, x_true, rtol=1e-5, atol=1e-6)
+
+
+def test_chebyshev_with_bounds():
+    # 2D 5-pt Laplacian eigenvalues lie in (small, <8); scalar-Jacobi
+    # preconditioned spectrum is the same scaled by 1/4.
+    data = stencil_2d(10, points=5)
+    A = Csr.from_data(data)
+    dense = np.asarray(A.to_dense())
+    eigs = np.linalg.eigvalsh(dense)
+    rng = np.random.default_rng(19)
+    x_true = jnp.asarray(rng.standard_normal(A.shape[0]))
+    b = A.apply(x_true)
+    res = Chebyshev.solve(A, b, foci=(float(eigs[0]), float(eigs[-1])),
+                          criteria=Iteration(2000) | ResidualNorm(1e-10))
+    assert bool(res.converged.all())
+    np.testing.assert_allclose(res.x, x_true, rtol=1e-5, atol=1e-6)
+
+
+def test_minres_indefinite():
+    """MINRES handles symmetric *indefinite* systems CG cannot."""
+    rng = np.random.default_rng(23)
+    Q, _ = np.linalg.qr(rng.standard_normal((30, 30)))
+    eigs = np.concatenate([np.linspace(-5, -1, 10), np.linspace(1, 5, 20)])
+    dense = (Q * eigs) @ Q.T
+    A = Csr.from_dense(dense)
+    x_true = jnp.asarray(rng.standard_normal(30))
+    b = A.apply(x_true)
+    res = Minres.solve(A, b, criteria=Iteration(500) | ResidualNorm(1e-11))
+    assert bool(res.converged.all())
+    np.testing.assert_allclose(res.x, x_true, rtol=1e-6, atol=1e-7)
+
+
+def test_pipe_cg_matches_cg_iterations():
+    A, x_true, b = _spd_system(60, seed=29)
+    crit = Iteration(1000) | ResidualNorm(1e-10)
+    r_cg = Cg.solve(A, b, criteria=crit)
+    r_pipe = PipeCg.solve(A, b, criteria=crit)
+    assert bool(r_pipe.converged.all())
+    # pipelined recurrence is mathematically CG: iteration counts agree
+    assert abs(int(r_pipe.iterations[0]) - int(r_cg.iterations[0])) <= 2
+
+
+def test_solver_factory_generate_apply():
+    A, x_true, b = _spd_system(30, seed=31)
+    op = Bicgstab.build(
+        criteria=Iteration(500) | ResidualNorm(1e-12),
+        preconditioner=Jacobi()).generate(A)
+    np.testing.assert_allclose(op.apply(b), x_true, rtol=1e-6, atol=1e-7)
