@@ -11,3 +11,6 @@ from .minres import Minres  # noqa: F401
 from .ir import Ir, Richardson  # noqa: F401
 from .chebyshev import Chebyshev  # noqa: F401
 from .pipe_cg import PipeCg  # noqa: F401
+from .gmres import Gmres, CbGmres  # noqa: F401
+from .gcr import Gcr  # noqa: F401
+from .idr import Idr  # noqa: F401

@@ -1,0 +1,215 @@
+"""Sparse triangular solvers (LowerTrs / UpperTrs).
+
+Analog of ``include/ginkgo/core/solver/triangular.hpp:65,234`` /
+``core/solver/{lower_trs,upper_trs}.cpp`` and the GPU syncfree kernels
+(``cuda/solver/common_trs_kernels.cuh``).
+
+TPU mapping of the ``algorithm`` knob:
+
+* ``level`` (default): dependency *level sets* are computed host-side at
+  generate time (they are pure sparsity metadata — Ginkgo's sparsity
+  analysis phase), packed into static padded per-level entry lists, and the
+  solve is one ``lax.scan`` over levels — each level is a small masked
+  gather/segment-sum, so total device work is O(nnz).
+* ``jacobi`` (the syncfree/approximate analog): fixed-point sweeps
+  ``x <- D^{-1}(b - (T - D) x)``.  The strictly-triangular part is nilpotent
+  with index = #levels, so ``sweeps >= #levels`` is *exact*; fewer sweeps
+  give Ginkgo's relaxed-trisolve behavior (ir-ilu-preconditioned-solver
+  example).  Each sweep is one full SpMV — maximally parallel.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..base.linop import LinOp, linop_dataclass, static_field
+
+
+def compute_levels(n, row_idx, col_idx, lower: bool) -> np.ndarray:
+    """Level of each row in the triangular dependency DAG (host-side).
+
+    For a lower factor, row r depends on all cols c < r present in row r:
+    level[r] = 1 + max(level[c]).  Sequential over rows but O(nnz) total.
+    """
+    level = np.zeros(n, np.int64)
+    order = np.argsort(row_idx, kind="stable")
+    rows = row_idx[order]
+    cols = col_idx[order]
+    row_iter = range(n) if lower else range(n - 1, -1, -1)
+    # build row slices
+    ptr = np.searchsorted(rows, np.arange(n + 1))
+    for r in row_iter:
+        cs = cols[ptr[r]:ptr[r + 1]]
+        deps = cs[cs < r] if lower else cs[cs > r]
+        if deps.size:
+            level[r] = level[deps].max() + 1
+    return level
+
+
+def _pack_levels(n, row_idx, col_idx, values, diag, levels):
+    """Build the static padded per-level schedule consumed by lax.scan."""
+    num_levels = int(levels.max()) + 1 if n else 1
+    # rows per level
+    order_r = np.argsort(levels, kind="stable")
+    rows_sorted = order_r
+    lv_of_row = levels
+    counts_r = np.bincount(levels, minlength=num_levels)
+    rmax = max(1, int(counts_r.max()))
+    lv_rows = np.full((num_levels, rmax), n, np.int64)
+    slot_of_row = np.zeros(n, np.int64)
+    pos = np.zeros(num_levels, np.int64)
+    for r in rows_sorted:
+        l = lv_of_row[r]
+        lv_rows[l, pos[l]] = r
+        slot_of_row[r] = pos[l]
+        pos[l] += 1
+    # off-diagonal entries grouped by their row's level
+    off = row_idx != col_idx
+    er, ec, ev = row_idx[off], col_idx[off], values[off]
+    elv = levels[er]
+    counts_e = np.bincount(elv, minlength=num_levels)
+    emax = max(1, int(counts_e.max()))
+    ent_cols = np.zeros((num_levels, emax), np.int64)
+    ent_vals = np.zeros((num_levels, emax), values.dtype)
+    ent_slot = np.full((num_levels, emax), rmax, np.int64)  # pad -> dropped
+    pos = np.zeros(num_levels, np.int64)
+    order_e = np.argsort(elv, kind="stable")
+    for i in order_e:
+        l = elv[i]
+        ent_cols[l, pos[l]] = ec[i]
+        ent_vals[l, pos[l]] = ev[i]
+        ent_slot[l, pos[l]] = slot_of_row[er[i]]
+        pos[l] += 1
+    return num_levels, lv_rows, ent_cols, ent_vals, ent_slot, rmax
+
+
+@linop_dataclass
+class TriangularSolveOp(LinOp):
+    """Generated triangular solve: x = T^{-1} b."""
+
+    lv_rows: jnp.ndarray     # (L, Rmax) rows per level, padded with n
+    ent_cols: jnp.ndarray    # (L, Emax)
+    ent_vals: jnp.ndarray    # (L, Emax)
+    ent_slot: jnp.ndarray    # (L, Emax) local row slot, padded with Rmax
+    inv_diag: jnp.ndarray    # (n,)
+    # jacobi-sweep data (strictly triangular part as COO)
+    off_rows: jnp.ndarray
+    off_cols: jnp.ndarray
+    off_vals: jnp.ndarray
+    shape: tuple = static_field()
+    unit_diagonal: bool = static_field(default=False)
+    algorithm: str = static_field(default="level")
+    sweeps: int = static_field(default=0)   # 0 = exact (#levels)
+    num_levels: int = static_field(default=1)
+
+    def _apply(self, b):
+        if self.algorithm == "jacobi":
+            return self._solve_jacobi(b)
+        return self._solve_level(b)
+
+    def _solve_level(self, b):
+        n = self.shape[0]
+        rmax = self.lv_rows.shape[1]
+        x0 = jnp.zeros_like(b)
+
+        def level_step(x, sched):
+            rows, cols, vals, slot = sched
+            xc = x[jnp.clip(cols, 0, n - 1)]
+            contrib = jax.ops.segment_sum(
+                vals[:, None].astype(b.dtype) * xc, slot,
+                num_segments=rmax + 1)[:rmax]
+            br = b[jnp.clip(rows, 0, n - 1)]
+            xr = (br - contrib) * self.inv_diag[
+                jnp.clip(rows, 0, n - 1), None].astype(b.dtype)
+            x = x.at[rows].set(xr, mode="drop")
+            return x, None
+
+        x, _ = jax.lax.scan(level_step, x0,
+                            (self.lv_rows, self.ent_cols, self.ent_vals,
+                             self.ent_slot))
+        return x
+
+    def _solve_jacobi(self, b):
+        n = self.shape[0]
+        sweeps = self.sweeps if self.sweeps > 0 else self.num_levels
+        d = self.inv_diag[:, None].astype(b.dtype)
+        x0 = d * b
+
+        def sweep(_, x):
+            tx = jax.ops.segment_sum(
+                self.off_vals[:, None].astype(b.dtype)
+                * x[jnp.clip(self.off_cols, 0, n - 1)],
+                self.off_rows, num_segments=n + 1)[:n]
+            return d * (b - tx)
+
+        return jax.lax.fori_loop(0, sweeps, sweep, x0)
+
+
+class _TrsFactory:
+    def __init__(self, lower: bool, *, algorithm: str = "level",
+                 sweeps: int = 0, unit_diagonal: bool = False):
+        self.lower = lower
+        self.algorithm = algorithm
+        self.sweeps = sweeps
+        self.unit_diagonal = unit_diagonal
+
+    def generate(self, T) -> TriangularSolveOp:
+        """T: a LinOp (Csr/Coo/Dense) holding the triangular factor."""
+        data = _to_matrix_data(T)
+        n = data.shape[0]
+        r, c, v = data.row_idx, data.col_idx, data.values
+        # diagonal
+        if self.unit_diagonal:
+            diag = np.ones(n, v.dtype)
+        else:
+            diag = np.zeros(n, v.dtype)
+            on = r == c
+            diag[r[on]] = v[on]
+            diag[diag == 0] = 1
+        levels = compute_levels(n, r, c, self.lower)
+        (num_levels, lv_rows, ent_cols, ent_vals, ent_slot,
+         _) = _pack_levels(n, r, c, v, diag, levels)
+        off = r != c
+        # pad offdiag arrays for the jacobi path
+        nnz_off = int(off.sum())
+        cap = max(8, -(-nnz_off // 8) * 8)
+        orow = np.full(cap, n, np.int64)
+        ocol = np.zeros(cap, np.int64)
+        oval = np.zeros(cap, v.dtype)
+        orow[:nnz_off] = r[off]
+        ocol[:nnz_off] = c[off]
+        oval[:nnz_off] = v[off]
+        return TriangularSolveOp(
+            lv_rows=jnp.asarray(lv_rows), ent_cols=jnp.asarray(ent_cols),
+            ent_vals=jnp.asarray(ent_vals), ent_slot=jnp.asarray(ent_slot),
+            inv_diag=jnp.asarray(1.0 / diag),
+            off_rows=jnp.asarray(orow), off_cols=jnp.asarray(ocol),
+            off_vals=jnp.asarray(oval),
+            shape=data.shape, unit_diagonal=self.unit_diagonal,
+            algorithm=self.algorithm, sweeps=self.sweeps,
+            num_levels=num_levels)
+
+
+def _to_matrix_data(T):
+    if hasattr(T, "to_matrix_data"):
+        return T.to_matrix_data()
+    from ..base.matrix_data import MatrixData
+    return MatrixData.from_dense(np.asarray(T.to_dense()))
+
+
+class _TrsAPI:
+    def __init__(self, name, lower):
+        self.__name__ = self.name = name
+        self.lower = lower
+
+    def build(self, **kw) -> _TrsFactory:
+        return _TrsFactory(self.lower, **kw)
+
+    def __call__(self, **kw) -> _TrsFactory:
+        return self.build(**kw)
+
+
+LowerTrs = _TrsAPI("LowerTrs", lower=True)
+UpperTrs = _TrsAPI("UpperTrs", lower=False)

@@ -1,0 +1,129 @@
+"""GMRES / CB-GMRES / GCR / IDR tests (core/solver/{gmres,cb_gmres}.cpp
+reference behaviors: restart, ortho methods, compressed basis)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ginkgo_tpu import Csr
+from ginkgo_tpu.preconditioner.jacobi import Jacobi
+from ginkgo_tpu.solver import CbGmres, Gcr, Gmres, Idr
+from ginkgo_tpu.stop.criterion import Iteration, ResidualNorm
+from ginkgo_tpu.utils.generators import generate_random_matrix, make_spd
+
+
+def _nonsym(n=40, seed=7):
+    data = generate_random_matrix(n, n, nonzeros_per_row=(2, 6), seed=seed)
+    dense = data.to_dense()
+    dense += np.diag(np.abs(dense).sum(1) + 1.0)
+    A = Csr.from_dense(dense)
+    x_true = jnp.asarray(np.random.default_rng(seed + 1).standard_normal(n))
+    return A, x_true, A.apply(x_true)
+
+
+@pytest.mark.parametrize("solver", [Gmres, Gcr, Idr], ids=lambda s: s.name)
+def test_nonsymmetric(solver):
+    A, x_true, b = _nonsym()
+    res = solver.solve(A, b, criteria=Iteration(500) | ResidualNorm(1e-12))
+    assert bool(res.converged.all()), solver.name
+    np.testing.assert_allclose(res.x, x_true, rtol=1e-7, atol=1e-8)
+
+
+@pytest.mark.parametrize("ortho", ["cgs", "cgs2", "mgs"])
+def test_gmres_ortho_methods(ortho):
+    A, x_true, b = _nonsym(30, seed=3)
+    res = Gmres.solve(A, b, ortho=ortho,
+                      criteria=Iteration(300) | ResidualNorm(1e-11))
+    assert bool(res.converged.all()), ortho
+    np.testing.assert_allclose(res.x, x_true, rtol=1e-6, atol=1e-7)
+
+
+def test_gmres_restart():
+    """krylov_dim smaller than the iteration count forces restarts."""
+    A, x_true, b = _nonsym(50, seed=11)
+    res = Gmres.solve(A, b, krylov_dim=5,
+                      criteria=Iteration(2000) | ResidualNorm(1e-10))
+    assert bool(res.converged.all())
+    np.testing.assert_allclose(res.x, x_true, rtol=1e-5, atol=1e-6)
+
+
+def test_gmres_preconditioned():
+    A, x_true, b = _nonsym(60, seed=13)
+    crit = Iteration(500) | ResidualNorm(1e-11)
+    plain = Gmres.solve(A, b, criteria=crit)
+    prec = Gmres.solve(A, b, preconditioner=Jacobi(), criteria=crit)
+    assert bool(prec.converged.all())
+    assert int(prec.iterations[0]) <= int(plain.iterations[0])
+    np.testing.assert_allclose(prec.x, x_true, rtol=1e-6, atol=1e-7)
+
+
+def test_gmres_multi_rhs():
+    A, _, _ = _nonsym(35, seed=17)
+    rng = np.random.default_rng(19)
+    x_true = jnp.asarray(rng.standard_normal((35, 3)))
+    b = A.apply(x_true)
+    res = Gmres.solve(A, b, criteria=Iteration(300) | ResidualNorm(1e-11))
+    assert bool(res.converged.all())
+    np.testing.assert_allclose(res.x, x_true, rtol=1e-6, atol=1e-7)
+
+
+def test_gmres_jittable():
+    A, x_true, b = _nonsym(25, seed=23)
+    crit = Iteration(200) | ResidualNorm(1e-10)
+    jitted = jax.jit(lambda A, b: Gmres.solve(A, b, krylov_dim=30,
+                                              criteria=crit).x)
+    np.testing.assert_allclose(jitted(A, b), x_true, rtol=1e-6, atol=1e-7)
+
+
+@pytest.mark.parametrize("storage", ["reduce1", "integer"])
+def test_cb_gmres_storage(storage):
+    """Compressed basis still converges (to a storage-limited tolerance)."""
+    A, x_true, b = _nonsym(40, seed=29)
+    res = CbGmres.solve(A, b, storage_precision=storage,
+                        criteria=Iteration(800) | ResidualNorm(1e-7))
+    assert bool(res.converged.all()), storage
+    np.testing.assert_allclose(res.x, x_true, rtol=1e-3, atol=1e-4)
+
+
+def test_cb_gmres_basis_is_compressed():
+    from ginkgo_tpu.solver.gmres import _make_basis
+    b32 = _make_basis("reduce1", 4, 8, 1, jnp.float64)
+    assert jnp.dtype(b32.dtype) == jnp.float32
+    bi = _make_basis("integer", 4, 8, 1, jnp.float32)
+    store = bi.empty()
+    assert store["q"].dtype == jnp.int16
+    v = jnp.linspace(-1, 1, 8)[:, None]
+    store = bi.write(store, 2, v)
+    back = bi.read_one(store, 2, jnp.float32)
+    np.testing.assert_allclose(back, v, atol=1e-4)
+    b8 = _make_basis("int8", 4, 8, 1, jnp.float32)
+    assert b8.empty()["q"].dtype == jnp.int8
+
+
+def test_idr_subspace_dims():
+    A, x_true, b = _nonsym(40, seed=31)
+    for s in (1, 2, 4):
+        res = Idr.solve(A, b, subspace_dim=s,
+                        criteria=Iteration(500) | ResidualNorm(1e-11))
+        assert bool(res.converged.all()), s
+        np.testing.assert_allclose(res.x, x_true, rtol=1e-6, atol=1e-7)
+
+
+def test_gcr_restart():
+    A, x_true, b = _nonsym(50, seed=37)
+    res = Gcr.solve(A, b, krylov_dim=8,
+                    criteria=Iteration(2000) | ResidualNorm(1e-10))
+    assert bool(res.converged.all())
+    np.testing.assert_allclose(res.x, x_true, rtol=1e-5, atol=1e-6)
+
+
+def test_gmres_spd_matches_cg():
+    data = make_spd(generate_random_matrix(
+        40, 40, nonzeros_per_row=(2, 6), seed=41), shift=1.0)
+    A = Csr.from_data(data)
+    x_true = jnp.asarray(np.random.default_rng(43).standard_normal(40))
+    b = A.apply(x_true)
+    res = Gmres.solve(A, b, criteria=Iteration(300) | ResidualNorm(1e-12))
+    assert bool(res.converged.all())
+    np.testing.assert_allclose(res.x, x_true, rtol=1e-7, atol=1e-8)

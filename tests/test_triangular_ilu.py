@@ -1,0 +1,184 @@
+"""Triangular solvers + ILU/IC factorizations + preconditioners
+(reference/test/solver/{lower,upper}_trs_kernels.cpp,
+reference/test/factorization/par_ilu_kernels.cpp analogs)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ginkgo_tpu import Csr
+from ginkgo_tpu.factorization.par_ilu import Ic0, Ilu0, ParIc, ParIlu
+from ginkgo_tpu.preconditioner.ilu import Ic, Ilu
+from ginkgo_tpu.solver import Bicgstab, Cg
+from ginkgo_tpu.solver.triangular import LowerTrs, UpperTrs, compute_levels
+from ginkgo_tpu.stop.criterion import Iteration, ResidualNorm
+from ginkgo_tpu.utils.generators import (generate_random_matrix, make_spd,
+                                         stencil_2d)
+
+
+def _rand_lower(n=20, seed=0, unit=False):
+    rng = np.random.default_rng(seed)
+    dense = np.tril(rng.uniform(0.1, 1.0, (n, n)))
+    dense[rng.uniform(size=(n, n)) > 0.3] = 0           # sparsify
+    np.fill_diagonal(dense, 1.0 if unit else rng.uniform(1.0, 2.0, n))
+    dense = np.tril(dense)
+    return dense
+
+
+def test_lower_trs_level():
+    dense = _rand_lower(25, seed=1)
+    L = Csr.from_dense(dense)
+    op = LowerTrs.build().generate(L)
+    b = jnp.asarray(np.random.default_rng(2).standard_normal((25, 2)))
+    x = op.apply(b)
+    np.testing.assert_allclose(x, np.linalg.solve(dense, np.asarray(b)),
+                               rtol=1e-12)
+
+
+def test_upper_trs_level():
+    dense = _rand_lower(25, seed=3).T.copy()
+    U = Csr.from_dense(dense)
+    op = UpperTrs.build().generate(U)
+    b = jnp.asarray(np.random.default_rng(4).standard_normal(25))
+    np.testing.assert_allclose(op.apply(b),
+                               np.linalg.solve(dense, np.asarray(b)),
+                               rtol=1e-12)
+
+
+def test_trs_jacobi_exact_with_enough_sweeps():
+    dense = _rand_lower(20, seed=5)
+    L = Csr.from_dense(dense)
+    op = LowerTrs.build(algorithm="jacobi").generate(L)  # sweeps=0 -> #levels
+    b = jnp.asarray(np.random.default_rng(6).standard_normal(20))
+    np.testing.assert_allclose(op.apply(b),
+                               np.linalg.solve(dense, np.asarray(b)),
+                               rtol=1e-10)
+
+
+def test_trs_jacobi_approximate():
+    dense = _rand_lower(30, seed=7)
+    L = Csr.from_dense(dense)
+    exact = np.linalg.solve(dense, np.ones(30))
+    op1 = LowerTrs.build(algorithm="jacobi", sweeps=1).generate(L)
+    op8 = LowerTrs.build(algorithm="jacobi", sweeps=40).generate(L)
+    e1 = np.linalg.norm(np.asarray(op1.apply(jnp.ones(30))) - exact)
+    e8 = np.linalg.norm(np.asarray(op8.apply(jnp.ones(30))) - exact)
+    assert e8 < e1 * 1e-3 + 1e-12
+
+
+def test_compute_levels():
+    # bidiagonal lower: level[i] = i (fully sequential chain)
+    n = 6
+    r = np.array([0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5])
+    c = np.array([0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5])
+    lv = compute_levels(n, r, c, lower=True)
+    np.testing.assert_array_equal(lv, np.arange(n))
+    # diagonal-only: all level 0
+    lv0 = compute_levels(3, np.arange(3), np.arange(3), lower=True)
+    np.testing.assert_array_equal(lv0, 0)
+
+
+def test_ilu0_exact_dense_matches_lu_on_full_pattern():
+    """On a fully dense matrix ILU(0) == LU."""
+    rng = np.random.default_rng(8)
+    dense = rng.standard_normal((8, 8)) + 8 * np.eye(8)
+    A = Csr.from_dense(dense)
+    f = Ilu0().generate(A)
+    L = np.asarray(f.l_factor.to_dense())
+    U = np.asarray(f.u_factor.to_dense())
+    np.testing.assert_allclose(L @ U, dense, rtol=1e-10, atol=1e-12)
+
+
+def test_par_ilu_converges_to_ilu0():
+    data = make_spd(generate_random_matrix(
+        30, 30, nonzeros_per_row=(2, 5), seed=9), shift=2.0)
+    A = Csr.from_data(data)
+    exact = Ilu0().generate(A)
+    par = ParIlu(iterations=30).generate(A)
+    np.testing.assert_allclose(np.asarray(par.l_factor.to_dense()),
+                               np.asarray(exact.l_factor.to_dense()),
+                               rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(par.u_factor.to_dense()),
+                               np.asarray(exact.u_factor.to_dense()),
+                               rtol=1e-6, atol=1e-8)
+
+
+def test_ic0_full_pattern_matches_cholesky():
+    rng = np.random.default_rng(10)
+    B = rng.standard_normal((7, 7))
+    dense = B @ B.T + 7 * np.eye(7)
+    A = Csr.from_dense(dense)
+    f = Ic0().generate(A)
+    L = np.asarray(f.l_factor.to_dense())
+    np.testing.assert_allclose(L, np.linalg.cholesky(dense), rtol=1e-10)
+    # u_factor is L^H
+    np.testing.assert_allclose(np.asarray(f.u_factor.to_dense()), L.T,
+                               rtol=1e-10)
+
+
+def test_par_ic_converges_to_ic0():
+    data = make_spd(generate_random_matrix(
+        25, 25, nonzeros_per_row=(2, 4), seed=11), shift=2.0)
+    A = Csr.from_data(data)
+    exact = Ic0().generate(A)
+    par = ParIc(iterations=40).generate(A)
+    np.testing.assert_allclose(np.asarray(par.l_factor.to_dense()),
+                               np.asarray(exact.l_factor.to_dense()),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_ilu_preconditioned_bicgstab():
+    """ilu-preconditioned-solver example analog."""
+    rng = np.random.default_rng(12)
+    data = generate_random_matrix(60, 60, nonzeros_per_row=(2, 6), seed=12)
+    dense = data.to_dense()
+    dense += np.diag(np.abs(dense).sum(1) + 1.0)
+    A = Csr.from_dense(dense)
+    x_true = jnp.asarray(rng.standard_normal(60))
+    b = A.apply(x_true)
+    crit = Iteration(500) | ResidualNorm(1e-12)
+    plain = Bicgstab.solve(A, b, criteria=crit)
+    prec = Bicgstab.solve(A, b, criteria=crit, preconditioner=Ilu())
+    assert bool(prec.converged.all())
+    assert int(prec.iterations[0]) <= int(plain.iterations[0])
+    np.testing.assert_allclose(prec.x, x_true, rtol=1e-7, atol=1e-8)
+
+
+def test_ic_preconditioned_cg():
+    data = make_spd(generate_random_matrix(
+        80, 80, nonzeros_per_row=(3, 8), seed=13), shift=1.0)
+    A = Csr.from_data(data)
+    rng = np.random.default_rng(14)
+    x_true = jnp.asarray(rng.standard_normal(80))
+    b = A.apply(x_true)
+    crit = Iteration(500) | ResidualNorm(1e-12)
+    plain = Cg.solve(A, b, criteria=crit)
+    prec = Cg.solve(A, b, criteria=crit, preconditioner=Ic())
+    assert bool(prec.converged.all())
+    assert int(prec.iterations[0]) <= int(plain.iterations[0])
+    np.testing.assert_allclose(prec.x, x_true, rtol=1e-7, atol=1e-8)
+
+
+def test_ilu_with_relaxed_trisolves():
+    """ir-ilu-preconditioned-solver analog: approximate jacobi trisolves."""
+    data = make_spd(generate_random_matrix(
+        50, 50, nonzeros_per_row=(2, 5), seed=15), shift=1.0)
+    A = Csr.from_data(data)
+    b = jnp.ones(50)
+    M = Ilu(factorization=ParIlu(iterations=10),
+            l_solver=LowerTrs.build(algorithm="jacobi", sweeps=3),
+            u_solver=UpperTrs.build(algorithm="jacobi", sweeps=3))
+    res = Bicgstab.solve(A, b, preconditioner=M,
+                         criteria=Iteration(500) | ResidualNorm(1e-10))
+    assert bool(res.converged.all())
+
+
+def test_ilu_poisson_2d():
+    data = stencil_2d(12, points=5)
+    A = Csr.from_data(data)
+    b = jnp.ones(A.shape[0])
+    crit = Iteration(1000) | ResidualNorm(1e-11)
+    plain = Cg.solve(A, b, criteria=crit)
+    prec = Cg.solve(A, b, criteria=crit, preconditioner=Ic(ParIc(15)))
+    assert bool(prec.converged.all())
+    assert int(prec.iterations[0]) < int(plain.iterations[0])
