@@ -15,7 +15,14 @@ from .matrix.dense import Dense
 from .matrix.csr import Csr
 from .matrix.coo import Coo
 from .matrix.ell import Ell
+from .matrix.sellp import Sellp
+from .matrix.hybrid import Hybrid
+from .matrix.fbcsr import Fbcsr
+from .matrix.sparsity_csr import SparsityCsr
 from .matrix.diagonal import Diagonal
 from .matrix.identity import Identity
+from .matrix.permutation import Permutation, ScaledPermutation, permute_mode
+from .matrix.row_gatherer import RowGatherer
+from .matrix.fft import Fft, Fft2, Fft3, FftNd
 
 __version__ = "0.1.0"

@@ -118,6 +118,41 @@ class Csr(LinOp):
             new = dataclass_replace(new, diag_values=self.diag_values * alpha)
         return new
 
+    # -- sparse algebra (host symbolic + device numeric; ops/spgemm.py) ------
+    def spgemm(self, other, **kwargs):
+        """C = self @ other (``csr.cpp`` spgemm). One-shot; for repeated
+        products on fixed patterns use ops.spgemm.SpgemmReuse."""
+        from ..ops.spgemm import spgemm_data
+        return Csr.from_data(
+            spgemm_data(self.to_matrix_data(), other.to_matrix_data()),
+            **kwargs)
+
+    def spgeam(self, alpha, beta, other, **kwargs):
+        """C = alpha*self + beta*other (pattern union)."""
+        from ..ops.spgemm import spgeam_data
+        return Csr.from_data(
+            spgeam_data(alpha, self.to_matrix_data(), beta,
+                        other.to_matrix_data()), **kwargs)
+
+    def permute(self, perm, mode=None, **kwargs):
+        """Symmetric (or mode-selected) permutation (csr.hpp Permutable)."""
+        from .permutation import permute_data, permute_mode
+        if mode is None:
+            mode = permute_mode.symmetric
+        return Csr.from_data(permute_data(self.to_matrix_data(),
+                                          np.asarray(perm), mode), **kwargs)
+
+    def create_submatrix(self, rows: slice, cols: slice, **kwargs):
+        """Extract the [rows, cols] block (csr.cpp submatrix kernels)."""
+        d = self.to_matrix_data()
+        r0, r1 = rows.start or 0, rows.stop
+        c0, c1 = cols.start or 0, cols.stop
+        keep = ((d.row_idx >= r0) & (d.row_idx < r1)
+                & (d.col_idx >= c0) & (d.col_idx < c1))
+        sub = MatrixData((r1 - r0, c1 - c0), d.row_idx[keep] - r0,
+                         d.col_idx[keep] - c0, d.values[keep])
+        return Csr.from_data(sub, **kwargs)
+
     # row lengths (for strategy decisions / ELL conversion)
     def row_lengths(self):
         return self.row_ptr[1:] - self.row_ptr[:-1]

@@ -1,0 +1,106 @@
+"""SpGEMM / SpGEAM — sparse products and sums.
+
+Analog of Ginkgo's ``csr_kernels`` spgemm/spgeam family and the
+``spgemm_reuse`` interface (``core/matrix/csr.cpp:50-51``,
+``core/matrix/csr_lookup.hpp:26-57``).  Two-phase by construction, which is
+exactly what XLA's static shapes want (SURVEY.md A.2):
+
+* **symbolic** (host, numpy): compute the output pattern and — for the reuse
+  path — the flat list of contributing (a_idx, b_idx, out_idx) triples.
+* **numeric** (device, jitted): one gather-multiply + ``segment_sum``.
+
+One-shot ``spgemm(A, B)`` runs both phases; ``SpgemmReuse`` captures the
+symbolics so repeated numeric products (ParILUT sweeps, PGM re-coarsening)
+skip them, mirroring Ginkgo 1.11's spgemm_reuse.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..base.matrix_data import MatrixData
+
+
+def _to_scipy(d: MatrixData):
+    import scipy.sparse as sp
+    return sp.csr_matrix((d.values, (d.row_idx, d.col_idx)), shape=d.shape)
+
+
+def _from_scipy(m) -> MatrixData:
+    coo = m.tocoo()
+    return MatrixData(m.shape, coo.row.astype(np.int64),
+                      coo.col.astype(np.int64), coo.data)
+
+
+def spgemm_data(a: MatrixData, b: MatrixData) -> MatrixData:
+    """C = A @ B on host COO data (symbolic+numeric in one)."""
+    if a.shape[1] != b.shape[0]:
+        raise ValueError(f"spgemm dims: {a.shape} @ {b.shape}")
+    c = _to_scipy(a.canonical()) @ _to_scipy(b.canonical())
+    c.sum_duplicates()
+    c.eliminate_zeros()
+    return _from_scipy(c).sort_row_major()
+
+
+def spgeam_data(alpha, a: MatrixData, beta, b: MatrixData) -> MatrixData:
+    """C = alpha*A + beta*B (pattern union)."""
+    if a.shape != b.shape:
+        raise ValueError(f"spgeam dims: {a.shape} + {b.shape}")
+    c = alpha * _to_scipy(a.canonical()) + beta * _to_scipy(b.canonical())
+    if hasattr(c, "sum_duplicates"):
+        c.sum_duplicates()
+    return _from_scipy(c).sort_row_major()
+
+
+class SpgemmReuse:
+    """Symbolic capture of C = A @ B for repeated numeric products.
+
+    Built from the *patterns* of A and B; ``numeric(a_vals, b_vals)``
+    (jit-friendly) recomputes C's values for new A/B values on the same
+    patterns.  Contribution triples: for each a-entry (i,k) and b-entry
+    (k,j), C[i,j] += a*b.
+    """
+
+    def __init__(self, a: MatrixData, b: MatrixData):
+        a = a.canonical()
+        b = b.canonical()
+        self.a_pattern = a
+        self.b_pattern = b
+        # group b entries by row k
+        order_b = np.argsort(b.row_idx, kind="stable")
+        b_rows = b.row_idx[order_b]
+        ptr = np.searchsorted(b_rows, np.arange(b.shape[0] + 1))
+        # for every a entry (i, k): pairs with b row k
+        counts = ptr[a.col_idx + 1] - ptr[a.col_idx]
+        total = int(counts.sum())
+        pa = np.repeat(np.arange(a.nnz), counts)
+        # b indices: for a-entry e, range ptr[k] .. ptr[k+1]
+        starts = ptr[a.col_idx]
+        offs = np.arange(total) - np.repeat(
+            np.concatenate([[0], np.cumsum(counts)[:-1]]), counts)
+        pb = order_b[np.repeat(starts, counts) + offs]
+        # output key (i, j)
+        out_i = a.row_idx[pa].astype(np.int64)
+        out_j = b.col_idx[pb].astype(np.int64)
+        keys = out_i * b.shape[1] + out_j
+        uniq, inv = np.unique(keys, return_inverse=True)
+        self.out_rows = (uniq // b.shape[1]).astype(np.int64)
+        self.out_cols = (uniq % b.shape[1]).astype(np.int64)
+        self.out_nnz = uniq.shape[0]
+        self.shape = (a.shape[0], b.shape[1])
+        self._pa = jnp.asarray(pa)
+        self._pb = jnp.asarray(pb)
+        self._out = jnp.asarray(inv)
+
+    def numeric(self, a_vals, b_vals):
+        """C values (canonical row-major order) from A/B values on the
+        captured patterns.  Jit-compatible."""
+        prod = a_vals[self._pa] * b_vals[self._pb]
+        return jax.ops.segment_sum(prod, self._out,
+                                   num_segments=self.out_nnz)
+
+    def to_matrix_data(self, c_vals) -> MatrixData:
+        return MatrixData(self.shape, self.out_rows, self.out_cols,
+                          np.asarray(c_vals))

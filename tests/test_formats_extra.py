@@ -1,0 +1,172 @@
+"""Format breadth tests: Sellp, Hybrid, Fbcsr, SparsityCsr, Permutation,
+RowGatherer, Fft + Csr spgemm/spgeam/permute/submatrix
+(reference/test/matrix/* analogs)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ginkgo_tpu import (Csr, Fbcsr, Fft, Fft2, Fft3, Hybrid, Permutation,
+                        RowGatherer, ScaledPermutation, Sellp, SparsityCsr,
+                        permute_mode)
+from ginkgo_tpu.base.matrix_data import MatrixData
+from ginkgo_tpu.ops.spgemm import SpgemmReuse, spgeam_data, spgemm_data
+from ginkgo_tpu.utils.generators import generate_random_matrix, stencil_2d
+
+
+@pytest.fixture
+def rand_data():
+    return generate_random_matrix(37, 29, nonzeros_per_row=(1, 7), seed=5)
+
+
+@pytest.mark.parametrize("fmt,kw", [
+    (Sellp, dict(slice_size=8)),
+    (Sellp, dict(slice_size=64)),
+    (Hybrid, dict()),
+    (Hybrid, dict(strategy="minimal_storage_limit")),
+    (Hybrid, dict(column_limit=2)),
+    (Fbcsr, dict(block_size=4)),
+    (Fbcsr, dict(block_size=2)),
+])
+def test_format_spmv_matches_dense(rand_data, fmt, kw):
+    A = fmt.from_data(rand_data, **kw)
+    dense = rand_data.to_dense()
+    b = np.random.default_rng(1).standard_normal((29, 3))
+    np.testing.assert_allclose(A.apply(jnp.asarray(b)), dense @ b,
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(A.to_dense(), dense, rtol=1e-12, atol=1e-14)
+
+
+@pytest.mark.parametrize("fmt,kw", [
+    (Sellp, dict(slice_size=16)), (Hybrid, dict()),
+    (Fbcsr, dict(block_size=3)),
+])
+def test_format_roundtrip(rand_data, fmt, kw):
+    A = fmt.from_data(rand_data, **kw)
+    back = A.to_matrix_data()
+    np.testing.assert_allclose(back.to_dense(), rand_data.canonical()
+                               .to_dense(), rtol=1e-14)
+    # conversion path to csr
+    np.testing.assert_allclose(A.to_csr().to_dense(), rand_data.to_dense(),
+                               rtol=1e-14)
+
+
+def test_sparsity_csr(rand_data):
+    S = SparsityCsr.from_data(rand_data, value=2.0)
+    pattern = (rand_data.canonical().to_dense() != 0).astype(float)
+    b = np.random.default_rng(2).standard_normal(29)
+    np.testing.assert_allclose(S.apply(jnp.asarray(b)), 2.0 * pattern @ b,
+                               rtol=1e-12)
+
+
+def test_permutation():
+    rng = np.random.default_rng(3)
+    perm = rng.permutation(10)
+    P = Permutation.from_indices(perm)
+    b = rng.standard_normal((10, 2))
+    np.testing.assert_allclose(P.apply(jnp.asarray(b)), b[perm])
+    # inverse undoes
+    np.testing.assert_allclose(P.inverse().apply(P.apply(jnp.asarray(b))), b)
+    # dense form agrees
+    np.testing.assert_allclose(np.asarray(P.to_dense()) @ b, b[perm])
+
+
+def test_scaled_permutation():
+    rng = np.random.default_rng(4)
+    perm = rng.permutation(8)
+    scale = rng.uniform(0.5, 2.0, 8)
+    SP = ScaledPermutation.from_indices(perm, scale)
+    b = rng.standard_normal(8)
+    np.testing.assert_allclose(SP.apply(jnp.asarray(b)), scale * b[perm],
+                               rtol=1e-12)
+    np.testing.assert_allclose(
+        SP.inverse().apply(SP.apply(jnp.asarray(b))), b, rtol=1e-12)
+
+
+def test_row_gatherer():
+    rows = [3, 1, 4, 1, 5]
+    G = RowGatherer.from_indices(rows, num_cols=7)
+    b = np.arange(14.0).reshape(7, 2)
+    np.testing.assert_allclose(G.apply(jnp.asarray(b)), b[rows])
+    assert G.shape == (5, 7)
+
+
+def test_fft_roundtrip():
+    n = 16
+    F = Fft(size=n)
+    Fi = Fft(size=n, inverse=True)
+    b = np.random.default_rng(5).standard_normal(n)
+    fwd = np.asarray(F.apply(jnp.asarray(b)))
+    np.testing.assert_allclose(fwd, np.fft.fft(b), rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(Fi.apply(jnp.asarray(fwd))), b,
+                               rtol=1e-6, atol=1e-9)
+
+
+def test_fft2_fft3():
+    rng = np.random.default_rng(6)
+    b = rng.standard_normal(12 * 8)
+    out = np.asarray(Fft2(12, 8).apply(jnp.asarray(b)))
+    want = np.fft.fft2(b.reshape(12, 8)).ravel()
+    np.testing.assert_allclose(out, want, rtol=1e-6, atol=1e-8)
+    b3 = rng.standard_normal(4 * 5 * 6)
+    out3 = np.asarray(Fft3(4, 5, 6).apply(jnp.asarray(b3)))
+    want3 = np.fft.fftn(b3.reshape(4, 5, 6)).ravel()
+    np.testing.assert_allclose(out3, want3, rtol=1e-6, atol=1e-8)
+
+
+def test_spgemm():
+    a = generate_random_matrix(20, 15, nonzeros_per_row=(1, 5), seed=7)
+    b = generate_random_matrix(15, 25, nonzeros_per_row=(1, 5), seed=8)
+    c = spgemm_data(a, b)
+    np.testing.assert_allclose(c.to_dense(), a.to_dense() @ b.to_dense(),
+                               rtol=1e-12, atol=1e-13)
+    # Csr method
+    C = Csr.from_data(a).spgemm(Csr.from_data(b))
+    np.testing.assert_allclose(C.to_dense(), a.to_dense() @ b.to_dense(),
+                               rtol=1e-12, atol=1e-13)
+
+
+def test_spgeam():
+    a = generate_random_matrix(20, 20, nonzeros_per_row=(1, 5), seed=9)
+    b = generate_random_matrix(20, 20, nonzeros_per_row=(1, 5), seed=10)
+    c = spgeam_data(2.0, a, -0.5, b)
+    np.testing.assert_allclose(
+        c.to_dense(), 2.0 * a.to_dense() - 0.5 * b.to_dense(),
+        rtol=1e-12, atol=1e-13)
+
+
+def test_spgemm_reuse():
+    a = generate_random_matrix(18, 12, nonzeros_per_row=(1, 4), seed=11)
+    b = generate_random_matrix(12, 16, nonzeros_per_row=(1, 4), seed=12)
+    reuse = SpgemmReuse(a, b)
+    cv = reuse.numeric(jnp.asarray(a.canonical().values),
+                       jnp.asarray(b.canonical().values))
+    c = reuse.to_matrix_data(cv)
+    np.testing.assert_allclose(c.to_dense(), a.to_dense() @ b.to_dense(),
+                               rtol=1e-12, atol=1e-13)
+    # numeric with NEW values on the same pattern
+    a2 = MatrixData(a.shape, a.canonical().row_idx, a.canonical().col_idx,
+                    a.canonical().values * 3.0)
+    cv2 = reuse.numeric(jnp.asarray(a2.values),
+                        jnp.asarray(b.canonical().values))
+    np.testing.assert_allclose(np.asarray(cv2), 3.0 * np.asarray(cv),
+                               rtol=1e-12)
+
+
+def test_csr_permute():
+    data = stencil_2d(4, points=5)
+    A = Csr.from_data(data)
+    perm = np.random.default_rng(13).permutation(16)
+    B = A.permute(perm)
+    dense = np.asarray(A.to_dense())
+    np.testing.assert_allclose(B.to_dense(), dense[np.ix_(perm, perm)],
+                               rtol=1e-14)
+
+
+def test_csr_submatrix():
+    data = generate_random_matrix(20, 20, nonzeros_per_row=(1, 6), seed=14)
+    A = Csr.from_data(data)
+    S = A.create_submatrix(slice(5, 15), slice(2, 12))
+    np.testing.assert_allclose(S.to_dense(),
+                               np.asarray(A.to_dense())[5:15, 2:12],
+                               rtol=1e-14)
