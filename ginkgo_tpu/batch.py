@@ -1,0 +1,289 @@
+"""Batch module — thousands of small independent systems.
+
+Analog of Ginkgo's batch type hierarchy (SURVEY.md §2.10):
+``batch::MultiVector`` (``batch_multi_vector.hpp:52``), ``batch::matrix::
+{Csr,Dense,Ell,Identity}``, ``batch::solver::{Bicgstab,Cg}`` with
+whole-solve-in-one-kernel semantics (``batch_dispatch.hpp:241``) and
+per-system stopping (``batch_stop_enum.hpp``).
+
+TPU-native mapping: one batch entry = one vmap lane.  The formats share one
+sparsity pattern across the batch (as Ginkgo's batch::matrix::Csr does) with
+per-entry values, and a batch solve is ``vmap`` of the corresponding jitted
+Krylov loop — XLA fuses the whole iteration across the batch, which is
+exactly the "one small system per thread-block" GPU design re-expressed for
+a vector machine.  Per-system early exit becomes per-lane masking inside the
+shared while_loop (same cost model as the GPU kernel: the batch runs until
+its slowest system converges).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .base.linop import LinOp, linop_dataclass, static_field
+from .base.matrix_data import MatrixData
+from .matrix.coo import pad_nnz
+from .matrix.csr import Csr
+from .matrix.dense import Dense
+from .matrix.ell import Ell
+from .stop.criterion import Combined, Iteration, ResidualNorm
+
+
+# ---------------------------------------------------------------------------
+# Batch formats (shared pattern, per-entry values)
+# ---------------------------------------------------------------------------
+
+@linop_dataclass
+class BatchCsr:
+    """batch::matrix::Csr — one sparsity, (num_batch, nnz_stored) values."""
+
+    row_idx: jnp.ndarray     # (nnz_stored,)
+    col_idx: jnp.ndarray     # (nnz_stored,)
+    values: jnp.ndarray      # (num_batch, nnz_stored)
+    shape: tuple = static_field()       # (n, m) per entry
+    nnz: int = static_field()
+
+    @property
+    def num_batch_items(self):
+        return self.values.shape[0]
+
+    def item(self, values_row) -> Csr:
+        """The per-lane view used inside vmap."""
+        row_ptr = jnp.zeros((self.shape[0] + 1,), self.row_idx.dtype)
+        return Csr(row_ptr=row_ptr, col_idx=self.col_idx,
+                   values=values_row, row_idx=self.row_idx,
+                   shape=self.shape, nnz=self.nnz, strategy="classical")
+
+    def apply(self, b):
+        """b: (num_batch, n, k) -> (num_batch, n, k)."""
+        return jax.vmap(lambda v, bb: self.item(v)._apply(bb))(
+            self.values, b)
+
+    @classmethod
+    def from_data(cls, items, dtype=None, index_dtype=jnp.int32,
+                  pad_multiple: int = 8):
+        """items: list of MatrixData sharing one pattern (values may differ),
+        or (pattern MatrixData, values (nb, nnz))."""
+        if isinstance(items, tuple) and len(items) == 2:
+            pattern, values = items
+            d = pattern.canonical()
+            values = np.asarray(values)
+        else:
+            ds = [it.canonical() for it in items]
+            d = ds[0]
+            for o in ds[1:]:
+                if (o.shape != d.shape or o.nnz != d.nnz
+                        or not np.array_equal(o.row_idx, d.row_idx)
+                        or not np.array_equal(o.col_idx, d.col_idx)):
+                    raise ValueError(
+                        "batch entries must share one sparsity pattern")
+            values = np.stack([o.values for o in ds])
+        if dtype is not None:
+            values = values.astype(dtype)
+        nb, nnz = values.shape
+        cap = pad_nnz(nnz, pad_multiple)
+        rows = np.full(cap, d.shape[0], np.int64)
+        cols = np.zeros(cap, np.int64)
+        vals = np.zeros((nb, cap), values.dtype)
+        rows[:nnz] = d.row_idx
+        cols[:nnz] = d.col_idx
+        vals[:, :nnz] = values
+        return cls(row_idx=jnp.asarray(rows, index_dtype),
+                   col_idx=jnp.asarray(cols, index_dtype),
+                   values=jnp.asarray(vals), shape=d.shape, nnz=nnz)
+
+    def to_dense_batch(self):
+        return jax.vmap(lambda v: self.item(v).to_dense())(self.values)
+
+    def extract_diagonals(self):
+        """(num_batch, n) diagonal values — batch Jacobi input."""
+        on = self.row_idx == self.col_idx
+        idx = jnp.where(on, self.row_idx, self.shape[0])
+        return jax.vmap(lambda v: jnp.zeros(
+            (self.shape[0],), v.dtype).at[idx].add(
+            jnp.where(on, v, 0), mode="drop"))(self.values)
+
+
+@linop_dataclass
+class BatchDense:
+    """batch::matrix::Dense — (num_batch, n, m)."""
+
+    data: jnp.ndarray
+
+    @property
+    def shape(self):
+        return self.data.shape[1:]
+
+    @property
+    def num_batch_items(self):
+        return self.data.shape[0]
+
+    def item(self, data):
+        return Dense(data=data)
+
+    @property
+    def values(self):
+        return self.data
+
+    def apply(self, b):
+        return jnp.einsum("bnm,bmk->bnk", self.data, b.astype(self.data.dtype))
+
+    def extract_diagonals(self):
+        return jnp.diagonal(self.data, axis1=1, axis2=2)
+
+
+@linop_dataclass
+class BatchEll:
+    """batch::matrix::Ell — shared (n, w) cols, (num_batch, n, w) values."""
+
+    col_idx: jnp.ndarray
+    values: jnp.ndarray
+    row_lengths: jnp.ndarray
+    shape: tuple = static_field()
+    nnz: int = static_field()
+
+    @property
+    def num_batch_items(self):
+        return self.values.shape[0]
+
+    def item(self, v) -> Ell:
+        return Ell(col_idx=self.col_idx, values=v,
+                   row_lengths=self.row_lengths, shape=self.shape,
+                   nnz=self.nnz)
+
+    def apply(self, b):
+        return jax.vmap(lambda v, bb: self.item(v)._apply(bb))(
+            self.values, b)
+
+    def extract_diagonals(self):
+        on = self.col_idx == jnp.arange(self.shape[0])[:, None]
+        return jax.vmap(lambda v: jnp.sum(jnp.where(on, v, 0), axis=1))(
+            self.values)
+
+    @classmethod
+    def from_data(cls, items, dtype=None, index_dtype=jnp.int32):
+        ells = [Ell.from_data(it, dtype, index_dtype) for it in items]
+        e0 = ells[0]
+        w = max(e.width for e in ells)
+        # rebuild with common width
+        ells = [Ell.from_data(it, dtype, index_dtype, width=w)
+                for it in items]
+        return cls(col_idx=ells[0].col_idx,
+                   values=jnp.stack([e.values for e in ells]),
+                   row_lengths=ells[0].row_lengths, shape=e0.shape,
+                   nnz=e0.nnz)
+
+
+@linop_dataclass
+class BatchIdentity:
+    size: int = static_field()
+    num_batch: int = static_field(default=1)
+
+    @property
+    def shape(self):
+        return (self.size, self.size)
+
+    def apply(self, b):
+        return b
+
+
+# ---------------------------------------------------------------------------
+# Batch preconditioners
+# ---------------------------------------------------------------------------
+
+class BatchJacobi:
+    """Scalar Jacobi per batch entry (``batch_jacobi.hpp`` max_block_size=1
+    path)."""
+
+    def __init__(self, max_block_size: int = 1):
+        if max_block_size != 1:
+            raise NotImplementedError(
+                "batch block-Jacobi: use max_block_size=1 (scalar) for now")
+
+    def generate(self, A_batch):
+        d = A_batch.extract_diagonals()
+        inv = jnp.where(d == 0, jnp.ones_like(d), 1.0 / d)
+        return inv   # (nb, n) — consumed per-lane by the batch solver
+
+
+# ---------------------------------------------------------------------------
+# Batch solvers (vmapped whole-Krylov-solve)
+# ---------------------------------------------------------------------------
+
+def _batch_criteria(dtype, max_iterations, tolerance, tol_type):
+    baseline = "rhs_norm" if tol_type == "relative" else "absolute"
+    return Combined(criteria=(
+        Iteration(max_iters=max_iterations),
+        ResidualNorm(reduction_factor=tolerance, baseline=baseline)))
+
+
+class _BatchSolver:
+    def __init__(self, solve_fn, *, max_iterations=100, tolerance=1e-8,
+                 tolerance_type="relative", preconditioner=None):
+        self._solve = solve_fn
+        self.max_iterations = max_iterations
+        self.tolerance = tolerance
+        self.tolerance_type = tolerance_type
+        self.preconditioner = preconditioner
+
+    @classmethod
+    def build(cls, **kw):
+        return cls(**kw)
+
+    def generate(self, A_batch):
+        return _GeneratedBatchSolver(self, A_batch)
+
+    def solve(self, A_batch, b, x0=None):
+        """b: (num_batch, n) or (num_batch, n, k)."""
+        b = jnp.asarray(b)
+        squeeze = b.ndim == 2
+        if squeeze:
+            b = b[..., None]
+        crit = _batch_criteria(b.dtype, self.max_iterations, self.tolerance,
+                               self.tolerance_type)
+        M_diag = (self.preconditioner.generate(A_batch)
+                  if self.preconditioner is not None else None)
+
+        def one(values, b1, x1, m1):
+            A1 = A_batch.item(values)
+            from .matrix.diagonal import Diagonal
+            M1 = Diagonal(values=m1) if m1 is not None else None
+            return self._solve(A1, b1, x1, criteria=crit, preconditioner=M1)
+
+        in_m = None if M_diag is None else 0
+        x0b = x0 if x0 is not None else jnp.zeros_like(b)
+        res = jax.vmap(one, in_axes=(0, 0, 0, in_m))(
+            A_batch.values, b, x0b, M_diag)
+        if squeeze:
+            res = dataclasses.replace(
+                res, x=res.x[..., 0], iterations=res.iterations[..., 0],
+                resnorm=res.resnorm[..., 0], converged=res.converged[..., 0])
+        return res
+
+
+class _GeneratedBatchSolver:
+    def __init__(self, factory, A_batch):
+        self.factory = factory
+        self.A_batch = A_batch
+
+    def solve(self, b, x0=None):
+        return self.factory.solve(self.A_batch, b, x0)
+
+    def apply(self, b):
+        return self.factory.solve(self.A_batch, b).x
+
+
+def BatchBicgstab(**kw) -> _BatchSolver:
+    """batch::solver::Bicgstab (``batch_bicgstab.hpp:50``)."""
+    from .solver import bicgstab
+    return _BatchSolver(bicgstab.solve, **kw)
+
+
+def BatchCg(**kw) -> _BatchSolver:
+    """batch::solver::Cg (``batch_cg.hpp``)."""
+    from .solver import cg
+    return _BatchSolver(cg.solve, **kw)

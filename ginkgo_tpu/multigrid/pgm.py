@@ -1,0 +1,231 @@
+"""PGM — parallel graph match aggregation (AMG coarsening).
+
+Analog of ``include/ginkgo/core/multigrid/pgm.hpp:51`` /
+``core/multigrid/pgm.cpp:187-260`` (kernels find_strongest_neighbor,
+match_edge, count_unagg, assign_to_exist_agg, renumber) and the
+sort-reduce Galerkin product ``generate_coarse`` (pgm.cpp:93-152).
+
+Aggregation is generate-time graph work → host numpy.  The resulting level
+operators are device LinOps: prolongation = gather by aggregate id,
+restriction = segment-sum by aggregate id (unsmoothed aggregation, P
+entries = 1), coarse operator = index-map + sum-duplicates (RᵀAP as one
+sort-reduce, SURVEY.md A.6) — all static-shaped.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..base.linop import LinOp, linop_dataclass, static_field
+from ..base.matrix_data import MatrixData
+from ..matrix.csr import Csr
+
+
+@linop_dataclass
+class AggProlong(LinOp):
+    """x_fine = x_coarse[agg] — unsmoothed-aggregation prolongation."""
+
+    agg: jnp.ndarray                      # (n_fine,) aggregate id per row
+    num_coarse: int = static_field()
+
+    @property
+    def shape(self):
+        return (self.agg.shape[0], self.num_coarse)
+
+    def _apply(self, b):
+        return b[self.agg]
+
+
+@linop_dataclass
+class AggRestrict(LinOp):
+    """x_coarse = segment_sum(x_fine, agg) — Pᵀ."""
+
+    agg: jnp.ndarray
+    num_coarse: int = static_field()
+
+    @property
+    def shape(self):
+        return (self.num_coarse, self.agg.shape[0])
+
+    def _apply(self, b):
+        return jax.ops.segment_sum(b, self.agg,
+                                   num_segments=self.num_coarse)
+
+
+@linop_dataclass
+class MultigridLevel(LinOp):
+    """(fine op, prolong, restrict, coarse op) bundle
+    (``multigrid_level.hpp`` EnableMultigridLevel)."""
+
+    fine_op: LinOp
+    prolong: LinOp
+    restrict: LinOp
+    coarse_op: LinOp
+
+    @property
+    def shape(self):
+        return self.fine_op.shape
+
+    def _apply(self, b):
+        return self.fine_op._apply(b)
+
+
+def pgm_aggregate(data: MatrixData, max_iterations: int = 15,
+                  max_unassigned_ratio: float = 0.05,
+                  deterministic: bool = True, seed: int = 0) -> np.ndarray:
+    """Size-2 mutual-strongest-edge aggregation. Returns agg id per row."""
+    import scipy.sparse as sp
+    d = data.canonical()
+    n = d.shape[0]
+    # symmetrised off-diagonal weight matrix (pgm.cpp builds 0.5(A+Aᵀ))
+    off = d.row_idx != d.col_idx
+    w = sp.csr_matrix((np.abs(d.values[off]),
+                       (d.row_idx[off], d.col_idx[off])), shape=(n, n))
+    w = (w + w.T) * 0.5
+    w = w.tocsr()
+    agg = np.full(n, -1, np.int64)
+    next_id = 0
+    rng = np.random.default_rng(seed)
+    for _ in range(max_iterations):
+        unassigned = np.nonzero(agg < 0)[0]
+        if unassigned.size <= max_unassigned_ratio * n:
+            break
+        # strongest unassigned neighbor of each unassigned vertex
+        strongest = np.full(n, -1, np.int64)
+        for i in unassigned:
+            lo, hi = w.indptr[i], w.indptr[i + 1]
+            cols = w.indices[lo:hi]
+            vals = w.data[lo:hi]
+            mask = agg[cols] < 0
+            if mask.any():
+                cand_vals = vals[mask]
+                cand_cols = cols[mask]
+                if deterministic:
+                    best = np.lexsort((cand_cols, -cand_vals))[0]
+                else:
+                    best = int(rng.choice(np.nonzero(
+                        cand_vals == cand_vals.max())[0]))
+                strongest[i] = cand_cols[best]
+        # match mutual strongest edges
+        progress = False
+        for i in unassigned:
+            j = strongest[i]
+            if j >= 0 and strongest[j] == i and agg[i] < 0 and agg[j] < 0:
+                agg[i] = agg[j] = next_id
+                next_id += 1
+                progress = True
+        if not progress:
+            break
+    # assign leftovers to the strongest aggregated neighbor (or singleton)
+    for i in np.nonzero(agg < 0)[0]:
+        lo, hi = w.indptr[i], w.indptr[i + 1]
+        cols = w.indices[lo:hi]
+        vals = w.data[lo:hi]
+        mask = agg[cols] >= 0
+        if mask.any():
+            agg[i] = agg[cols[mask][np.argmax(vals[mask])]]
+        else:
+            agg[i] = next_id
+            next_id += 1
+    # renumber densely
+    uniq, agg = np.unique(agg, return_inverse=True)
+    return agg.astype(np.int64)
+
+
+def galerkin_coarse(data: MatrixData, agg: np.ndarray,
+                    num_coarse: int) -> MatrixData:
+    """Coarse operator RᵀAP by index mapping + sum-duplicates."""
+    d = data.canonical()
+    return MatrixData((num_coarse, num_coarse), agg[d.row_idx],
+                      agg[d.col_idx], d.values).canonical()
+
+
+class Pgm:
+    """Factory: ``Pgm(max_iterations=15).generate(A)`` -> MultigridLevel."""
+
+    def __init__(self, max_iterations: int = 15,
+                 max_unassigned_ratio: float = 0.05,
+                 deterministic: bool = True):
+        self.max_iterations = max_iterations
+        self.max_unassigned_ratio = max_unassigned_ratio
+        self.deterministic = deterministic
+
+    @classmethod
+    def build(cls, **kw):
+        return cls(**kw)
+
+    def generate(self, A) -> MultigridLevel:
+        data = A.to_matrix_data() if hasattr(A, "to_matrix_data") else A
+        agg = pgm_aggregate(data, self.max_iterations,
+                            self.max_unassigned_ratio, self.deterministic)
+        nc = int(agg.max()) + 1 if agg.size else 1
+        coarse = Csr.from_data(galerkin_coarse(data, agg, nc),
+                               strategy="classical")
+        agg_j = jnp.asarray(agg, jnp.int32)
+        return MultigridLevel(
+            fine_op=A if isinstance(A, LinOp) else Csr.from_data(data),
+            prolong=AggProlong(agg=agg_j, num_coarse=nc),
+            restrict=AggRestrict(agg=agg_j, num_coarse=nc),
+            coarse_op=coarse)
+
+
+class FixedCoarsening:
+    """User-supplied coarse row subset (``fixed_coarsening.hpp``): coarse
+    space = selected rows; P = selection-scatter, R = selection-gather."""
+
+    def __init__(self, coarse_rows):
+        self.coarse_rows = np.asarray(coarse_rows, np.int64)
+
+    @classmethod
+    def build(cls, **kw):
+        return cls(**kw)
+
+    def generate(self, A) -> MultigridLevel:
+        data = A.to_matrix_data() if hasattr(A, "to_matrix_data") else A
+        n = data.shape[0]
+        sel = self.coarse_rows
+        nc = sel.shape[0]
+        # agg-style map: selected rows -> own id; others -> nearest selected
+        # (simple injection: non-selected rows map to dropped segment)
+        agg = np.full(n, nc, np.int64)
+        agg[sel] = np.arange(nc)
+        d = data.canonical()
+        keep = (agg[d.row_idx] < nc) & (agg[d.col_idx] < nc)
+        coarse_data = MatrixData((nc, nc), agg[d.row_idx[keep]],
+                                 agg[d.col_idx[keep]],
+                                 d.values[keep]).canonical()
+        agg_j = jnp.asarray(agg, jnp.int32)
+        return MultigridLevel(
+            fine_op=A if isinstance(A, LinOp) else Csr.from_data(data),
+            prolong=_SelProlong(sel=jnp.asarray(sel, jnp.int32), n_fine=n),
+            restrict=_SelRestrict(sel=jnp.asarray(sel, jnp.int32), n_fine=n),
+            coarse_op=Csr.from_data(coarse_data, strategy="classical"))
+
+
+@linop_dataclass
+class _SelProlong(LinOp):
+    sel: jnp.ndarray
+    n_fine: int = static_field()
+
+    @property
+    def shape(self):
+        return (self.n_fine, self.sel.shape[0])
+
+    def _apply(self, b):
+        return jnp.zeros((self.n_fine, b.shape[1]), b.dtype).at[
+            self.sel].set(b)
+
+
+@linop_dataclass
+class _SelRestrict(LinOp):
+    sel: jnp.ndarray
+    n_fine: int = static_field()
+
+    @property
+    def shape(self):
+        return (self.sel.shape[0], self.n_fine)
+
+    def _apply(self, b):
+        return b[self.sel]

@@ -14,3 +14,5 @@ from .pipe_cg import PipeCg  # noqa: F401
 from .gmres import Gmres, CbGmres  # noqa: F401
 from .gcr import Gcr  # noqa: F401
 from .idr import Idr  # noqa: F401
+from .triangular import LowerTrs, UpperTrs  # noqa: F401
+from .multigrid import Multigrid  # noqa: F401

@@ -1,0 +1,118 @@
+"""Multigrid tests: PGM aggregation, Galerkin coarse op, V/W/F cycles,
+AMG-preconditioned CG (core/test/multigrid + examples/multigrid-* analogs)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ginkgo_tpu import Csr
+from ginkgo_tpu.multigrid.pgm import (FixedCoarsening, Pgm, galerkin_coarse,
+                                      pgm_aggregate)
+from ginkgo_tpu.solver import Cg, Multigrid
+from ginkgo_tpu.stop.criterion import Iteration, ResidualNorm
+from ginkgo_tpu.utils.generators import stencil_2d, stencil_3d
+
+
+def test_pgm_aggregate_basic():
+    data = stencil_2d(8, points=5)
+    agg = pgm_aggregate(data)
+    n = data.shape[0]
+    nc = agg.max() + 1
+    assert agg.shape == (n,)
+    assert agg.min() == 0
+    # size-2 matching roughly halves the grid
+    assert n // 4 <= nc <= 3 * n // 4
+
+
+def test_galerkin_coarse_matches_dense():
+    data = stencil_2d(6, points=5)
+    agg = pgm_aggregate(data)
+    nc = int(agg.max()) + 1
+    coarse = galerkin_coarse(data, agg, nc)
+    # dense RᵀAP with P[i, agg[i]] = 1
+    n = data.shape[0]
+    P = np.zeros((n, nc))
+    P[np.arange(n), agg] = 1.0
+    want = P.T @ data.to_dense() @ P
+    np.testing.assert_allclose(coarse.to_dense(), want, rtol=1e-12)
+
+
+def test_pgm_level_operators():
+    data = stencil_2d(6, points=5)
+    A = Csr.from_data(data)
+    lvl = Pgm().generate(A)
+    nc = lvl.coarse_op.shape[0]
+    b = jnp.asarray(np.random.default_rng(0).standard_normal((nc, 2)))
+    # prolong then restrict: R P = diag(aggregate sizes)
+    up = lvl.prolong.apply(b)
+    down = lvl.restrict.apply(up)
+    agg = np.asarray(lvl.prolong.agg)
+    sizes = np.bincount(agg, minlength=nc)[:, None]
+    np.testing.assert_allclose(down, sizes * np.asarray(b), rtol=1e-12)
+
+
+@pytest.mark.parametrize("cycle", ["v", "w", "f"])
+def test_multigrid_solver_cycles(cycle):
+    data = stencil_2d(16, points=5)
+    A = Csr.from_data(data)
+    n = A.shape[0]
+    x_true = jnp.asarray(np.random.default_rng(1).standard_normal(n))
+    b = A.apply(x_true)
+    mg = Multigrid.build(cycle=cycle,
+                         criteria=Iteration(100) | ResidualNorm(1e-10)
+                         ).generate(A)
+    res = mg.solve(b)
+    assert bool(res.converged.all()), cycle
+    np.testing.assert_allclose(res.x, x_true, rtol=1e-6, atol=1e-7)
+    # AMG should converge in few iterations on Poisson
+    assert int(res.iterations[0]) < 60
+
+
+def test_multigrid_preconditioned_cg():
+    """multigrid-preconditioned-solver example analog: CG + one V-cycle."""
+    data = stencil_3d(8, points=7)
+    A = Csr.from_data(data)
+    n = A.shape[0]
+    b = jnp.ones(n)
+    crit = Iteration(500) | ResidualNorm(1e-10)
+    plain = Cg.solve(A, b, criteria=crit)
+    mg = Multigrid.build().generate(A)
+    prec = Cg.solve(A, b, criteria=crit, preconditioner=mg.cycle_operator())
+    assert bool(prec.converged.all())
+    assert int(prec.iterations[0]) <= int(plain.iterations[0])
+
+
+def test_multigrid_hierarchy_depth():
+    data = stencil_2d(20, points=5)
+    A = Csr.from_data(data)
+    mg = Multigrid.build(min_coarse_rows=10, max_levels=10).generate(A)
+    assert len(mg.levels) >= 2
+    sizes = [lvl.fine_op.shape[0] for lvl in mg.levels]
+    assert all(a > b for a, b in zip(sizes, sizes[1:]))
+    assert mg.levels[-1].coarse_op.shape[0] <= sizes[-1]
+
+
+def test_fixed_coarsening():
+    data = stencil_2d(8, points=5)
+    A = Csr.from_data(data)
+    sel = np.arange(0, 64, 2)
+    lvl = FixedCoarsening(coarse_rows=sel).generate(A)
+    assert lvl.coarse_op.shape == (32, 32)
+    want = np.asarray(A.to_dense())[np.ix_(sel, sel)]
+    np.testing.assert_allclose(lvl.coarse_op.to_dense(), want, rtol=1e-12)
+    # restrict gathers / prolong scatters
+    b = jnp.asarray(np.random.default_rng(2).standard_normal(64))
+    np.testing.assert_allclose(lvl.restrict.apply(b),
+                               np.asarray(b)[sel])
+
+
+def test_multigrid_as_inner_solver():
+    """mixed-multigrid-solver analog: mg usable directly as a LinOp."""
+    data = stencil_2d(10, points=5)
+    A = Csr.from_data(data)
+    mg = Multigrid.build(criteria=Iteration(50) | ResidualNorm(1e-9)
+                         ).generate(A)
+    b = jnp.ones(A.shape[0])
+    x = mg.apply(b)
+    r = np.linalg.norm(np.asarray(b - A.apply(x)))
+    assert r <= 1e-8 * np.linalg.norm(np.asarray(b))
