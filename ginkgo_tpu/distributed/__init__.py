@@ -1,0 +1,8 @@
+"""Distributed tier (core/distributed analogs): Partition, IndexMap,
+row-sharded Matrix with all_to_all halo exchange, Schwarz."""
+
+from .partition import Partition  # noqa: F401
+from .index_map import IndexMap  # noqa: F401
+from .matrix import (DistributedMatrix, distribute_vector,  # noqa: F401
+                     read_distributed)
+from .schwarz import Schwarz  # noqa: F401

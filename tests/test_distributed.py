@@ -1,0 +1,200 @@
+"""Distributed tier tests on the 8-virtual-device CPU mesh
+(test/mpi/* analogs: single-device result is the oracle)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ginkgo_tpu import Csr
+from ginkgo_tpu.distributed import (DistributedMatrix, IndexMap, Partition,
+                                    Schwarz, distribute_vector,
+                                    read_distributed)
+from ginkgo_tpu.solver import Bicgstab, Cg, Gmres, PipeCg
+from ginkgo_tpu.stop.criterion import Iteration, ResidualNorm
+from ginkgo_tpu.utils.generators import (generate_random_matrix, make_spd,
+                                         stencil_2d, stencil_3d)
+
+
+def _mesh(P):
+    from jax.sharding import Mesh
+    return Mesh(np.array(jax.devices()[:P]), ("rows",))
+
+
+# -- Partition / IndexMap ----------------------------------------------------
+
+def test_partition_uniform():
+    p = Partition.build_from_global_size_uniform(4, 10)
+    np.testing.assert_array_equal(p.ranges, [0, 3, 6, 8, 10])
+    assert p.num_parts == 4 and p.global_size == 10 and p.local_size == 3
+    np.testing.assert_array_equal(p.owner_of([0, 3, 9]), [0, 1, 3])
+    np.testing.assert_array_equal(p.to_local([0, 3, 9]), [0, 0, 1])
+
+
+def test_partition_padded_roundtrip():
+    p = Partition.build_from_global_size_uniform(3, 8)
+    x = np.arange(8.0)
+    xp = p.to_padded(x)
+    assert xp.shape == (9,)
+    np.testing.assert_array_equal(p.from_padded(xp), x)
+
+
+def test_partition_from_mapping():
+    p = Partition.build_from_mapping([0, 0, 1, 1, 1, 2], 3)
+    np.testing.assert_array_equal(p.ranges, [0, 2, 5, 6])
+    with pytest.raises(ValueError):
+        Partition.build_from_mapping([0, 1, 0], 2)
+
+
+def test_index_map():
+    p = Partition.build_from_global_size_uniform(4, 16)
+    im = IndexMap.build(p, 1, np.array([2, 4, 5, 7, 9, 15]))
+    np.testing.assert_array_equal(im.get_remote_global_idxs(), [2, 9, 15])
+    np.testing.assert_array_equal(im.get_remote_target_ids(), [0, 2, 3])
+    # owned rows 4..7 -> 0..3; ghosts appended after local_size (4)
+    np.testing.assert_array_equal(im.map_to_local([4, 7, 2, 15]),
+                                  [0, 3, 4, 6])
+    with pytest.raises(ValueError):
+        im.map_to_local([3])
+
+
+# -- Distributed matrix -------------------------------------------------------
+
+@pytest.mark.parametrize("P", [2, 4, 8])
+def test_dist_spmv_matches_serial(P):
+    data = stencil_2d(8, points=9)
+    n = data.shape[0]
+    part = Partition.build_from_global_size_uniform(P, n)
+    mesh = _mesh(P)
+    A = read_distributed(data, part, mesh)
+    rng = np.random.default_rng(P)
+    x = rng.standard_normal((n, 2))
+    xs = distribute_vector(x, part, mesh)
+    y = np.asarray(A.apply(xs))
+    want = data.to_dense() @ x
+    np.testing.assert_allclose(part.from_padded(y), want, rtol=1e-12,
+                               atol=1e-12)
+
+
+def test_dist_matrix_to_dense_matches():
+    data = generate_random_matrix(20, 20, nonzeros_per_row=(1, 6), seed=3)
+    part = Partition.build_from_global_size_uniform(4, 20)
+    A = read_distributed(data, part, _mesh(4))
+    got = A.to_dense()
+    slot = part.padded_slot(np.arange(20))
+    want = np.zeros((part.padded_size, part.padded_size))
+    want[np.ix_(slot, slot)] = data.to_dense()
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_dist_extract_diagonal():
+    data = stencil_2d(6, points=5)
+    part = Partition.build_from_global_size_uniform(4, 36)
+    A = read_distributed(data, part, _mesh(4))
+    d = np.asarray(A.extract_diagonal().values)
+    np.testing.assert_allclose(part.from_padded(d),
+                               np.diag(data.to_dense()), rtol=1e-14)
+
+
+# -- Distributed solves -------------------------------------------------------
+
+@pytest.mark.parametrize("solver", [Cg, PipeCg, Bicgstab],
+                         ids=lambda s: s.name)
+def test_dist_solver_matches_serial(solver):
+    data = stencil_3d(6, points=7)
+    n = data.shape[0]
+    P = 4
+    part = Partition.build_from_global_size_uniform(P, n)
+    mesh = _mesh(P)
+    A = read_distributed(data, part, mesh)
+    rng = np.random.default_rng(7)
+    x_true = rng.standard_normal(n)
+    b = data.to_dense() @ x_true
+    bs = distribute_vector(b, part, mesh)
+    crit = Iteration(800) | ResidualNorm(1e-11)
+    res = solver.solve(A, bs, criteria=crit)
+    assert bool(res.converged.all()), solver.name
+    np.testing.assert_allclose(part.from_padded(np.asarray(res.x)), x_true,
+                               rtol=1e-6, atol=1e-7)
+    # oracle: serial solve takes the same iteration count
+    serial = solver.solve(Csr.from_data(data), jnp.asarray(b), criteria=crit)
+    assert abs(int(res.iterations[0]) - int(serial.iterations[0])) <= 2
+
+
+def test_dist_gmres():
+    data = generate_random_matrix(40, 40, nonzeros_per_row=(2, 5), seed=11)
+    dense = data.to_dense()
+    dense += np.diag(np.abs(dense).sum(1) + 1)
+    from ginkgo_tpu.base.matrix_data import MatrixData
+    data = MatrixData.from_dense(dense)
+    n = 40
+    P = 4
+    part = Partition.build_from_global_size_uniform(P, n)
+    mesh = _mesh(P)
+    A = read_distributed(data, part, mesh)
+    x_true = np.random.default_rng(13).standard_normal(n)
+    b = dense @ x_true
+    bs = distribute_vector(b, part, mesh)
+    res = Gmres.solve(A, bs, krylov_dim=30,
+                      criteria=Iteration(300) | ResidualNorm(1e-11))
+    assert bool(res.converged.all())
+    np.testing.assert_allclose(part.from_padded(np.asarray(res.x)), x_true,
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_dist_jacobi_preconditioned_cg():
+    data = make_spd(generate_random_matrix(
+        48, 48, nonzeros_per_row=(2, 6), seed=17), shift=1.0)
+    n = 48
+    P = 8
+    part = Partition.build_from_global_size_uniform(P, n)
+    mesh = _mesh(P)
+    A = read_distributed(data, part, mesh)
+    b = distribute_vector(np.ones(n), part, mesh)
+    M = A.extract_diagonal().inverse()
+    res = Cg.solve(A, b, preconditioner=M,
+                   criteria=Iteration(500) | ResidualNorm(1e-10))
+    assert bool(res.converged.all())
+
+
+def test_schwarz_preconditioner():
+    """distributed-solver example analog with additive Schwarz."""
+    data = stencil_2d(10, points=5)
+    n = 100
+    P = 4
+    part = Partition.build_from_global_size_uniform(P, n)
+    mesh = _mesh(P)
+    A = read_distributed(data, part, mesh)
+    b = distribute_vector(np.ones(n), part, mesh)
+    crit = Iteration(500) | ResidualNorm(1e-10)
+    M = Schwarz().generate(A)
+    prec = Cg.solve(A, b, criteria=crit, preconditioner=M)
+    assert bool(prec.converged.all())
+    # solution matches serial
+    dense = data.to_dense()
+    serial = np.linalg.solve(dense, np.ones(n))
+    np.testing.assert_allclose(part.from_padded(np.asarray(prec.x)), serial,
+                               rtol=1e-6, atol=1e-7)
+    # oracle: serial CG with the same block-diagonal-inverse preconditioner
+    # takes the same iteration count
+    from ginkgo_tpu import Dense
+    blockinv = np.zeros_like(dense)
+    for p in range(P):
+        lo, hi = part.ranges[p], part.ranges[p + 1]
+        blockinv[lo:hi, lo:hi] = np.linalg.inv(dense[lo:hi, lo:hi])
+    serial_res = Cg.solve(Csr.from_data(data), jnp.ones(n), criteria=crit,
+                          preconditioner=Dense.create(blockinv))
+    assert abs(int(prec.iterations[0]) - int(serial_res.iterations[0])) <= 1
+
+
+def test_dist_solve_jittable():
+    data = stencil_2d(6, points=5)
+    part = Partition.build_from_global_size_uniform(4, 36)
+    mesh = _mesh(4)
+    A = read_distributed(data, part, mesh)
+    b = distribute_vector(np.ones(36), part, mesh)
+    crit = Iteration(300) | ResidualNorm(1e-10)
+    x = jax.jit(lambda A, b: Cg.solve(A, b, criteria=crit).x)(A, b)
+    serial = np.linalg.solve(data.to_dense(), np.ones(36))
+    np.testing.assert_allclose(part.from_padded(np.asarray(x)), serial,
+                               rtol=1e-6, atol=1e-7)
