@@ -1,0 +1,169 @@
+"""ParILUT/ParICT, ISAI, SOR/Gauss-Seidel tests
+(reference/test/factorization/par_ilut_kernels.cpp,
+reference/test/preconditioner/{isai,sor}_kernels.cpp analogs)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ginkgo_tpu import Csr
+from ginkgo_tpu.factorization.par_ilu import Ilu0
+from ginkgo_tpu.factorization.par_ilut import ParIct, ParIlut
+from ginkgo_tpu.preconditioner.ilu import Ilu, Ic
+from ginkgo_tpu.preconditioner.isai import Isai, generate_isai
+from ginkgo_tpu.preconditioner.sor import GaussSeidel, Sor
+from ginkgo_tpu.solver import Bicgstab, Cg, Ir
+from ginkgo_tpu.stop.criterion import Iteration, ResidualNorm
+from ginkgo_tpu.utils.generators import (generate_random_matrix, make_spd,
+                                         stencil_2d)
+
+
+def _spd(n=40, seed=0, shift=1.0):
+    data = make_spd(generate_random_matrix(
+        n, n, nonzeros_per_row=(2, 6), seed=seed), shift=shift)
+    return Csr.from_data(data), data
+
+
+# -- ParILUT -------------------------------------------------------------------
+
+def test_par_ilut_improves_on_ilu0():
+    """With fill, ||A - LU|| should not exceed the ILU(0) residual much."""
+    A, data = _spd(40, seed=1)
+    dense = np.asarray(A.to_dense())
+    f0 = Ilu0().generate(A)
+    r0 = np.linalg.norm(dense - np.asarray(f0.l_factor.to_dense())
+                        @ np.asarray(f0.u_factor.to_dense()))
+    ft = ParIlut(iterations=4, fill_in_limit=3.0).generate(A)
+    rt = np.linalg.norm(dense - np.asarray(ft.l_factor.to_dense())
+                        @ np.asarray(ft.u_factor.to_dense()))
+    assert rt <= r0 * 1.05 + 1e-12
+
+
+def test_par_ilut_respects_fill_limit():
+    A, data = _spd(30, seed=2)
+    nnz0 = data.canonical().nnz
+    f = ParIlut(iterations=3, fill_in_limit=1.5).generate(A)
+    total = f.l_factor.nnz + f.u_factor.nnz
+    # L gets a unit diagonal appended; allow it in the budget check
+    assert total <= 1.5 * nnz0 + A.shape[0] + 2
+
+
+def test_par_ilut_preconditions():
+    rng = np.random.default_rng(3)
+    data = generate_random_matrix(50, 50, nonzeros_per_row=(2, 6), seed=3)
+    dense = data.to_dense()
+    dense += np.diag(np.abs(dense).sum(1) + 1)
+    A = Csr.from_dense(dense)
+    b = jnp.ones(50)
+    crit = Iteration(500) | ResidualNorm(1e-11)
+    plain = Bicgstab.solve(A, b, criteria=crit)
+    prec = Bicgstab.solve(A, b, criteria=crit,
+                          preconditioner=Ilu(ParIlut(iterations=3)))
+    assert bool(prec.converged.all())
+    assert int(prec.iterations[0]) <= int(plain.iterations[0])
+
+
+def test_par_ict_spd():
+    A, data = _spd(30, seed=4, shift=2.0)
+    f = ParIct(iterations=3, fill_in_limit=2.0).generate(A)
+    L = np.asarray(f.l_factor.to_dense())
+    dense = np.asarray(A.to_dense())
+    # L L^T approximates A
+    rel = np.linalg.norm(dense - L @ L.T) / np.linalg.norm(dense)
+    assert rel < 0.3
+    res = Cg.solve(A, jnp.ones(30), preconditioner=Ic(f),
+                   criteria=Iteration(300) | ResidualNorm(1e-10))
+    assert bool(res.converged.all())
+
+
+# -- ISAI ----------------------------------------------------------------------
+
+def test_isai_lower_exact_on_full_pattern():
+    """With the full lower-triangular pattern the ISAI IS the inverse."""
+    rng = np.random.default_rng(5)
+    dense = np.tril(rng.uniform(0.5, 1.5, (10, 10)))
+    L = Csr.from_dense(dense)
+    M = generate_isai(L, sparsity_power=10, mode="lower")
+    np.testing.assert_allclose(np.asarray(M.to_dense()),
+                               np.linalg.inv(dense), rtol=1e-8, atol=1e-10)
+
+
+def test_isai_rows_satisfy_local_equations():
+    """Each ISAI row solves A(J,J)^T m = e_i|J exactly."""
+    A, data = _spd(20, seed=6)
+    M = generate_isai(A, mode="general")
+    dense = np.asarray(A.to_dense())
+    md = M.to_matrix_data()
+    m_dense = md.to_dense()
+    for i in range(20):
+        J = np.sort(md.col_idx[md.row_idx == i])
+        ei = (J == i).astype(float)
+        resid = dense[np.ix_(J, J)].T @ m_dense[i, J] - ei
+        np.testing.assert_allclose(resid, 0, atol=1e-10)
+
+
+def test_isai_preconditions_cg():
+    A, data = _spd(60, seed=7)
+    b = jnp.ones(60)
+    crit = Iteration(800) | ResidualNorm(1e-10)
+    plain = Cg.solve(A, b, criteria=crit)
+    prec = Cg.solve(A, b, criteria=crit,
+                    preconditioner=Isai(mode="spd").generate(A))
+    assert bool(prec.converged.all())
+    assert int(prec.iterations[0]) <= int(plain.iterations[0]) + 5
+
+
+# -- SOR / Gauss-Seidel ---------------------------------------------------------
+
+def test_sor_forward_matches_formula():
+    A, data = _spd(15, seed=8)
+    w = 1.3
+    M = Sor(relaxation_factor=w).generate(A)
+    dense = np.asarray(A.to_dense())
+    D = np.diag(np.diag(dense))
+    L = np.tril(dense, -1)
+    b = np.random.default_rng(9).standard_normal(15)
+    want = np.linalg.solve(D / w + L, b)
+    np.testing.assert_allclose(M.apply(jnp.asarray(b)), want, rtol=1e-10)
+
+
+def test_ssor_matches_formula():
+    A, data = _spd(15, seed=10)
+    w = 1.2
+    M = Sor(relaxation_factor=w, symmetric=True).generate(A)
+    dense = np.asarray(A.to_dense())
+    D = np.diag(np.diag(dense))
+    L = np.tril(dense, -1)
+    U = np.triu(dense, 1)
+    Mssor = w / (2 - w) * (D / w + L) @ np.linalg.inv(D) @ (D / w + U)
+    b = np.random.default_rng(11).standard_normal(15)
+    want = np.linalg.solve(Mssor, b)
+    np.testing.assert_allclose(M.apply(jnp.asarray(b)), want, rtol=1e-10)
+
+
+def test_gauss_seidel_richardson_converges():
+    A, data = _spd(30, seed=12, shift=2.0)
+    M = GaussSeidel().generate(A)
+    res = Ir.solve(A, jnp.ones(30), solver=M,
+                   criteria=Iteration(500) | ResidualNorm(1e-10))
+    assert bool(res.converged.all())
+
+
+def test_ssor_preconditioned_cg():
+    data = stencil_2d(10, points=5)
+    A = Csr.from_data(data)
+    b = jnp.ones(100)
+    crit = Iteration(500) | ResidualNorm(1e-10)
+    plain = Cg.solve(A, b, criteria=crit)
+    prec = Cg.solve(A, b, criteria=crit,
+                    preconditioner=Sor(relaxation_factor=1.5,
+                                       symmetric=True).generate(A))
+    assert bool(prec.converged.all())
+    assert int(prec.iterations[0]) <= int(plain.iterations[0])
+    serial = np.linalg.solve(data.to_dense(), np.ones(100))
+    np.testing.assert_allclose(prec.x, serial, rtol=1e-6, atol=1e-7)
+
+
+def test_sor_invalid_omega():
+    with pytest.raises(ValueError):
+        Sor(relaxation_factor=2.5)
