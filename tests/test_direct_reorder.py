@@ -1,0 +1,153 @@
+"""Sparse direct (LU/Cholesky with fill) + Direct solver + reorderings
+(reference/test/factorization/{lu,cholesky}_kernels.cpp,
+core/test/reorder/* analogs)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ginkgo_tpu import Csr
+from ginkgo_tpu.factorization.direct import Cholesky, Lu
+from ginkgo_tpu.reorder import (Amd, Mc64, NestedDissection, Rcm,
+                                ScaledReordered, rcm_ordering)
+from ginkgo_tpu.solver.direct import Direct
+from ginkgo_tpu.utils.generators import (generate_random_matrix, make_spd,
+                                         stencil_2d)
+
+
+def _spd(n=25, seed=0):
+    data = make_spd(generate_random_matrix(
+        n, n, nonzeros_per_row=(2, 5), seed=seed), shift=1.0)
+    return Csr.from_data(data), data
+
+
+def test_lu_exact():
+    A, data = _spd(20, seed=1)
+    f = Lu().generate(A)
+    L = np.asarray(f.l_factor.to_dense())
+    U = np.asarray(f.u_factor.to_dense())
+    np.testing.assert_allclose(L @ U, np.asarray(A.to_dense()),
+                               rtol=1e-10, atol=1e-12)
+    assert np.allclose(np.diag(L), 1.0)
+    assert np.allclose(np.triu(L, 1), 0) and np.allclose(np.tril(U, -1), 0)
+
+
+def test_cholesky_exact():
+    A, data = _spd(20, seed=2)
+    f = Cholesky().generate(A)
+    L = np.asarray(f.l_factor.to_dense())
+    np.testing.assert_allclose(L @ L.T, np.asarray(A.to_dense()),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(L, np.linalg.cholesky(
+        np.asarray(A.to_dense())), rtol=1e-9, atol=1e-11)
+
+
+def test_direct_solver():
+    A, data = _spd(30, seed=3)
+    rng = np.random.default_rng(4)
+    x_true = rng.standard_normal((30, 2))
+    b = np.asarray(A.to_dense()) @ x_true
+    op = Direct().generate(A)
+    np.testing.assert_allclose(op.apply(jnp.asarray(b)), x_true,
+                               rtol=1e-9, atol=1e-11)
+    opc = Direct(factorization=Cholesky()).generate(A)
+    np.testing.assert_allclose(opc.apply(jnp.asarray(b)), x_true,
+                               rtol=1e-9, atol=1e-11)
+
+
+def test_rcm_reduces_bandwidth():
+    data = stencil_2d(12, points=5)
+    # scramble first so there is bandwidth to recover
+    rng = np.random.default_rng(5)
+    scram = rng.permutation(144)
+    A = Csr.from_data(data).permute(scram)
+    perm = rcm_ordering(A.to_matrix_data())
+    B = A.permute(perm)
+
+    def bandwidth(M):
+        r, c = np.nonzero(np.asarray(M.to_dense()))
+        return int(np.abs(r - c).max())
+
+    assert bandwidth(B) < bandwidth(A)
+    # agrees with scipy's RCM bandwidth-wise (not necessarily identical)
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+    g = sp.csr_matrix(np.asarray(A.to_dense()) != 0)
+    sp_perm = reverse_cuthill_mckee(g, symmetric_mode=True)
+    sp_bw = bandwidth(A.permute(np.asarray(sp_perm)))
+    assert bandwidth(B) <= int(sp_bw * 1.5) + 2
+
+
+def test_amd_reduces_fill():
+    data = stencil_2d(10, points=5)
+    A = Csr.from_data(data)
+    perm = Amd.build().generate(A).perm
+    B = A.permute(np.asarray(perm))
+
+    def fill(M):
+        f = Cholesky().generate(M)
+        return f.l_factor.nnz
+
+    # arrowhead-inducing bad order for comparison
+    bad = np.argsort(np.asarray(rcm_ordering(data)))  # un-RCM ~ scrambled
+    assert fill(B) <= fill(A.permute(bad))
+
+
+def test_mc64_maximizes_diagonal():
+    rng = np.random.default_rng(6)
+    n = 15
+    dense = rng.uniform(0.1, 1.0, (n, n)) * (rng.uniform(size=(n, n)) < 0.4)
+    dense[np.arange(n), np.arange(n)] = 1e-6   # tiny diagonal
+    dense[0, 1] = 5.0
+    A = Csr.from_dense(dense + np.eye(n) * 1e-6)
+    sp_op = Mc64.build().generate(A)
+    perm = np.asarray(sp_op.perm)
+    permuted = np.asarray(A.to_dense())[perm]
+    # matched diagonal product is at least the identity matching's
+    orig = np.abs(np.diagonal(np.asarray(A.to_dense())))
+    new = np.abs(np.diagonal(permuted))
+    assert np.prod(new) >= np.prod(orig)
+
+
+def test_mc64_stabilizes_lu():
+    """mc64 + LU solves a matrix whose natural order has tiny pivots."""
+    rng = np.random.default_rng(7)
+    n = 12
+    dense = rng.standard_normal((n, n)) * (rng.uniform(size=(n, n)) < 0.5)
+    dense[np.arange(n), np.arange(n)] = 1e-14
+    dense[0, :] += 1.0   # keep nonsingular-ish
+    dense += np.roll(np.eye(n) * 3.0, 1, axis=1)  # strong off-diagonal band
+    A = Csr.from_dense(dense)
+    x_true = rng.standard_normal(n)
+    b = dense @ x_true
+    solver = ScaledReordered(inner_operator=Direct(),
+                             reordering=Mc64.build()).generate(A)
+    x = np.asarray(solver.apply(jnp.asarray(b)))
+    plain = np.asarray(Direct().generate(A).apply(jnp.asarray(b)))
+    # mc64 cuts no-pivot LU error by more than an order of magnitude ...
+    assert np.abs(x - x_true).max() < 0.1 * np.abs(plain - x_true).max()
+    # ... and with iterative refinement (the canonical pairing) it is exact
+    from ginkgo_tpu.solver import Ir
+    from ginkgo_tpu.stop.criterion import Iteration, ResidualNorm
+    res = Ir.solve(A, jnp.asarray(b), solver=solver,
+                   criteria=Iteration(50) | ResidualNorm(1e-12))
+    assert bool(res.converged.all())
+    np.testing.assert_allclose(res.x, x_true, rtol=1e-8, atol=1e-10)
+
+
+def test_scaled_reordered_rcm_direct():
+    A, data = _spd(30, seed=8)
+    rng = np.random.default_rng(9)
+    x_true = rng.standard_normal(30)
+    b = np.asarray(A.to_dense()) @ x_true
+    solver = ScaledReordered(inner_operator=Direct(),
+                             reordering=Rcm.build()).generate(A)
+    np.testing.assert_allclose(solver.apply(jnp.asarray(b)), x_true,
+                               rtol=1e-8, atol=1e-10)
+
+
+def test_nested_dissection_valid_permutation():
+    data = stencil_2d(8, points=5)
+    perm = np.asarray(
+        NestedDissection(min_size=8).generate(Csr.from_data(data)).perm)
+    assert sorted(perm.tolist()) == list(range(64))
