@@ -48,7 +48,10 @@ class LinOp:
         """x = Op @ b.  ``b``: (n,) or (n, k); result has matching rank."""
         b2, squeeze = as_multivector(b)
         check_apply_dims(self.shape, b2)
+        logging = _log_hook(self, "started")
         out = self._apply(b2)
+        if logging:
+            _log_hook(self, "completed")
         return out[:, 0] if squeeze else out
 
     def apply_advanced(self, alpha, b, beta, x):
@@ -86,6 +89,17 @@ class LinOp:
         the generic fallback; formats override with direct scatters."""
         n, m = self.shape
         return self._apply(jnp.eye(m, dtype=self.dtype))
+
+
+def _log_hook(op, phase: str) -> bool:
+    """Fire linop_apply_* on the logger bus (host-level; inside jit this
+    fires once at trace time, which is what the hint/profile sinks want)."""
+    from ..log import logger as _log
+    if not _log.has_loggers():
+        return False
+    _log.dispatch(f"linop_apply_{phase}", op_id=id(op),
+                  op_type=type(op).__name__)
+    return True
 
 
 def as_multivector(b):

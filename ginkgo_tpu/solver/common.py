@@ -113,6 +113,21 @@ def run_iteration_loop(step_fn, make_check_args, state0, criterion: Criterion,
             converged=carry["converged"] | (newly & conv),
             iters=carry["iters"] + carry["active"].astype(jnp.int32))
 
+    from ..stop.criterion import has_host_side
+    if has_host_side(criterion):
+        # host-driven loop (Time criterion / per-iteration logging): one
+        # jitted-on-first-use step per trip, criterion checked on the host
+        import numpy as np
+        from ..log import logger as _log
+        carry = carry0
+        while bool(np.any(np.asarray(carry["active"]))) and \
+                int(carry["it"]) < cap:
+            carry = body(carry)
+            if _log.has_loggers():
+                _log.dispatch(_log.ITERATION_COMPLETE,
+                              iteration=int(carry["it"]))
+        return carry, None
+
     if not trace:
         def cond(carry):
             return jnp.any(carry["active"]) & (carry["it"] < cap)
@@ -134,12 +149,18 @@ def run_iteration_loop(step_fn, make_check_args, state0, criterion: Criterion,
 def finish(final, history, x, r, squeeze):
     """Assemble a SolveResult from loop carry + extracted x, r."""
     resnorm = compute_norm2(r)
-    return SolveResult(
+    result = SolveResult(
         x=x[:, 0] if squeeze else x,
         iterations=final["iters"],
         resnorm=resnorm,
         converged=final["converged"],
         resnorm_history=history)
+    from ..log import logger as _log
+    if _log.has_loggers():
+        import jax.core
+        if not isinstance(resnorm, jax.core.Tracer):   # skip inside jit
+            _log.dispatch(_log.SOLVE_COMPLETED, result=result)
+    return result
 
 
 def safe_div(num, den):
@@ -199,15 +220,21 @@ class SolverFactory:
         self.params = dict(params)
 
     def generate(self, A) -> SolverOp:
+        from ..log import logger as _log
+        _log.dispatch(_log.FACTORY_GENERATE_STARTED, op_type=self.name,
+                      op_id=id(self))
         params = dict(self.params)
         criteria = params.pop("criteria", None)
         M = params.pop("preconditioner", None)
         if M is not None:
             M = resolve_precond(M, A)
         hashable = tuple(sorted(params.items(), key=lambda kv: kv[0]))
-        return SolverOp(system_matrix=A, preconditioner=M, criteria=criteria,
-                        solve_fn=self.solve_fn, name=self.name,
-                        params=hashable)
+        op = SolverOp(system_matrix=A, preconditioner=M, criteria=criteria,
+                      solve_fn=self.solve_fn, name=self.name,
+                      params=hashable)
+        _log.dispatch(_log.FACTORY_GENERATE_COMPLETED, op_type=self.name,
+                      op_id=id(self))
+        return op
 
 
 class SolverAPI:

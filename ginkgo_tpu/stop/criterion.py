@@ -130,6 +130,38 @@ class ImplicitResidualNorm(Criterion):
 
 
 @linop_dataclass
+class Time(Criterion):
+    """Wall-clock limit (``include/ginkgo/core/stop/time.hpp:24``).
+
+    Host-side: reads the real clock, so a solve whose criteria include Time
+    runs in the host-driven loop mode (one jitted step per trip) instead of
+    a single device while_loop — the analog of Ginkgo's CPU-side time check
+    against device-resident iteration state."""
+
+    time_limit: float = static_field(default=10.0)   # seconds
+    host_side = True
+
+    def init(self, b, r0_norm, b_norm):
+        import time
+        return time.perf_counter()
+
+    def check(self, state, args):
+        import time
+        k = _num_cols(args)
+        stop = time.perf_counter() - state > self.time_limit
+        return (jnp.broadcast_to(jnp.asarray(stop), (k,)),
+                jnp.zeros((k,), bool), state)
+
+
+def has_host_side(crit) -> bool:
+    if getattr(crit, "host_side", False):
+        return True
+    if isinstance(crit, Combined):
+        return any(has_host_side(c) for c in crit.criteria)
+    return False
+
+
+@linop_dataclass
 class Combined(Criterion):
     """OR-composition (``include/ginkgo/core/stop/combined.hpp:26``)."""
 
