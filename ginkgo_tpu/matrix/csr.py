@@ -203,11 +203,9 @@ def _process_strategy(strategy: str, d: MatrixData, values_np: np.ndarray):
     # Build (num_diags, n) diagonal value array indexed by row, then block it
     # into the pipeline layout the Pallas kernel consumes.
     from ..ops.spmv_pallas import block_diag_values, plan_banded_layout
-    off_lookup = {int(o): k for k, o in enumerate(offsets)}
     diag_values = np.zeros((offsets.size, n), values_np.dtype)
-    diag_of_entry = np.array(
-        [off_lookup[int(c) - int(r)]
-         for r, c in zip(d.row_idx, d.col_idx)], np.int64)
+    diag_of_entry = np.searchsorted(
+        offsets, d.col_idx.astype(np.int64) - d.row_idx)
     diag_values[diag_of_entry, d.row_idx] = values_np
     offsets_t = tuple(int(o) for o in offsets)
     meta = plan_banded_layout(offsets_t, n)
