@@ -1,0 +1,113 @@
+"""Solver benchmark.
+
+Analog of ``benchmark/solver/solver_common.hpp:476-568``: JSON out carries
+``generate.time``, ``apply.time``, ``apply.iterations``, residual norms;
+default stop = rhs-relative residual (``solver_common.hpp:120``).
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .runner import (base_parser, build_matrix_data, case_name, emit,
+                     load_cases, time_blocking)
+
+SOLVER_TABLE = None
+
+
+def _solvers():
+    global SOLVER_TABLE
+    if SOLVER_TABLE is None:
+        from ..solver import (Bicg, Bicgstab, CbGmres, Cg, Cgs, Fcg, Gcr,
+                              Gmres, Idr, Minres, PipeCg)
+        SOLVER_TABLE = {
+            "cg": Cg, "fcg": Fcg, "pipe_cg": PipeCg, "bicg": Bicg,
+            "bicgstab": Bicgstab, "cgs": Cgs, "gmres": Gmres,
+            "cb_gmres": CbGmres, "gcr": Gcr, "idr": Idr, "minres": Minres,
+        }
+    return SOLVER_TABLE
+
+
+def _precond(name, A):
+    if name in (None, "none"):
+        return None
+    from ..preconditioner.jacobi import Jacobi
+    from ..preconditioner.ilu import Ic, Ilu
+    from ..preconditioner.sor import GaussSeidel, Sor
+    table = {"jacobi": lambda: Jacobi(),
+             "block-jacobi": lambda: Jacobi(max_block_size=8),
+             "ilu": lambda: Ilu(), "ic": lambda: Ic(),
+             "sor": lambda: Sor(), "gs": lambda: GaussSeidel()}
+    return table[name]()
+
+
+def run_case(case, solvers, args):
+    from .. import Csr
+    from ..stop.criterion import Iteration, ResidualNorm
+    data = build_matrix_data(case)
+    n = data.shape[0]
+    result = {"problem": {"name": case_name(case), "rows": n,
+                          "nonzeros": data.canonical().nnz},
+              "solver": {}}
+    b = jnp.ones((n,), jnp.float32)
+    rhs_norm = float(jnp.linalg.norm(b))
+    crit = (Iteration(args.max_iters)
+            | ResidualNorm(args.rel_res_goal, baseline="rhs_norm"))
+    for name in solvers:
+        entry = {"completed": False}
+        try:
+            api = _solvers()[name]
+            A = Csr.from_data(data, dtype=np.float32)
+            M = _precond(args.preconditioner, A)
+            t_gen = time_blocking(
+                lambda: api.build(criteria=crit,
+                                  preconditioner=M).generate(A),
+                warmup=0, reps=1)
+            solver = api.build(criteria=crit, preconditioner=M).generate(A)
+
+            run = jax.jit(lambda A, b: solver.solve_fn(
+                A, b, criteria=crit,
+                **(dict(preconditioner=solver.preconditioner)
+                   if solver.preconditioner is not None else {})))
+            res = run(A, b)
+            jax.block_until_ready(res.x)
+            ts = []
+            for _ in range(max(args.repetitions // 2, 1)):
+                t0 = time.perf_counter()
+                res = run(A, b)
+                jax.block_until_ready(res.x)
+                ts.append(time.perf_counter() - t0)
+            entry.update(
+                generate={"time": t_gen},
+                apply={"time": min(ts),
+                       "iterations": int(np.max(np.asarray(
+                           res.iterations)))},
+                residual_norm=float(np.max(np.asarray(res.resnorm))),
+                rhs_norm=rhs_norm,
+                converged=bool(np.asarray(res.converged).all()),
+                completed=True)
+        except Exception as e:                      # noqa: BLE001
+            entry["error"] = str(e)[:200]
+        result["solver"][name] = entry
+    return result
+
+
+def main(argv=None):
+    p = base_parser("ginkgo_tpu solver benchmark")
+    p.add_argument("-solvers", type=str, default="cg,bicgstab,gmres")
+    p.add_argument("-preconditioner", type=str, default="none")
+    p.add_argument("-max_iters", type=int, default=10000)
+    p.add_argument("-rel_res_goal", type=float, default=1e-6)
+    args = p.parse_args(argv)
+    solvers = [s.strip() for s in args.solvers.split(",") if s.strip()]
+    results = [run_case(c, solvers, args) for c in load_cases(args)]
+    emit(results, args)
+    return results
+
+
+if __name__ == "__main__":
+    main()

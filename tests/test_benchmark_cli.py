@@ -1,0 +1,81 @@
+"""Benchmark CLI smoke tests (tiny configs, schema checks)."""
+
+import json
+
+import pytest
+
+from ginkgo_tpu.benchmark import (blas, conversion, matrix_statistics,
+                                  preconditioner, solver, sparse_blas, spmv)
+
+TINY = '[{"stencil": "5pt", "size": 8}]'
+
+
+def test_spmv_cli(capsys):
+    results = spmv.main(["-input", TINY, "-formats", "csr,ell,coo"])
+    out = json.loads(capsys.readouterr().out)
+    assert out == results
+    entry = results[0]["spmv"]
+    assert all(entry[f]["completed"] for f in ("csr", "ell", "coo"))
+    assert all(entry[f]["time"] > 0 for f in ("csr", "ell", "coo"))
+    assert results[0]["optimal"]["spmv"] in entry
+    assert results[0]["problem"]["rows"] == 64
+
+
+def test_solver_cli(capsys):
+    results = solver.main(["-input", TINY, "-solvers", "cg,bicgstab",
+                           "-max_iters", "200"])
+    capsys.readouterr()
+    entry = results[0]["solver"]
+    for s in ("cg", "bicgstab"):
+        assert entry[s]["completed"], entry[s]
+        assert entry[s]["converged"]
+        assert entry[s]["apply"]["iterations"] > 0
+        assert entry[s]["residual_norm"] <= 1e-6 * entry[s]["rhs_norm"]
+
+
+def test_solver_cli_preconditioned(capsys):
+    results = solver.main(["-input", TINY, "-solvers", "cg",
+                           "-preconditioner", "jacobi"])
+    capsys.readouterr()
+    assert results[0]["solver"]["cg"]["completed"]
+
+
+def test_blas_cli(capsys):
+    results = blas.main(["-input", '[{"n": 4096, "r": 2}]'])
+    capsys.readouterr()
+    for op, e in results[0]["blas"].items():
+        assert e["completed"], (op, e)
+        assert e["time"] > 0
+
+
+def test_sparse_blas_cli(capsys):
+    results = sparse_blas.main(["-input", TINY])
+    capsys.readouterr()
+    for op, e in results[0]["sparse_blas"].items():
+        assert e["completed"], (op, e)
+
+
+def test_conversion_cli(capsys):
+    results = conversion.main(["-input", TINY])
+    capsys.readouterr()
+    for op, e in results[0]["conversion"].items():
+        assert e["completed"], (op, e)
+
+
+def test_matrix_statistics_cli(capsys):
+    results = matrix_statistics.main(["-input", TINY])
+    capsys.readouterr()
+    r = results[0]
+    assert r["problem"]["rows"] == 64
+    assert r["row_distribution"]["max"] == 5
+    assert r["bandwidth"] == 8
+
+
+def test_preconditioner_cli(capsys):
+    results = preconditioner.main(
+        ["-input", TINY, "-preconditioners", "jacobi,ic"])
+    capsys.readouterr()
+    for name, e in results[0]["preconditioner"].items():
+        assert e["completed"], (name, e)
+        assert e["generate"]["time"] > 0
+        assert e["apply"]["time"] > 0
