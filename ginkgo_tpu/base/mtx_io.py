@@ -31,6 +31,11 @@ def read_mtx(source) -> MatrixData:
         except (ValueError, OSError):  # very long strings
             is_path = False
         if is_path:
+            from ..native import read_mtx_native
+            native = read_mtx_native(source)
+            if native is not None:
+                shape, rows, cols, vals, symmetry = native
+                return _assemble(shape, rows, cols, vals, symmetry)
             with open(source, "r") as f:
                 return read_mtx(f)
         text = source.decode() if isinstance(source, bytes) else source
@@ -81,6 +86,10 @@ def read_mtx(source) -> MatrixData:
     else:
         raise ValueError(f"unsupported MatrixMarket format {fmt!r}")
 
+    return _assemble((nrows, ncols), rows, cols, vals, symmetry)
+
+
+def _assemble(shape, rows, cols, vals, symmetry) -> MatrixData:
     if symmetry in ("symmetric", "hermitian", "skew-symmetric"):
         off = rows != cols
         orow, ocol, oval = cols[off], rows[off], vals[off]
@@ -92,8 +101,8 @@ def read_mtx(source) -> MatrixData:
         cols = np.concatenate([cols, ocol])
         vals = np.concatenate([vals, oval])
 
-    idt = np.int32 if max(nrows, ncols) < 2**31 else np.int64
-    return MatrixData((nrows, ncols), rows.astype(idt), cols.astype(idt),
+    idt = np.int32 if max(shape) < 2**31 else np.int64
+    return MatrixData(shape, rows.astype(idt), cols.astype(idt),
                       vals).sort_row_major()
 
 

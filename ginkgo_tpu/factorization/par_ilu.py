@@ -53,7 +53,12 @@ def _split_pattern(data: MatrixData):
 
 def _pair_lists(lr, lc, ur, uc, n):
     """All (l_idx, u_idx) with lc[l_idx]==ur[u_idx]=k, k<min(row,col), for
-    each output entry — the csr_lookup analog, done once on the host."""
+    each output entry — the csr_lookup analog, done once on the host
+    (C++ native path with a pure-Python fallback)."""
+    from ..native import ilu_pairs_native
+    native = ilu_pairs_native(n, lr, lc, ur, uc)
+    if native is not None:
+        return native
     import collections
     by_row_L = collections.defaultdict(list)   # row -> [(col k, l_idx)]
     for idx, (i, k) in enumerate(zip(lr, lc)):

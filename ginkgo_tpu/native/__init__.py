@@ -1,0 +1,184 @@
+"""Native C++ host tier (ctypes-loaded, numpy fallback everywhere).
+
+Build: compiled on first use with g++ -O3 into ``lib/libginkgo_native.so``
+(also buildable via the CMakeLists.txt here).  ``lib()`` returns the loaded
+library or None when no toolchain is available — callers must treat it as an
+accelerator, never a requirement.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "src", "ginkgo_native.cpp")
+_LIBDIR = os.path.join(_HERE, "lib")
+_LIBPATH = os.path.join(_LIBDIR, "libginkgo_native.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    os.makedirs(_LIBDIR, exist_ok=True)
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+           _SRC, "-o", _LIBPATH]
+    try:
+        res = subprocess.run(cmd, capture_output=True, timeout=240)
+        return res.returncode == 0
+    except (OSError, subprocess.TimeoutExpired):
+        return False
+
+
+def _bind(lib):
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    lib.gt_mtx_header.restype = ctypes.c_int
+    lib.gt_mtx_header.argtypes = [ctypes.c_char_p, i64p, i64p, i64p, i32p,
+                                  i32p, i32p, i32p]
+    lib.gt_mtx_read_coord.restype = ctypes.c_int
+    lib.gt_mtx_read_coord.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                                      ctypes.c_int32, ctypes.c_int32,
+                                      i64p, i64p, f64p]
+    lib.gt_compute_levels.restype = ctypes.c_int
+    lib.gt_compute_levels.argtypes = [ctypes.c_int64, i64p, i64p,
+                                      ctypes.c_int32, i64p]
+    lib.gt_ilu_pairs_count.restype = ctypes.c_int64
+    lib.gt_ilu_pairs_count.argtypes = [ctypes.c_int64, ctypes.c_int64, i64p,
+                                       i64p, ctypes.c_int64, i64p, i64p]
+    lib.gt_ilu_pairs_fill.restype = ctypes.c_int64
+    lib.gt_ilu_pairs_fill.argtypes = [ctypes.c_int64, ctypes.c_int64, i64p,
+                                      i64p, ctypes.c_int64, i64p, i64p,
+                                      i64p, i64p, i64p]
+    lib.gt_coo_canonicalize.restype = ctypes.c_int64
+    lib.gt_coo_canonicalize.argtypes = [ctypes.c_int64, i64p, i64p, f64p,
+                                        ctypes.c_int32]
+    return lib
+
+
+def lib():
+    """The loaded native library, building it on first call; None if
+    unavailable (callers fall back to numpy)."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if os.environ.get("GINKGO_TPU_NO_NATIVE"):
+            return None
+        try:
+            if not os.path.exists(_LIBPATH) or (
+                    os.path.getmtime(_LIBPATH) < os.path.getmtime(_SRC)):
+                if not _build():
+                    return None
+            _lib = _bind(ctypes.CDLL(_LIBPATH))
+        except OSError:
+            _lib = None
+    return _lib
+
+
+def _ptr(a, ctype):
+    return a.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+# ---------------------------------------------------------------------------
+# High-level wrappers (None-returning when the library is unavailable)
+# ---------------------------------------------------------------------------
+
+def read_mtx_native(path: str):
+    """(shape, rows, cols, vals, symmetry) or None."""
+    L = lib()
+    if L is None or not os.path.exists(path):
+        return None
+    nr = ctypes.c_int64()
+    nc = ctypes.c_int64()
+    nnz = ctypes.c_int64()
+    cpx = ctypes.c_int32()
+    pat = ctypes.c_int32()
+    sym = ctypes.c_int32()
+    coord = ctypes.c_int32()
+    rc = L.gt_mtx_header(path.encode(), ctypes.byref(nr), ctypes.byref(nc),
+                         ctypes.byref(nnz), ctypes.byref(cpx),
+                         ctypes.byref(pat), ctypes.byref(sym),
+                         ctypes.byref(coord))
+    if rc != 0:
+        raise ValueError(f"invalid MatrixMarket header in {path!r} "
+                         f"(native rc={rc})")
+    if not coord.value:
+        return None   # array format -> python path
+    n = nnz.value
+    rows = np.empty(n, np.int64)
+    cols = np.empty(n, np.int64)
+    vals = np.empty(2 * n if cpx.value else n, np.float64)
+    rc = L.gt_mtx_read_coord(path.encode(), n, cpx.value, pat.value,
+                             _ptr(rows, ctypes.c_int64),
+                             _ptr(cols, ctypes.c_int64),
+                             _ptr(vals, ctypes.c_double))
+    if rc != 0:
+        raise ValueError(f"truncated MatrixMarket body in {path!r}")
+    if cpx.value:
+        vals = vals.view(np.complex128)
+    return ((nr.value, nc.value), rows, cols, vals,
+            {0: "general", 1: "symmetric", 2: "hermitian",
+             3: "skew-symmetric"}[sym.value])
+
+
+def compute_levels_native(n, ptr, cols, lower: bool):
+    L = lib()
+    if L is None:
+        return None
+    ptr = np.ascontiguousarray(ptr, np.int64)
+    cols = np.ascontiguousarray(cols, np.int64)
+    level = np.zeros(n, np.int64)
+    L.gt_compute_levels(n, _ptr(ptr, ctypes.c_int64),
+                        _ptr(cols, ctypes.c_int64), int(lower),
+                        _ptr(level, ctypes.c_int64))
+    return level
+
+
+def ilu_pairs_native(n, lr, lc, ur, uc):
+    L = lib()
+    if L is None:
+        return None
+    lr = np.ascontiguousarray(lr, np.int64)
+    lc = np.ascontiguousarray(lc, np.int64)
+    ur = np.ascontiguousarray(ur, np.int64)
+    uc = np.ascontiguousarray(uc, np.int64)
+    count = L.gt_ilu_pairs_count(
+        n, len(lr), _ptr(lr, ctypes.c_int64), _ptr(lc, ctypes.c_int64),
+        len(ur), _ptr(ur, ctypes.c_int64), _ptr(uc, ctypes.c_int64))
+    out_l = np.empty(count, np.int64)
+    out_u = np.empty(count, np.int64)
+    out_o = np.empty(count, np.int64)
+    L.gt_ilu_pairs_fill(
+        n, len(lr), _ptr(lr, ctypes.c_int64), _ptr(lc, ctypes.c_int64),
+        len(ur), _ptr(ur, ctypes.c_int64), _ptr(uc, ctypes.c_int64),
+        _ptr(out_l, ctypes.c_int64), _ptr(out_u, ctypes.c_int64),
+        _ptr(out_o, ctypes.c_int64))
+    return out_l, out_u, out_o
+
+
+def coo_canonicalize_native(rows, cols, vals):
+    """Sorted+deduplicated copies, or None."""
+    L = lib()
+    if L is None:
+        return None
+    is_cpx = np.iscomplexobj(vals)
+    rows = np.ascontiguousarray(rows, np.int64).copy()
+    cols = np.ascontiguousarray(cols, np.int64).copy()
+    vals = np.ascontiguousarray(
+        vals, np.complex128 if is_cpx else np.float64).copy()
+    out = L.gt_coo_canonicalize(
+        len(rows), _ptr(rows, ctypes.c_int64), _ptr(cols, ctypes.c_int64),
+        vals.view(np.float64).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_double)), int(is_cpx))
+    return rows[:out], cols[:out], vals[:out]

@@ -33,13 +33,16 @@ def compute_levels(n, row_idx, col_idx, lower: bool) -> np.ndarray:
     For a lower factor, row r depends on all cols c < r present in row r:
     level[r] = 1 + max(level[c]).  Sequential over rows but O(nnz) total.
     """
-    level = np.zeros(n, np.int64)
     order = np.argsort(row_idx, kind="stable")
     rows = row_idx[order]
     cols = col_idx[order]
-    row_iter = range(n) if lower else range(n - 1, -1, -1)
-    # build row slices
     ptr = np.searchsorted(rows, np.arange(n + 1))
+    from ..native import compute_levels_native
+    native = compute_levels_native(n, ptr, cols, lower)
+    if native is not None:
+        return native
+    level = np.zeros(n, np.int64)
+    row_iter = range(n) if lower else range(n - 1, -1, -1)
     for r in row_iter:
         cs = cols[ptr[r]:ptr[r + 1]]
         deps = cs[cs < r] if lower else cs[cs > r]

@@ -1,0 +1,112 @@
+"""Native C++ host tier: build, correctness vs numpy fallbacks."""
+
+import os
+
+import numpy as np
+import pytest
+
+from ginkgo_tpu import native
+from ginkgo_tpu.base.matrix_data import MatrixData
+from ginkgo_tpu.base.mtx_io import read_mtx, write_mtx
+from ginkgo_tpu.utils.generators import generate_random_matrix, stencil_2d
+
+
+@pytest.fixture(scope="module")
+def lib():
+    L = native.lib()
+    if L is None:
+        pytest.skip("native toolchain unavailable")
+    return L
+
+
+def test_native_builds(lib):
+    assert os.path.exists(native._LIBPATH)
+
+
+def test_native_mtx_roundtrip(lib, tmp_path):
+    data = generate_random_matrix(50, 40, nonzeros_per_row=(1, 6), seed=1)
+    path = str(tmp_path / "m.mtx")
+    write_mtx(path, data)
+    got = read_mtx(path)          # takes the native path for file reads
+    np.testing.assert_allclose(got.to_dense(), data.canonical().to_dense(),
+                               rtol=1e-15)
+    # force the python path and compare
+    with open(path) as f:
+        py = read_mtx(f)
+    np.testing.assert_allclose(got.to_dense(), py.to_dense(), rtol=1e-15)
+
+
+def test_native_mtx_symmetric(lib, tmp_path):
+    path = str(tmp_path / "s.mtx")
+    path_obj = tmp_path / "s.mtx"
+    path_obj.write_text(
+        "%%MatrixMarket matrix coordinate real symmetric\n"
+        "3 3 4\n1 1 2.0\n2 1 -1.0\n2 2 2.0\n3 2 -0.5\n")
+    got = read_mtx(path)
+    want = np.array([[2, -1, 0], [-1, 2, -0.5], [0, -0.5, 0]])
+    np.testing.assert_allclose(got.to_dense(), want)
+
+
+def test_native_mtx_complex_pattern(lib, tmp_path):
+    p1 = tmp_path / "c.mtx"
+    p1.write_text("%%MatrixMarket matrix coordinate complex general\n"
+                  "2 2 2\n1 1 1.5 -0.5\n2 2 2.0 1.0\n")
+    got = read_mtx(str(p1))
+    assert got.values.dtype == np.complex128
+    np.testing.assert_allclose(got.values, [1.5 - 0.5j, 2.0 + 1.0j])
+    p2 = tmp_path / "p.mtx"
+    p2.write_text("%%MatrixMarket matrix coordinate pattern general\n"
+                  "2 2 2\n1 2\n2 1\n")
+    got = read_mtx(str(p2))
+    np.testing.assert_allclose(got.to_dense(), [[0, 1], [1, 0]])
+
+
+def test_native_bad_header_raises(lib, tmp_path):
+    p = tmp_path / "bad.mtx"
+    p.write_text("%%NotMatrixMarket\n1 1 1\n")
+    with pytest.raises(ValueError):
+        read_mtx(str(p))
+
+
+def test_native_levels_match_python(lib):
+    data = stencil_2d(8, points=5).canonical()
+    keep = data.row_idx >= data.col_idx
+    r, c = data.row_idx[keep], data.col_idx[keep]
+    order = np.argsort(r, kind="stable")
+    rows, cols = r[order].astype(np.int64), c[order].astype(np.int64)
+    ptr = np.searchsorted(rows, np.arange(65))
+    got = native.compute_levels_native(64, ptr, cols, True)
+    # python oracle
+    level = np.zeros(64, np.int64)
+    for rr in range(64):
+        cs = cols[ptr[rr]:ptr[rr + 1]]
+        deps = cs[cs < rr]
+        if deps.size:
+            level[rr] = level[deps].max() + 1
+    np.testing.assert_array_equal(got, level)
+
+
+def test_native_ilu_pairs_match_python(lib, monkeypatch):
+    from ginkgo_tpu.factorization import par_ilu
+    from ginkgo_tpu.utils.generators import make_spd
+    data = make_spd(generate_random_matrix(
+        25, 25, nonzeros_per_row=(2, 5), seed=2), shift=1.0)
+    d, (lr, lc), (ur, uc) = par_ilu._split_pattern(data)
+    nat = native.ilu_pairs_native(25, lr, lc, ur, uc)
+    monkeypatch.setattr(native, "ilu_pairs_native",
+                        lambda *a, **k: None)
+    py = par_ilu._pair_lists(lr, lc, ur, uc, 25)
+    # same multiset of (l, u, o) triples
+    nat_set = sorted(zip(*[x.tolist() for x in nat]))
+    py_set = sorted(zip(*[x.tolist() for x in py]))
+    assert nat_set == py_set
+
+
+def test_native_coo_canonicalize(lib):
+    rows = np.array([2, 0, 0, 2, 1], np.int64)
+    cols = np.array([1, 0, 0, 1, 2], np.int64)
+    vals = np.array([1.0, 2.0, 3.0, 4.0, 5.0])
+    r, c, v = native.coo_canonicalize_native(rows, cols, vals)
+    np.testing.assert_array_equal(r, [0, 1, 2])
+    np.testing.assert_array_equal(c, [0, 2, 1])
+    np.testing.assert_allclose(v, [5.0, 5.0, 5.0])
