@@ -1,0 +1,40 @@
+"""file-config-solver example: build the whole solver stack from a JSON
+config (extensions/config json front end analog)."""
+
+import json
+import tempfile
+
+import jax.numpy as jnp
+
+import ginkgo_tpu as gt
+from ginkgo_tpu.config import parse_json, registry
+from ginkgo_tpu.utils.generators import stencil_2d
+
+CONFIG = {
+    "type": "solver::Cg",
+    "criteria": [
+        {"type": "stop::Iteration", "max_iters": 1000},
+        {"type": "stop::ResidualNorm", "reduction_factor": 1e-10},
+    ],
+    "preconditioner": {"type": "preconditioner::Jacobi",
+                       "max_block_size": 4},
+}
+
+
+def main():
+    data = stencil_2d(16, points=5)
+    A = gt.Csr.from_data(data)
+    with tempfile.NamedTemporaryFile("w", suffix=".json",
+                                     delete=False) as f:
+        json.dump(CONFIG, f)
+        path = f.name
+    solver = parse_json(path).generate(A)
+    b = jnp.ones(A.shape[0])
+    x = solver.apply(b)
+    res = float(jnp.linalg.norm(b - A.apply(x)))
+    print(f"config-built solver residual: {res:.2e}")
+    assert res < 1e-7
+
+
+if __name__ == "__main__":
+    main()
