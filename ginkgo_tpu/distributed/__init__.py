@@ -6,3 +6,5 @@ from .index_map import IndexMap  # noqa: F401
 from .matrix import (DistributedMatrix, distribute_vector,  # noqa: F401
                      read_distributed)
 from .schwarz import Schwarz  # noqa: F401
+from .vector import Vector  # noqa: F401
+from .assembly import assemble_distributed  # noqa: F401

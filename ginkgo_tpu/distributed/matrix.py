@@ -66,6 +66,13 @@ class DistributedMatrix(LinOp):
     num_parts: int = static_field()
     mesh: object = static_field(default=None)
     axis: str = static_field(default="rows")
+    # CollectiveCommunicator strategy (collective_communicator.hpp:31):
+    # 'dense' = one lax.all_to_all (MPI_Ialltoallv analog); 'neighborhood' =
+    # one lax.ppermute ring-shift per communicating (dst-src) offset — rides
+    # nearest-neighbor ICI links when the partition graph is banded
+    # (MPI_Ineighbor_alltoallv analog).
+    comm: str = static_field(default="dense")
+    shifts: tuple = static_field(default=())   # distinct (dst-src) mod P
 
     # -- SpMV -----------------------------------------------------------------
     def _apply(self, b):
@@ -73,14 +80,30 @@ class DistributedMatrix(LinOp):
         axis = self.axis
         spec = PartitionSpec(axis)
 
+        P = self.num_parts
+        comm = self.comm
+        shifts = self.shifts
+
         def shard_spmv(lr, lc, lv, nr, ng, nv, sidx, gown, gslot, b_loc):
             lr, lc, lv = lr[0], lc[0], lv[0]
             nr, ng, nv = nr[0], ng[0], nv[0]
             sidx, gown, gslot = sidx[0], gown[0], gslot[0]
             # pack + swap (halo exchange)
             send = b_loc[jnp.clip(sidx, 0, local - 1)]      # (P, S, k)
-            recv = jax.lax.all_to_all(send, axis, split_axis=0,
-                                      concat_axis=0, tiled=False)
+            if comm == "neighborhood":
+                # per-offset ppermute rings instead of one all_to_all
+                me = jax.lax.axis_index(axis)
+                recv = jnp.zeros_like(send)
+                for s in shifts:
+                    perm = [(i, (i + s) % P) for i in range(P)]
+                    chunk = jax.lax.dynamic_index_in_dim(
+                        send, (me + s) % P, 0, keepdims=False)
+                    got = jax.lax.ppermute(chunk, axis, perm)
+                    recv = jax.lax.dynamic_update_index_in_dim(
+                        recv, got, (me - s) % P, 0)
+            else:
+                recv = jax.lax.all_to_all(send, axis, split_axis=0,
+                                          concat_axis=0, tiled=False)
             ghost = recv[gown, gslot]                        # (G, k)
             # owned-block SpMV
             y = jax.ops.segment_sum(
@@ -147,7 +170,8 @@ class DistributedMatrix(LinOp):
     # -- construction (read_distributed analog) -------------------------------
     @classmethod
     def from_data(cls, data: MatrixData, partition: Partition, mesh=None,
-                  axis: str = "rows", index_dtype=jnp.int32):
+                  axis: str = "rows", index_dtype=jnp.int32,
+                  comm: str = "dense"):
         d = data.canonical()
         n, m = d.shape
         if n != m:
@@ -197,6 +221,8 @@ class DistributedMatrix(LinOp):
                  for p in range(P)] + [1])
         send_idx = np.stack([_pad2(send_lists[q], local, np.int64, S)
                              for q in range(P)])
+        shifts = sorted({(q - p) % P for p in range(P) for q in range(P)
+                         if p != q and send_lists[p][q]})
         return cls(
             loc_rows=jnp.asarray(_pad2(loc_rows, local, np.int64),
                                  index_dtype),
@@ -212,7 +238,7 @@ class DistributedMatrix(LinOp):
             ghost_slot=jnp.asarray(_pad2(ghost_slot, 0, np.int64),
                                    index_dtype),
             shape=(P * local, P * local), local_size=local, num_parts=P,
-            mesh=mesh, axis=axis)
+            mesh=mesh, axis=axis, comm=comm, shifts=tuple(shifts))
 
 
 def read_distributed(data: MatrixData, partition: Partition, mesh=None,
