@@ -8,7 +8,7 @@ matrix_statistics.
 import sys
 
 SUITES = ("spmv", "solver", "preconditioner", "blas", "sparse_blas",
-          "conversion", "matrix_statistics")
+          "conversion", "matrix_statistics", "distributed")
 
 
 def main():

@@ -1,0 +1,74 @@
+"""Distributed SpMV / solver benchmark with weak-scaling efficiency.
+
+Analog of ``benchmark/spmv/distributed`` + ``benchmark/solver/distributed``:
+runs the row-sharded SpMV on 1..P devices of the mesh with the problem size
+scaled proportionally (weak scaling) and reports per-configuration nnz/s
+plus efficiency vs the 1-device baseline — BASELINE.md's second north star
+(>= 75% nnz/s weak-scaling efficiency).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from .runner import base_parser, chain_k_for_backend, emit, time_chained
+
+
+def run_weak_scaling(base_edge: int, parts_list, comm, args):
+    from ..distributed import (Partition, distribute_vector,
+                               read_distributed)
+    from ..utils.generators import stencil_3d
+    k1, k2 = chain_k_for_backend()
+    results = []
+    base_nnz_per_s = None
+    for P in parts_list:
+        if P > len(jax.devices()):
+            results.append({"devices": P, "skipped": "not enough devices"})
+            continue
+        # weak scaling: rows grow with P (z-extent scales)
+        data = stencil_3d(base_edge, base_edge, base_edge * P, points=27)
+        n = data.shape[0]
+        nnz = data.canonical().nnz
+        part = Partition.build_from_global_size_uniform(P, n)
+        mesh = Mesh(np.array(jax.devices()[:P]), ("rows",))
+        A = read_distributed(data, part, mesh, comm=comm)
+        x = distribute_vector(np.ones((n, 1), np.float32), part, mesh)
+        nrm = float(jnp.abs(A._apply(x)).max())
+        scale = 1.0 / max(nrm, 1.0)
+
+        def mk(K, A=A):
+            @jax.jit
+            def chain(A, z):
+                return jax.lax.fori_loop(
+                    0, K, lambda _, z: A._apply(z) * scale, z).sum()
+            return chain
+
+        t = time_chained(mk, (A, x), k1, k2,
+                         reps=max(args.repetitions // 2, 2))
+        nnz_per_s = nnz / t
+        if base_nnz_per_s is None:
+            base_nnz_per_s = nnz_per_s / P   # per-device baseline
+        eff = nnz_per_s / (P * base_nnz_per_s)
+        results.append({"devices": P, "rows": n, "nonzeros": nnz,
+                        "time": t, "nnz_per_s": nnz_per_s,
+                        "weak_scaling_efficiency": eff, "comm": comm})
+    return results
+
+
+def main(argv=None):
+    p = base_parser("ginkgo_tpu distributed weak-scaling benchmark")
+    p.add_argument("-base_edge", type=int, default=24)
+    p.add_argument("-devices", type=str, default="1,2,4,8")
+    p.add_argument("-comm", type=str, default="dense")
+    args = p.parse_args(argv)
+    parts = [int(s) for s in args.devices.split(",")]
+    results = run_weak_scaling(args.base_edge, parts, args.comm, args)
+    emit(results, args)
+    return results
+
+
+if __name__ == "__main__":
+    main()

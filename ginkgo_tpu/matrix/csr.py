@@ -101,6 +101,26 @@ class Csr(LinOp):
                           np.asarray(self.col_idx)[:self.nnz],
                           np.asarray(self.values)[:self.nnz])
 
+    def to_ell(self, **kw):
+        from .ell import Ell
+        return Ell.from_data(self.to_matrix_data(), **kw)
+
+    def to_sellp(self, **kw):
+        from .sellp import Sellp
+        return Sellp.from_data(self.to_matrix_data(), **kw)
+
+    def to_hybrid(self, **kw):
+        from .hybrid import Hybrid
+        return Hybrid.from_data(self.to_matrix_data(), **kw)
+
+    def to_fbcsr(self, **kw):
+        from .fbcsr import Fbcsr
+        return Fbcsr.from_data(self.to_matrix_data(), **kw)
+
+    def to_sparsity_csr(self, **kw):
+        from .sparsity_csr import SparsityCsr
+        return SparsityCsr.from_data(self.to_matrix_data(), **kw)
+
     def transpose(self):
         t = self.to_coo().transpose()
         return t.to_csr()

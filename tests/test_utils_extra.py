@@ -1,0 +1,86 @@
+"""csr_lookup, timers/topology, checkpointing, format conversions,
+distributed weak-scaling benchmark smoke."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ginkgo_tpu import Csr
+from ginkgo_tpu.matrix.csr_lookup import CsrLookup
+from ginkgo_tpu.utils.checkpoint import load, save
+from ginkgo_tpu.utils.generators import generate_random_matrix, stencil_2d
+from ginkgo_tpu.utils.timer import CpuTimer, DeviceTimer, topology
+
+
+def test_csr_lookup():
+    data = generate_random_matrix(20, 15, nonzeros_per_row=(1, 5), seed=0)
+    A = Csr.from_data(data)
+    lk = CsrLookup.build(A)
+    d = data.canonical()
+    # every stored entry is found at its canonical value index
+    idx = np.asarray(lk.lookup(jnp.asarray(d.row_idx),
+                               jnp.asarray(d.col_idx)))
+    np.testing.assert_array_equal(idx, np.arange(d.nnz))
+    # absent entries return -1
+    dense = d.to_dense()
+    zr, zc = np.nonzero(dense == 0)
+    miss = np.asarray(lk.lookup(jnp.asarray(zr[:10]), jnp.asarray(zc[:10])))
+    assert (miss == -1).all()
+
+
+def test_timers_and_topology():
+    t = CpuTimer()
+    t.tic()
+    assert t.toc() >= 0
+    dt = DeviceTimer()
+    dt.tic()
+    y = jnp.ones(1000).sum()
+    assert dt.toc(y) >= 0
+    topo = topology()
+    assert topo["num_devices"] >= 1 and topo["devices"]
+
+
+def test_checkpoint_roundtrip_csr(tmp_path):
+    data = stencil_2d(6, points=5)
+    A = Csr.from_data(data)
+    path = str(tmp_path / "A.npz")
+    save(path, A)
+    B = load(path)
+    assert isinstance(B, Csr)
+    assert B.shape == A.shape and B.strategy == A.strategy
+    np.testing.assert_allclose(B.to_dense(), A.to_dense())
+    b = jnp.ones(36)
+    np.testing.assert_allclose(B.apply(b), A.apply(b))
+
+
+def test_checkpoint_roundtrip_factorization(tmp_path):
+    from ginkgo_tpu.factorization.par_ilu import ParIlu
+    data = stencil_2d(5, points=5)
+    A = Csr.from_data(data)
+    f = ParIlu(iterations=5).generate(A)
+    path = str(tmp_path / "f.npz")
+    save(path, f)
+    g = load(path)
+    np.testing.assert_allclose(g.l_factor.to_dense(),
+                               f.l_factor.to_dense())
+
+
+def test_csr_conversion_methods():
+    data = generate_random_matrix(18, 18, nonzeros_per_row=(1, 5), seed=1)
+    A = Csr.from_data(data)
+    dense = np.asarray(A.to_dense())
+    for conv in (A.to_ell, A.to_sellp, A.to_hybrid, A.to_fbcsr):
+        B = conv()
+        np.testing.assert_allclose(np.asarray(B.to_dense()), dense,
+                                   rtol=1e-12, err_msg=str(conv))
+    S = A.to_sparsity_csr()
+    np.testing.assert_allclose(np.asarray(S.to_dense()) != 0, dense != 0)
+
+
+def test_distributed_benchmark_smoke(capsys):
+    from ginkgo_tpu.benchmark import distributed
+    results = distributed.main(["-base_edge", "6", "-devices", "1,2",
+                                "-repetitions", "2"])
+    capsys.readouterr()
+    assert results[0]["devices"] == 1
+    assert results[1]["weak_scaling_efficiency"] > 0.2
