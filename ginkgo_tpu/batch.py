@@ -195,19 +195,44 @@ class BatchIdentity:
 # Batch preconditioners
 # ---------------------------------------------------------------------------
 
+class _GeneratedBatchPrecond:
+    """Per-lane preconditioner: ``arrays`` is vmapped over axis 0 and
+    ``make(slice)`` builds each lane's LinOp."""
+
+    def __init__(self, arrays, make):
+        self.arrays = arrays
+        self.make = make
+
+
 class BatchJacobi:
-    """Scalar Jacobi per batch entry (``batch_jacobi.hpp`` max_block_size=1
-    path)."""
+    """Scalar/block Jacobi per batch entry (``batch_jacobi.hpp``)."""
 
     def __init__(self, max_block_size: int = 1):
-        if max_block_size != 1:
-            raise NotImplementedError(
-                "batch block-Jacobi: use max_block_size=1 (scalar) for now")
+        self.max_block_size = int(max_block_size)
 
-    def generate(self, A_batch):
-        d = A_batch.extract_diagonals()
-        inv = jnp.where(d == 0, jnp.ones_like(d), 1.0 / d)
-        return inv   # (nb, n) — consumed per-lane by the batch solver
+    def generate(self, A_batch) -> _GeneratedBatchPrecond:
+        from .matrix.diagonal import Diagonal
+        if self.max_block_size <= 1:
+            d = A_batch.extract_diagonals()
+            inv = jnp.where(d == 0, jnp.ones_like(d), 1.0 / d)
+            return _GeneratedBatchPrecond(
+                inv, lambda dd: Diagonal(values=dd))
+        from .preconditioner.jacobi import BlockJacobi, _extract_diag_blocks
+        n = A_batch.shape[0]
+        bs = self.max_block_size
+        nblk = -(-n // bs)
+        dtype = A_batch.values.dtype
+
+        def invert_one(values_row):
+            blocks = _extract_diag_blocks(A_batch.item(values_row), nblk, bs)
+            eye = jnp.eye(bs, dtype=blocks.dtype)
+            return jax.vmap(lambda blk: jnp.linalg.solve(blk, eye))(blocks)
+
+        inv_blocks = jax.vmap(invert_one)(A_batch.values)
+        return _GeneratedBatchPrecond(
+            inv_blocks,
+            lambda blk: BlockJacobi(inv_blocks=blk, shape=(n, n),
+                                    block_size=bs, arith_dtype=dtype))
 
 
 # ---------------------------------------------------------------------------
@@ -245,19 +270,19 @@ class _BatchSolver:
             b = b[..., None]
         crit = _batch_criteria(b.dtype, self.max_iterations, self.tolerance,
                                self.tolerance_type)
-        M_diag = (self.preconditioner.generate(A_batch)
-                  if self.preconditioner is not None else None)
+        M_gen = (self.preconditioner.generate(A_batch)
+                 if self.preconditioner is not None else None)
+        M_arrays = None if M_gen is None else M_gen.arrays
 
         def one(values, b1, x1, m1):
             A1 = A_batch.item(values)
-            from .matrix.diagonal import Diagonal
-            M1 = Diagonal(values=m1) if m1 is not None else None
+            M1 = M_gen.make(m1) if m1 is not None else None
             return self._solve(A1, b1, x1, criteria=crit, preconditioner=M1)
 
-        in_m = None if M_diag is None else 0
+        in_m = None if M_arrays is None else 0
         x0b = x0 if x0 is not None else jnp.zeros_like(b)
         res = jax.vmap(one, in_axes=(0, 0, 0, in_m))(
-            A_batch.values, b, x0b, M_diag)
+            A_batch.values, b, x0b, M_arrays)
         if squeeze:
             res = dataclasses.replace(
                 res, x=res.x[..., 0], iterations=res.iterations[..., 0],

@@ -223,7 +223,7 @@ class DistributedMatrix(LinOp):
                              for q in range(P)])
         shifts = sorted({(q - p) % P for p in range(P) for q in range(P)
                          if p != q and send_lists[p][q]})
-        return cls(
+        out = cls(
             loc_rows=jnp.asarray(_pad2(loc_rows, local, np.int64),
                                  index_dtype),
             loc_cols=jnp.asarray(_pad2(loc_cols, 0, np.int64), index_dtype),
@@ -239,6 +239,11 @@ class DistributedMatrix(LinOp):
                                    index_dtype),
             shape=(P * local, P * local), local_size=local, num_parts=P,
             mesh=mesh, axis=axis, comm=comm, shifts=tuple(shifts))
+        # generate-time host metadata (not pytree state; used by
+        # DistributedPgm and re-reads — lost across jit boundaries by design)
+        out.host_data = d
+        out.host_partition = partition
+        return out
 
 
 def read_distributed(data: MatrixData, partition: Partition, mesh=None,
