@@ -53,15 +53,23 @@ def mask_cols(active, new, old):
 
 
 def prepare_rhs(A, b, x0):
-    """Canonicalise b/x0 to (n, k); returns (b2, x2, squeeze)."""
+    """Canonicalise b/x0 to (n, k); returns (b2, x2, squeeze).
+
+    ``x0`` may be an array (provided guess), None (zero guess), or one of
+    the ``initial_guess_mode`` names 'zero'/'rhs' from Ginkgo's
+    ApplyWithInitialGuess (``solver_base.hpp:33``)."""
     if A.shape[0] != A.shape[1]:
         raise ValueError(f"iterative solvers need a square operator, "
                          f"got {A.shape}")
     b2, squeeze = as_multivector(b)
     if b2.shape[0] != A.shape[0]:
         raise ValueError(f"rhs rows {b2.shape[0]} != op rows {A.shape[0]}")
-    if x0 is None:
+    if x0 is None or (isinstance(x0, str) and x0 == "zero"):
         x2 = jnp.zeros_like(b2)
+    elif isinstance(x0, str) and x0 == "rhs":
+        x2 = b2
+    elif isinstance(x0, str):
+        raise ValueError(f"unknown initial_guess_mode {x0!r}")
     else:
         x2, _ = as_multivector(x0)
     return b2, x2, squeeze
