@@ -54,6 +54,56 @@ class Dense(LinOp):
         from .diagonal import Diagonal
         return Diagonal(values=jnp.diagonal(self.data))
 
+    # multivector BLAS as methods (dense.hpp:962-1121 parity spelling)
+    def compute_dot(self, other):
+        return compute_dot(self.data, _data_of(other))
+
+    def compute_conj_dot(self, other):
+        return compute_conj_dot(self.data, _data_of(other))
+
+    def compute_norm2(self):
+        return compute_norm2(self.data)
+
+    def compute_norm1(self):
+        return compute_norm1(self.data)
+
+    def compute_mean(self):
+        return compute_mean(self.data)
+
+    def scale(self, alpha):
+        return Dense(data=self.data * alpha)
+
+    def add_scaled(self, alpha, other):
+        return Dense(data=self.data + alpha * _data_of(other))
+
+    def fill(self, value):
+        return Dense(data=jnp.full_like(self.data, value))
+
+    def row_gather(self, rows):
+        return Dense(data=self.data[jnp.asarray(rows)])
+
+    def permute(self, perm, mode=None):
+        from .permutation import permute_mode
+        perm = jnp.asarray(perm)
+        mode = permute_mode.symmetric if mode is None else mode
+        d = self.data
+        if mode & permute_mode.rows:
+            d = d[perm]
+        if mode & permute_mode.columns:
+            d = d[:, perm]
+        return Dense(data=d)
+
+    def create_submatrix(self, rows: slice, cols: slice):
+        return Dense(data=self.data[rows, cols])
+
+    def to_matrix_data(self) -> MatrixData:
+        import numpy as np
+        return MatrixData.from_dense(np.asarray(self.data))
+
+
+def _data_of(other):
+    return other.data if isinstance(other, Dense) else jnp.asarray(other)
+
 
 def _acc_dtype(dtype):
     """Accumulate bf16/f16 matmuls in f32 on the MXU."""

@@ -1,0 +1,68 @@
+"""Backend-vs-reference kernel tests (SURVEY §4 tier 3): the Pallas TPU
+kernels run in interpret mode on CPU against the jnp reference tier —
+same data, same tolerances, mirroring test/ in the reference."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ginkgo_tpu.ops.spmv import dia_spmv
+from ginkgo_tpu.ops.spmv_pallas import (block_diag_values, dia_spmv_pallas,
+                                        plan_banded_layout,
+                                        unblock_diag_values)
+
+
+def _banded_setup(n, offsets, seed=0, dtype=np.float32):
+    rng = np.random.default_rng(seed)
+    D = len(offsets)
+    diag_values = rng.standard_normal((D, n)).astype(dtype)
+    # zero out-of-range tails so dense oracle matches
+    for d, off in enumerate(offsets):
+        if off < 0:
+            diag_values[d, :-off] = diag_values[d, :-off]  # rows < -off hit col<0
+            diag_values[d, : -off][: max(0, -off)] = 0
+            diag_values[d, :max(0, -off)] = 0
+        elif off > 0:
+            diag_values[d, n - off:] = 0
+    meta = plan_banded_layout(tuple(offsets), n)
+    dvb = jnp.asarray(block_diag_values(diag_values, meta))
+    x = jnp.asarray(rng.standard_normal((n, 1)).astype(dtype))
+    return diag_values, meta, dvb, x
+
+
+def _dense_oracle(diag_values, offsets, n, x):
+    dense = np.zeros((n, n))
+    for d, off in enumerate(offsets):
+        for i in range(n):
+            j = i + off
+            if 0 <= j < n:
+                dense[i, j] = diag_values[d, i]
+    return dense @ np.asarray(x)
+
+
+@pytest.mark.parametrize("n,offsets", [
+    (1000, (-1, 0, 1)),
+    (5000, (-130, -129, -128, -1, 0, 1, 128, 129, 130)),   # cross-sublane
+    (3000, (-257, 0, 257)),                                # multi-sublane
+    (2000, (0,)),
+])
+def test_dia_pallas_interpret_matches_reference(n, offsets):
+    diag_values, meta, dvb, x = _banded_setup(n, offsets)
+    ref = dia_spmv(tuple(offsets), dvb, meta, x)
+    got = dia_spmv_pallas(tuple(offsets), dvb, meta, x, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    oracle = _dense_oracle(diag_values, offsets, n, x)
+    np.testing.assert_allclose(np.asarray(got), oracle, rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_block_unblock_roundtrip():
+    rng = np.random.default_rng(1)
+    n = 700
+    offsets = (-2, 0, 3)
+    dv = rng.standard_normal((3, n)).astype(np.float32)
+    meta = plan_banded_layout(offsets, n)
+    dvb = block_diag_values(dv, meta)
+    back = np.asarray(unblock_diag_values(jnp.asarray(dvb), meta))
+    np.testing.assert_allclose(back, dv, rtol=1e-6)
