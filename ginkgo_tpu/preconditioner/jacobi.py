@@ -46,15 +46,42 @@ class BlockJacobi(LinOp):
         return out.astype(b.dtype)
 
 
+@linop_dataclass
+class VariableBlockJacobi(LinOp):
+    """Block-Jacobi with per-block sizes (Ginkgo's ``block_pointers`` /
+    natural-block layout): rows gathered per block, padded to bs_max,
+    batched MXU gemv, scattered back."""
+
+    inv_blocks: jnp.ndarray     # (nb, bs_max, bs_max)
+    rows_pad: jnp.ndarray       # (nb, bs_max) global row per slot, pad n
+    shape: tuple = static_field()
+    arith_dtype: object = static_field()
+
+    def _apply(self, b):
+        n = self.shape[0]
+        seg = b[jnp.clip(self.rows_pad, 0, n - 1)]       # (nb, bs_max, k)
+        valid = (self.rows_pad < n)[:, :, None]
+        seg = jnp.where(valid, seg, 0).astype(self.arith_dtype)
+        out = jnp.einsum("bij,bjk->bik",
+                         self.inv_blocks.astype(self.arith_dtype), seg,
+                         preferred_element_type=self.arith_dtype)
+        flat = jnp.zeros((n + 1, b.shape[1]), out.dtype).at[
+            jnp.where(self.rows_pad < n, self.rows_pad, n)].set(
+            out)[:n]
+        return flat.astype(b.dtype)
+
+
 class Jacobi:
     """Factory: ``Jacobi(max_block_size=8).generate(A)``."""
 
     def __init__(self, max_block_size: int = 1, *, scalar_l1: bool = False,
-                 storage_dtype=None, block_pointers=None):
+                 storage_dtype=None, block_pointers=None,
+                 natural_blocks: bool = False):
         self.max_block_size = max_block_size
         self.scalar_l1 = scalar_l1
         self.storage_dtype = storage_dtype
         self.block_pointers = block_pointers
+        self.natural_blocks = natural_blocks
 
     # keep Ginkgo's fluent spelling available
     @classmethod
@@ -63,6 +90,9 @@ class Jacobi:
 
     def generate(self, A) -> LinOp:
         n = A.shape[0]
+        if self.block_pointers is not None:
+            return self._generate_variable(
+                A, np.asarray(self.block_pointers, np.int64))
         if self.max_block_size <= 1:
             diag = A.extract_diagonal().values
             if self.scalar_l1:
@@ -75,6 +105,9 @@ class Jacobi:
             return Diagonal(values=inv)
 
         bs = int(self.max_block_size)
+        if self.natural_blocks:
+            ptrs = find_natural_blocks(A, bs)
+            return self._generate_variable(A, ptrs)
         nb = -(-n // bs)
         dense_blocks = _extract_diag_blocks(A, nb, bs)
         eye = jnp.eye(bs, dtype=dense_blocks.dtype)
@@ -84,6 +117,66 @@ class Jacobi:
         return BlockJacobi(inv_blocks=inv_blocks.astype(storage),
                            shape=A.shape, block_size=bs,
                            arith_dtype=dense_blocks.dtype)
+
+    def _generate_variable(self, A, ptrs: np.ndarray):
+        """Blocks from explicit pointers: [ptrs[i], ptrs[i+1]) rows each."""
+        n = A.shape[0]
+        if ptrs[0] != 0 or ptrs[-1] != n or (np.diff(ptrs) <= 0).any():
+            raise ValueError("block_pointers must cover [0, n) contiguously")
+        sizes = np.diff(ptrs)
+        nb = sizes.shape[0]
+        bs_max = int(sizes.max())
+        rows_pad = np.full((nb, bs_max), n, np.int64)
+        for bidx, (s, e) in enumerate(zip(ptrs[:-1], ptrs[1:])):
+            rows_pad[bidx, :e - s] = np.arange(s, e)
+        # gather dense blocks (host-ish via to_matrix_data for generality)
+        data = A.to_matrix_data() if hasattr(A, "to_matrix_data") else None
+        dtype = np.asarray(jax.tree_util.tree_leaves(A)[0]).dtype \
+            if data is None else data.values.dtype
+        blocks = np.tile(np.eye(bs_max, dtype=dtype), (nb, 1, 1))
+        if data is not None:
+            d = data.canonical()
+            block_of = np.searchsorted(ptrs, d.row_idx, side="right") - 1
+            in_blk = (d.col_idx >= ptrs[block_of]) & \
+                (d.col_idx < ptrs[block_of + 1])
+            bi = block_of[in_blk]
+            li = d.row_idx[in_blk] - ptrs[bi]
+            lj = d.col_idx[in_blk] - ptrs[bi]
+            # clear identity where real rows exist, then fill
+            for bidx, sz in enumerate(sizes):
+                blocks[bidx, :sz, :sz] = 0
+                blocks[bidx, np.arange(sz, bs_max), np.arange(sz, bs_max)] \
+                    = 1
+            np.add.at(blocks, (bi, li, lj), d.values[in_blk])
+        inv = jax.vmap(jnp.linalg.inv)(jnp.asarray(blocks))
+        storage = self.storage_dtype or inv.dtype
+        return VariableBlockJacobi(
+            inv_blocks=inv.astype(storage),
+            rows_pad=jnp.asarray(rows_pad, jnp.int32),
+            shape=A.shape, arith_dtype=jnp.asarray(blocks).dtype)
+
+
+def find_natural_blocks(A, max_block_size: int) -> np.ndarray:
+    """Detect natural diagonal blocks from the sparsity pattern
+    (``find_blocks`` kernel analog, jacobi.cpp:320-326): consecutive rows
+    join a block while they are mutually coupled (both (i, i+1) and
+    (i+1, i) stored) and the block stays within ``max_block_size``."""
+    data = A.to_matrix_data() if hasattr(A, "to_matrix_data") else None
+    n = A.shape[0]
+    if data is None:
+        return np.arange(n + 1)
+    d = data.canonical()
+    pat = set(zip(d.row_idx.tolist(), d.col_idx.tolist()))
+    ptrs = [0]
+    i = 0
+    while i < n:
+        j = i
+        while (j + 1 < n and j + 1 - ptrs[-1] < max_block_size
+               and (j, j + 1) in pat and (j + 1, j) in pat):
+            j += 1
+        ptrs.append(j + 1)
+        i = j + 1
+    return np.asarray(ptrs, np.int64)
 
 
 def _row_abs_sum(A):

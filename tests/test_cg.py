@@ -162,3 +162,36 @@ def test_cg_zero_rhs():
                    criteria=Iteration(100) | ResidualNorm(1e-12))
     assert int(res.iterations[0]) == 0
     np.testing.assert_allclose(res.x, 0.0)
+
+
+def test_natural_block_jacobi():
+    """find_blocks analog: natural blocks detected from sparsity."""
+    from ginkgo_tpu.preconditioner.jacobi import find_natural_blocks
+    rng = np.random.default_rng(7)
+    n = 12
+    dense = np.zeros((n, n))
+    for s in range(0, n, 3):
+        dense[s:s + 3, s:s + 3] = rng.standard_normal((3, 3)) + 4 * np.eye(3)
+    dense[0, 7] = 0.1          # off-block entry must not merge blocks
+    A = Csr.from_dense(dense)
+    assert list(find_natural_blocks(A, 8)) == [0, 3, 6, 9, 12]
+    M = Jacobi(max_block_size=8, natural_blocks=True).generate(A)
+    b = rng.standard_normal((n, 2))
+    want = np.zeros_like(b)
+    for s in range(0, n, 3):
+        want[s:s + 3] = np.linalg.solve(dense[s:s + 3, s:s + 3], b[s:s + 3])
+    np.testing.assert_allclose(M.apply(jnp.asarray(b)), want, rtol=1e-10)
+
+
+def test_variable_block_pointers_jacobi():
+    rng = np.random.default_rng(8)
+    dense = rng.standard_normal((10, 10)) + 10 * np.eye(10)
+    A = Csr.from_dense(dense)
+    M = Jacobi(block_pointers=[0, 2, 7, 10]).generate(A)
+    b = rng.standard_normal(10)
+    want = np.zeros(10)
+    for s, e in [(0, 2), (2, 7), (7, 10)]:
+        want[s:e] = np.linalg.solve(dense[s:e, s:e], b[s:e])
+    np.testing.assert_allclose(M.apply(jnp.asarray(b)), want, rtol=1e-8)
+    with pytest.raises(ValueError):
+        Jacobi(block_pointers=[0, 5]).generate(A)   # doesn't cover [0, n)
