@@ -93,17 +93,20 @@ def _compute_block(dblk, xw, *, by_r, S, LO, acc_dtype):
 
 
 def _dia_kernel(xp_ref, dvb_ref, out_ref, dbuf, xbuf, obuf, dsem, xsem, osem,
-                *, by_r, S, LO, W, G, NB, acc_dtype):
+                *, by_r, S, LO, W, G, NB, K, acc_dtype):
+    """Multi-RHS: xp_ref (K, LO+NSp+HI, 128), out_ref (K, NSp, 128) — the
+    dominant dvb stream is read ONCE per block and reused across all K
+    columns (SpMM amortisation)."""
     def d_dma(t, j):
         return pltpu.make_async_copy(dvb_ref.at[t], dbuf.at[j], dsem.at[j])
 
     def x_dma(t, j):
-        return pltpu.make_async_copy(xp_ref.at[pl.ds(t * S, W), :],
+        return pltpu.make_async_copy(xp_ref.at[:, pl.ds(t * S, W), :],
                                      xbuf.at[j], xsem.at[j])
 
     def o_dma(t, j):
         return pltpu.make_async_copy(obuf.at[j],
-                                     out_ref.at[pl.ds(t * S, S), :],
+                                     out_ref.at[:, pl.ds(t * S, S), :],
                                      osem.at[j])
 
     for j in range(NB):
@@ -120,8 +123,10 @@ def _dia_kernel(xp_ref, dvb_ref, out_ref, dbuf, xbuf, obuf, dsem, xsem, osem,
             def _():
                 o_dma(t - NB, j).wait()   # slot's previous writeback done
 
-            obuf[j] = _compute_block(dbuf[j], xbuf[j], by_r=by_r, S=S, LO=LO,
-                                     acc_dtype=acc_dtype).astype(obuf.dtype)
+            for kk in range(K):
+                obuf[j, kk] = _compute_block(
+                    dbuf[j], xbuf[j, kk], by_r=by_r, S=S, LO=LO,
+                    acc_dtype=acc_dtype).astype(obuf.dtype)
             o_dma(t, j).start()
 
             @pl.when(t + NB < G)
@@ -135,27 +140,31 @@ def _dia_kernel(xp_ref, dvb_ref, out_ref, dbuf, xbuf, obuf, dsem, xsem, osem,
         o_dma(G - NB + j, j).wait()
 
 
+_MAX_RHS = 8   # VMEM budget: columns beyond this fall back to the jnp tier
+
+
 @functools.lru_cache(maxsize=64)
-def _build_dia_call(offsets, D, dtype_name, meta_items, interpret):
+def _build_dia_call(offsets, D, K, dtype_name, meta_items, interpret):
     meta = dict(meta_items)
     dtype = jnp.dtype(dtype_name)
     S, NB, LO, HI, W, G, NSp = (meta[k] for k in
                                 ("S", "NB", "LO", "HI", "W", "G", "NSp"))
     kernel = functools.partial(
-        _dia_kernel, by_r=_plan_shifts(offsets), S=S, LO=LO, W=W, G=G, NB=NB,
+        _dia_kernel, by_r=_plan_shifts(offsets), S=S, LO=LO, W=W, G=G,
+        NB=NB, K=K,
         acc_dtype=jnp.float32 if dtype.itemsize <= 4 else dtype)
 
-    vmem = NB * (D * S + W + S) * LANES * dtype.itemsize + (1 << 20)
+    vmem = NB * (D * S + K * (W + S)) * LANES * dtype.itemsize + (1 << 20)
     return pl.pallas_call(
         kernel,
         grid=(1,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((NSp, LANES), dtype),
+        out_shape=jax.ShapeDtypeStruct((K, NSp, LANES), dtype),
         scratch_shapes=[pltpu.VMEM((NB, D, S, LANES), dtype),
-                        pltpu.VMEM((NB, W, LANES), dtype),
-                        pltpu.VMEM((NB, S, LANES), dtype),
+                        pltpu.VMEM((NB, K, W, LANES), dtype),
+                        pltpu.VMEM((NB, K, S, LANES), dtype),
                         pltpu.SemaphoreType.DMA((NB,)),
                         pltpu.SemaphoreType.DMA((NB,)),
                         pltpu.SemaphoreType.DMA((NB,))],
@@ -166,20 +175,23 @@ def _build_dia_call(offsets, D, dtype_name, meta_items, interpret):
 
 
 def dia_spmv_pallas(offsets, dvb, meta, b, *, interpret=False):
-    """dvb: (G, D, S, 128) blocked diagonals; b: (n, 1). Single-RHS path."""
+    """dvb: (G, D, S, 128) blocked diagonals; b: (n, k), k <= _MAX_RHS.
+    One dvb pass serves all k columns."""
     G, D, S, _ = dvb.shape
-    call = _build_dia_call(tuple(offsets), D, jnp.dtype(b.dtype).name,
+    k = b.shape[1]
+    call = _build_dia_call(tuple(offsets), D, k, jnp.dtype(b.dtype).name,
                            tuple(sorted(meta.items())), interpret)
     n, LO, HI, NSp = meta["n"], meta["LO"], meta["HI"], meta["NSp"]
-    xp = jnp.pad(b[:, 0], (LO * LANES, NSp * LANES - n + HI * LANES)
-                 ).reshape(LO + NSp + HI, LANES)
+    xp = jnp.pad(b, ((LO * LANES, NSp * LANES - n + HI * LANES),
+                     (0, 0))).T.reshape(k, LO + NSp + HI, LANES)
     out = call(xp, dvb)
-    return out.reshape(NSp * LANES)[:n][:, None]
+    return out.reshape(k, NSp * LANES)[:, :n].T
 
 
 @register("dia_spmv", "tpu")
 def dia_spmv_tpu(offsets, dvb, meta, b):
-    if b.shape[1] != 1 or jnp.issubdtype(b.dtype, jnp.complexfloating) \
+    if b.shape[1] > _MAX_RHS \
+            or jnp.issubdtype(b.dtype, jnp.complexfloating) \
             or b.dtype != dvb.dtype or jnp.dtype(b.dtype).itemsize > 4:
         from .spmv import dia_spmv
         return dia_spmv(offsets, dvb, meta, b)

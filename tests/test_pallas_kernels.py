@@ -66,3 +66,15 @@ def test_block_unblock_roundtrip():
     dvb = block_diag_values(dv, meta)
     back = np.asarray(unblock_diag_values(jnp.asarray(dvb), meta))
     np.testing.assert_allclose(back, dv, rtol=1e-6)
+
+
+@pytest.mark.parametrize("k", [1, 2, 5, 8])
+def test_dia_pallas_multi_rhs(k):
+    n, offsets = 2000, (-129, -1, 0, 1, 129)
+    diag_values, meta, dvb, _ = _banded_setup(n, offsets, seed=3)
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((n, k)).astype(np.float32))
+    ref = dia_spmv(tuple(offsets), dvb, meta, x)
+    got = dia_spmv_pallas(tuple(offsets), dvb, meta, x, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
