@@ -27,6 +27,9 @@ from .matrix import DistributedMatrix
 class SchwarzOp(LinOp):
     A: DistributedMatrix
     local_factory: object = static_field(default=None)
+    coarse_restrict: object = None     # two-level correction (optional)
+    coarse_prolong: object = None
+    coarse_solve: object = None
 
     @property
     def shape(self):
@@ -54,22 +57,51 @@ class SchwarzOp(LinOp):
             return op._apply(b_loc)
 
         p2 = PartitionSpec(axis, None)
-        return jax.shard_map(
+        y = jax.shard_map(
             local_solve, mesh=A.mesh,
             in_specs=(p2, p2, p2, p2),
             out_specs=p2, check_vma=False)(
             A.loc_rows, A.loc_cols, A.loc_vals, b)
+        if self.coarse_solve is not None:
+            # additive two-level correction: y += P A_c^{-1} R b
+            # (schwarz.hpp:217-227 coarse_level/coarse_solver)
+            rc = self.coarse_restrict._apply(b)
+            yc = self.coarse_solve._apply(rc)
+            y = y + self.coarse_prolong._apply(yc)
+        return y
 
 
 class Schwarz:
-    """Factory: ``Schwarz(local_solver=...).generate(dist_A)``."""
+    """Factory: ``Schwarz(local_solver=..., coarse_level=...,
+    coarse_solver=...).generate(dist_A)``.
 
-    def __init__(self, local_solver=None):
+    ``coarse_level``: a coarsening factory (e.g. DistributedPgm()) enabling
+    the two-level additive correction of schwarz.hpp:217-227;
+    ``coarse_solver``: factory for the coarse system (dense inverse default).
+    """
+
+    def __init__(self, local_solver=None, coarse_level=None,
+                 coarse_solver=None):
         self.local_solver = local_solver
+        self.coarse_level = coarse_level
+        self.coarse_solver = coarse_solver
 
     @classmethod
     def build(cls, **kw):
         return cls(**kw)
 
     def generate(self, A: DistributedMatrix) -> SchwarzOp:
-        return SchwarzOp(A=A, local_factory=self.local_solver)
+        cr = cp = cs = None
+        if self.coarse_level is not None:
+            lvl = self.coarse_level.generate(A)
+            cr, cp = lvl.restrict, lvl.prolong
+            if self.coarse_solver is not None:
+                cs = self.coarse_solver.generate(lvl.coarse_op)
+            else:
+                import numpy as np
+                from ..solver.multigrid import _DenseCoarseSolver
+                cs = _DenseCoarseSolver(inv=jnp.asarray(
+                    np.linalg.inv(np.asarray(lvl.coarse_op.to_dense()))))
+        return SchwarzOp(A=A, local_factory=self.local_solver,
+                         coarse_restrict=cr, coarse_prolong=cp,
+                         coarse_solve=cs)

@@ -66,6 +66,21 @@ def _smooth(sm, A, b, x):
 
 
 @linop_dataclass
+class _CastOp(LinOp):
+    """Applies inner then casts — the mixed-multigrid precision boundary."""
+
+    inner: LinOp
+    out_dtype: object = static_field(default=None)
+
+    @property
+    def shape(self):
+        return self.inner.shape
+
+    def _apply(self, b):
+        return self.inner._apply(b).astype(self.out_dtype)
+
+
+@linop_dataclass
 class _DenseCoarseSolver(LinOp):
     inv: jnp.ndarray
 
@@ -179,7 +194,8 @@ class Multigrid:
 
     def __init__(self, mg_level=None, max_levels: int = 10,
                  min_coarse_rows: int = 16, cycle: str = "v",
-                 smoother=None, coarsest_solver=None, criteria=None):
+                 smoother=None, coarsest_solver=None, criteria=None,
+                 coarse_dtype=None):
         self.mg_level = mg_level
         self.max_levels = max_levels
         self.min_coarse_rows = min_coarse_rows
@@ -187,6 +203,9 @@ class Multigrid:
         self.smoother = smoother
         self.coarsest_solver = coarsest_solver
         self.criteria = criteria
+        # mixed-multigrid (mixed-multigrid-solver example): coarse levels
+        # stored/smoothed at reduced precision, casts at the transfer ops
+        self.coarse_dtype = coarse_dtype
 
     @classmethod
     def build(cls, **kw):
@@ -198,12 +217,22 @@ class Multigrid:
         levels = []
         smoothers = []
         op = A
-        for _ in range(self.max_levels):
+        for li in range(self.max_levels):
             if op.shape[0] <= self.min_coarse_rows:
                 break
             lvl = coarsener.generate(op)
             if lvl.coarse_op.shape[0] >= op.shape[0]:
                 break   # coarsening stalled
+            if self.coarse_dtype is not None:
+                import dataclasses
+                fine_dtype = op.dtype
+                lvl = dataclasses.replace(
+                    lvl,
+                    coarse_op=lvl.coarse_op.astype(self.coarse_dtype),
+                    restrict=_CastOp(inner=lvl.restrict,
+                                     out_dtype=self.coarse_dtype),
+                    prolong=_CastOp(inner=lvl.prolong,
+                                    out_dtype=fine_dtype))
             levels.append(lvl)
             if self.smoother is None:
                 smoothers.append(_default_smoother(op))
