@@ -90,6 +90,12 @@ def run_case(case, solvers, args):
                 rhs_norm=rhs_norm,
                 converged=bool(np.asarray(res.converged).all()),
                 completed=True)
+            if args.detailed:
+                # per-iteration residual norms (iteration_timestamps analog)
+                dres = solver.solve(b, trace=True)
+                hist = np.asarray(dres.resnorm_history)[:, 0]
+                it = int(np.max(np.asarray(dres.iterations))) + 1
+                entry["residual_history"] = [float(v) for v in hist[:it]]
         except Exception as e:                      # noqa: BLE001
             entry["error"] = str(e)[:200]
         result["solver"][name] = entry

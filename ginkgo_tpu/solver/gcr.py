@@ -9,6 +9,7 @@ updates x every step, so nothing needs reconstructing at the boundary).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..matrix.dense import compute_conj_dot, compute_norm2
@@ -52,10 +53,9 @@ def solve(A, b, x0=None, *, criteria=None, preconditioner=None,
         p = p * inv
         alpha = compute_conj_dot(q, s["r"])[None, :]
         return dict(x=s["x"] + alpha * p, r=s["r"] - alpha * q,
-                    P=jnp.where((jnp.arange(m) == jm)[:, None, None],
-                                p[None], s["P"]),
-                    Q=jnp.where((jnp.arange(m) == jm)[:, None, None],
-                                q[None], s["Q"]),
+                    # in-place slot write (XLA donates the while_loop carry)
+                    P=jax.lax.dynamic_update_index_in_dim(s["P"], p, jm, 0),
+                    Q=jax.lax.dynamic_update_index_in_dim(s["Q"], q, jm, 0),
                     j=s["j"] + 1)
 
     def make_check_args(s, it):
