@@ -50,24 +50,37 @@ class Lu:
         return cls(**kw)
 
     def generate(self, A) -> Factorization:
+        import collections
         data = A.to_matrix_data() if hasattr(A, "to_matrix_data") else A
         d = data.canonical()
         n = d.shape[0]
         rows = _rows_dict(d)
+        # column -> rows holding a (possibly fill) entry there, maintained
+        # as fill appears, so elimination cost tracks actual nnz+fill
+        col_rows = collections.defaultdict(set)
+        for i, row in enumerate(rows):
+            for j in row:
+                col_rows[j].add(i)
         for k in range(n):
             dk = rows[k].get(k, 0)
             if dk == 0:
                 rows[k][k] = dk = 1.0  # zero pivot guard
             urow = [(j, v) for j, v in rows[k].items() if j > k]
-            # eliminate column k from all rows below (column-of-k traversal)
-            for i in range(k + 1, n):
-                aik = rows[i].get(k)
+            for i in sorted(col_rows[k]):
+                if i <= k:
+                    continue
+                ri = rows[i]
+                aik = ri.get(k)
                 if aik is None or aik == 0:
                     continue
                 lik = aik / dk
-                rows[i][k] = lik
+                ri[k] = lik
                 for j, ukj in urow:
-                    rows[i][j] = rows[i].get(j, 0) - lik * ukj
+                    if j in ri:
+                        ri[j] -= lik * ukj
+                    else:
+                        ri[j] = -lik * ukj
+                        col_rows[j].add(i)
         lr, lc, lv = _collect(rows, lambda i, j: j < i)
         ur, uc, uv = _collect(rows, lambda i, j: j >= i)
         dtype = d.values.dtype

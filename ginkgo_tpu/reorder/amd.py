@@ -27,9 +27,6 @@ def amd_ordering(data) -> np.ndarray:
     import heapq
     heap = [(len(adj[v]), v) for v in range(n)]
     heapq.heapify(heap)
-    stamp = np.zeros(n, np.int64)   # lazy-deletion guard
-    for v in range(n):
-        stamp[v] = len(adj[v])
     while len(order) < n:
         deg, v = heapq.heappop(heap)
         if not alive[v] or deg != len(adj[v]):
