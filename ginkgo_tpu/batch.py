@@ -191,6 +191,42 @@ class BatchIdentity:
         return b
 
 
+@linop_dataclass
+class BatchMultiVector:
+    """batch::MultiVector (``batch_multi_vector.hpp:52``): (nb, n, k) with
+    per-entry BLAS reductions — a thin named view over the raw array (which
+    is itself accepted everywhere)."""
+
+    data: jnp.ndarray   # (num_batch, n, k)
+
+    @property
+    def num_batch_items(self):
+        return self.data.shape[0]
+
+    @property
+    def shape(self):
+        return self.data.shape[1:]
+
+    def compute_dot(self, other):
+        o = other.data if isinstance(other, BatchMultiVector) else other
+        return jnp.sum(self.data * o, axis=1)            # (nb, k)
+
+    def compute_conj_dot(self, other):
+        o = other.data if isinstance(other, BatchMultiVector) else other
+        return jnp.sum(jnp.conj(self.data) * o, axis=1)
+
+    def compute_norm2(self):
+        return jnp.sqrt(jnp.real(jnp.sum(
+            jnp.conj(self.data) * self.data, axis=1)))
+
+    def scale(self, alpha):
+        return BatchMultiVector(data=self.data * alpha)
+
+    def add_scaled(self, alpha, other):
+        o = other.data if isinstance(other, BatchMultiVector) else other
+        return BatchMultiVector(data=self.data + alpha * o)
+
+
 # ---------------------------------------------------------------------------
 # Batch preconditioners
 # ---------------------------------------------------------------------------
