@@ -47,6 +47,42 @@ class BlockJacobi(LinOp):
 
 
 @linop_dataclass
+class AdaptiveBlockJacobi(LinOp):
+    """Per-block adaptive precision storage (``precision_reduction``
+    autodetection, jacobi.hpp:311-403): well-conditioned blocks live in a
+    reduced-precision buffer, ill-conditioned ones at full precision; the
+    apply runs both groups and sums (each block belongs to exactly one).
+    Arithmetic is always the value type."""
+
+    inv_full: jnp.ndarray       # (nb, bs, bs) full precision, 0 where reduced
+    inv_reduced: jnp.ndarray    # (nb, bs, bs) reduced dtype, 0 where full
+    shape: tuple = static_field()
+    block_size: int = static_field()
+    arith_dtype: object = static_field()
+
+    def _apply(self, b):
+        n = self.shape[0]
+        bs = self.block_size
+        nb = self.inv_full.shape[0]
+        pad = nb * bs - n
+        bp = jnp.pad(b, ((0, pad), (0, 0))) if pad else b
+        seg = bp.reshape(nb, bs, -1).astype(self.arith_dtype)
+        out = jnp.einsum("bij,bjk->bik",
+                         self.inv_full.astype(self.arith_dtype), seg,
+                         preferred_element_type=self.arith_dtype)
+        out = out + jnp.einsum(
+            "bij,bjk->bik", self.inv_reduced.astype(self.arith_dtype), seg,
+            preferred_element_type=self.arith_dtype)
+        return out.reshape(nb * bs, -1)[:n].astype(b.dtype)
+
+    @property
+    def storage_fraction_reduced(self):
+        """Diagnostic: fraction of blocks stored reduced."""
+        nz = jnp.any(self.inv_reduced != 0, axis=(1, 2))
+        return jnp.mean(nz.astype(jnp.float32))
+
+
+@linop_dataclass
 class VariableBlockJacobi(LinOp):
     """Block-Jacobi with per-block sizes (Ginkgo's ``block_pointers`` /
     natural-block layout): rows gathered per block, padded to bs_max,
@@ -76,12 +112,18 @@ class Jacobi:
 
     def __init__(self, max_block_size: int = 1, *, scalar_l1: bool = False,
                  storage_dtype=None, block_pointers=None,
-                 natural_blocks: bool = False):
+                 natural_blocks: bool = False,
+                 storage_optimization: str = None,
+                 accuracy: float = 1e-2):
         self.max_block_size = max_block_size
         self.scalar_l1 = scalar_l1
         self.storage_dtype = storage_dtype
         self.block_pointers = block_pointers
         self.natural_blocks = natural_blocks
+        # 'auto': per-block adaptive precision — block stored reduced when
+        # cond(B) * eps(reduced) < accuracy (jacobi_utils.hpp heuristic)
+        self.storage_optimization = storage_optimization
+        self.accuracy = accuracy
 
     # keep Ginkgo's fluent spelling available
     @classmethod
@@ -113,6 +155,22 @@ class Jacobi:
         eye = jnp.eye(bs, dtype=dense_blocks.dtype)
         inv_blocks = jax.vmap(lambda blk: jnp.linalg.solve(blk, eye))(
             dense_blocks)
+        if self.storage_optimization == "auto":
+            from ..base.dtypes import eps, reduce_precision
+            reduced = self.storage_dtype or reduce_precision(
+                dense_blocks.dtype)
+            # cond estimate via 1-norms of B and B^-1
+            bn = jnp.max(jnp.sum(jnp.abs(dense_blocks), axis=1), axis=1)
+            bin_ = jnp.max(jnp.sum(jnp.abs(inv_blocks), axis=1), axis=1)
+            cond = bn * bin_
+            use_reduced = (cond * eps(reduced) < self.accuracy)[:, None,
+                                                                None]
+            return AdaptiveBlockJacobi(
+                inv_full=jnp.where(use_reduced, 0, inv_blocks),
+                inv_reduced=jnp.where(use_reduced, inv_blocks, 0).astype(
+                    reduced),
+                shape=A.shape, block_size=bs,
+                arith_dtype=dense_blocks.dtype)
         storage = self.storage_dtype or dense_blocks.dtype
         return BlockJacobi(inv_blocks=inv_blocks.astype(storage),
                            shape=A.shape, block_size=bs,

@@ -195,3 +195,29 @@ def test_variable_block_pointers_jacobi():
     np.testing.assert_allclose(M.apply(jnp.asarray(b)), want, rtol=1e-8)
     with pytest.raises(ValueError):
         Jacobi(block_pointers=[0, 5]).generate(A)   # doesn't cover [0, n)
+
+
+def test_adaptive_perblock_precision_jacobi():
+    """precision_reduction autodetect analog: well-conditioned blocks get
+    reduced storage, ill-conditioned ones stay full."""
+    rng = np.random.default_rng(9)
+    n = 16
+    dense = np.zeros((n, n))
+    for s in range(0, 8, 4):            # well-conditioned blocks
+        dense[s:s+4, s:s+4] = np.eye(4) * rng.uniform(1, 2)
+    for s in range(8, 16, 4):           # ill-conditioned blocks
+        B = np.eye(4)
+        B[0, 0] = 1e9
+        dense[s:s+4, s:s+4] = B
+    A = Csr.from_dense(dense)
+    M = Jacobi(max_block_size=4, storage_optimization="auto",
+               storage_dtype=jnp.bfloat16, accuracy=1e-2).generate(A)
+    frac = float(M.storage_fraction_reduced)
+    assert 0.0 < frac < 1.0             # mixed storage really happened
+    # apply still matches the blockwise inverse to arithmetic accuracy
+    b = rng.standard_normal((n, 1))
+    want = np.zeros_like(b)
+    for s in range(0, n, 4):
+        want[s:s+4] = np.linalg.solve(dense[s:s+4, s:s+4], b[s:s+4])
+    got = np.asarray(M.apply(jnp.asarray(b)))
+    assert np.abs(got - want).max() / np.abs(want).max() < 1e-2
