@@ -88,3 +88,34 @@ def test_make_spd():
     dense = spd.to_dense()
     np.testing.assert_allclose(dense, dense.T, atol=1e-14)
     assert np.linalg.eigvalsh(dense).min() > 0
+
+
+def test_device_canonicalize_matches_host():
+    """device_matrix_data kernels: on-device sort/dedup/remove-zeros vs the
+    host MatrixData oracle."""
+    import jax
+    import jax.numpy as jnp
+    from ginkgo_tpu.matrix.coo import Coo
+    from ginkgo_tpu.ops.device_matrix_data import canonicalize_device
+
+    rng = np.random.default_rng(0)
+    n, cap = 10, 32
+    rows = rng.integers(0, n, cap)
+    cols = rng.integers(0, n, cap)
+    vals = rng.standard_normal(cap)
+    vals[::7] = 0.0                      # explicit zeros
+    host = MatrixData((n, n), rows, cols, vals).canonical()
+
+    coo = Coo(row_idx=jnp.asarray(rows, jnp.int32),
+              col_idx=jnp.asarray(cols, jnp.int32),
+              values=jnp.asarray(vals), shape=(n, n), nnz=cap)
+    out = jax.jit(canonicalize_device)(coo)
+    np.testing.assert_allclose(np.asarray(out.to_dense()), host.to_dense(),
+                               rtol=1e-14)
+    # canonical order: valid prefix sorted row-major, padding at tail
+    r = np.asarray(out.row_idx)
+    valid = r < n
+    assert valid[:valid.sum()].all()     # contiguous prefix
+    rr, cc = r[valid], np.asarray(out.col_idx)[valid]
+    keys = rr.astype(np.int64) * n + cc
+    assert (np.diff(keys) > 0).all()     # strictly increasing => deduped
