@@ -1,5 +1,12 @@
-"""Dense BLAS-1/2 benchmark (``benchmark/blas`` analog): axpy, scal, dot,
-norm, gemv-style apply."""
+"""Dense BLAS-1 benchmark (``benchmark/blas`` analog): axpy, scal, dot,
+norm2, copy.
+
+Chains are written so every iteration *depends on the previous one's
+output* — otherwise XLA constant-folds the loop and the numbers are
+fiction (see CLAUDE.md timing notes).  Reductions feed a tiny perturbation
+back into the vector, which adds one write per element; the reported
+bandwidth accounts for the actual access pattern of each chain body.
+"""
 
 from __future__ import annotations
 
@@ -23,58 +30,55 @@ def run_case(case, ops, args):
         entry = {"completed": False}
         try:
             if op == "axpy":
+                # z <- a*x + z: read x, read z, write z = 3 accesses/el
                 def mk(K):
                     @jax.jit
                     def f(x, y):
                         return jax.lax.fori_loop(
-                            0, K, lambda _, z: x * 1.0001 + z, y).sum()
+                            0, K,
+                            lambda i, z: x * (1.0 + 1e-9 * i) + z,
+                            y).sum()
                     return f
-                bytes_moved, flops = 3 * n * r * 4, 2 * n * r
+                bytes_per = 3 * n * r * 4
             elif op == "scal":
+                # z <- s_i * z with iteration-dependent scalar
                 def mk(K):
                     @jax.jit
                     def f(x, y):
                         return jax.lax.fori_loop(
-                            0, K, lambda _, z: z * 1.0001, y).sum()
+                            0, K,
+                            lambda i, z: z * (1.0 + 1e-9 * i), y).sum()
                     return f
-                bytes_moved, flops = 2 * n * r * 4, n * r
+                bytes_per = 2 * n * r * 4
             elif op == "copy":
+                # z <- roll(z): pure data movement, read + write
                 def mk(K):
                     @jax.jit
                     def f(x, y):
                         return jax.lax.fori_loop(
-                            0, K, lambda _, z: z + 0.0, y).sum()
+                            0, K, lambda i, z: jnp.roll(z, 1 + i, axis=0),
+                            y).sum()
                     return f
-                bytes_moved, flops = 2 * n * r * 4, 0
-            elif op == "dot":
-                def mk(K):
+                bytes_per = 2 * n * r * 4
+            elif op in ("dot", "norm2"):
+                # reduction + feedback write: read x, read z, write z
+                def mk(K, op=op):
                     @jax.jit
                     def f(x, y):
-                        def body(_, c):
-                            z, acc = c
-                            return z, acc + jnp.sum(x * z, axis=0)
-                        _, acc = jax.lax.fori_loop(0, K, body,
-                                                   (y, jnp.zeros((r,))))
+                        def body(i, carry):
+                            z, acc = carry
+                            d = (jnp.sum(x * z, axis=0) if op == "dot"
+                                 else jnp.linalg.norm(z, axis=0))
+                            return z * (1.0 + 1e-12 * d.sum()), acc + d
+                        _, acc = jax.lax.fori_loop(
+                            0, K, body, (y, jnp.zeros((r,))))
                         return acc.sum()
                     return f
-                bytes_moved, flops = 2 * n * r * 4, 2 * n * r
-            elif op == "norm2":
-                def mk(K):
-                    @jax.jit
-                    def f(x, y):
-                        def body(_, c):
-                            z, acc = c
-                            return z, acc + jnp.linalg.norm(z, axis=0)
-                        _, acc = jax.lax.fori_loop(0, K, body,
-                                                   (y, jnp.zeros((r,))))
-                        return acc.sum()
-                    return f
-                bytes_moved, flops = n * r * 4, 2 * n * r
+                bytes_per = 3 * n * r * 4
             else:
                 raise ValueError(op)
             t = time_chained(mk, (x, y), k1, k2)
-            entry.update(time=t, bandwidth=bytes_moved / t,
-                         flops=flops / t, completed=True)
+            entry.update(time=t, bandwidth=bytes_per / t, completed=True)
         except Exception as e:                      # noqa: BLE001
             entry["error"] = str(e)[:200]
         result["blas"][op] = entry

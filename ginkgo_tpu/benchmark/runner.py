@@ -68,18 +68,29 @@ def case_name(case: dict) -> str:
 
 
 def time_chained(make_chain, args_tuple, k1=2, k2=8, reps=3):
-    """Steady-state per-op seconds by chain-depth differencing."""
+    """Steady-state per-op seconds by chain-depth differencing.
+
+    The chain spread auto-widens until the depth delta dominates dispatch
+    jitter (this environment has ~25ms +- 1ms per-call overhead)."""
     def run(K):
         f = make_chain(K)
         float(f(*args_tuple))
         ts = []
-        for _ in range(reps):
+        for _ in range(max(reps, 3)):
             t0 = time.perf_counter()
             float(f(*args_tuple))
             ts.append(time.perf_counter() - t0)
-        return min(ts)
+        return min(ts), (max(ts) - min(ts))
 
-    return max((run(k2) - run(k1)) / (k2 - k1), 1e-9)
+    for _ in range(4):
+        t1, j1 = run(k1)
+        t2, j2 = run(k2)
+        delta = t2 - t1
+        jitter = max(j1, j2)
+        if delta > max(4 * jitter, 1e-4):
+            break
+        k2 *= 4          # widen until signal >> noise
+    return max(delta / (k2 - k1), 1e-9)
 
 
 def time_blocking(fn, warmup=1, reps=5):
