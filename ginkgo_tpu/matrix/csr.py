@@ -43,12 +43,22 @@ class Csr(LinOp):
     diag_offsets: object = static_field(default=None)  # tuple of ints
     band_meta: object = static_field(default=None)     # frozen layout dict
     diag_values: jnp.ndarray | None = None             # (G, D, S, 128)
+    # banded+tail: off-band outliers kept as a small COO correction so
+    # almost-banded matrices (boundary conditions, RCM'd profiles) still
+    # take the Pallas fast path
+    tail_rows: jnp.ndarray | None = None
+    tail_cols: jnp.ndarray | None = None
+    tail_vals: jnp.ndarray | None = None
 
     # -- SpMV ------------------------------------------------------------------
     def _apply(self, b):
         if self.strategy == "banded" and self.diag_values is not None:
-            return lookup("dia_spmv")(self.diag_offsets, self.diag_values,
-                                      dict(self.band_meta), b)
+            y = lookup("dia_spmv")(self.diag_offsets, self.diag_values,
+                                   dict(self.band_meta), b)
+            if self.tail_rows is not None:
+                y = y + lookup("coo_spmv")(self.tail_rows, self.tail_cols,
+                                           self.tail_vals, b, self.shape[0])
+            return y
         return lookup("coo_spmv")(self.row_idx, self.col_idx, self.values,
                                   b, self.shape[0])
 
@@ -61,8 +71,8 @@ class Csr(LinOp):
         nnz = d.nnz
         values_np = d.values if dtype is None else d.values.astype(dtype)
 
-        strategy, diag_offsets, band_meta, diag_values = _process_strategy(
-            strategy, d, values_np)
+        (strategy, diag_offsets, band_meta, diag_values,
+         tail) = _process_strategy(strategy, d, values_np)
 
         cap = pad_nnz(nnz, pad_multiple)
         rows = np.full(cap, n, np.int64)
@@ -72,6 +82,19 @@ class Csr(LinOp):
         cols[:nnz] = d.col_idx
         vals[:nnz] = values_np
         row_ptr = d.row_ptrs()
+        tail_kw = {}
+        if tail is not None:
+            tr, tc, tv = tail
+            tcap = pad_nnz(len(tr), 8)
+            tro = np.full(tcap, n, np.int64)
+            tco = np.zeros(tcap, np.int64)
+            tvo = np.zeros(tcap, values_np.dtype)
+            tro[:len(tr)] = tr
+            tco[:len(tr)] = tc
+            tvo[:len(tr)] = tv
+            tail_kw = dict(tail_rows=jnp.asarray(tro, index_dtype),
+                           tail_cols=jnp.asarray(tco, index_dtype),
+                           tail_vals=jnp.asarray(tvo))
         return cls(row_ptr=jnp.asarray(row_ptr, index_dtype),
                    col_idx=jnp.asarray(cols, index_dtype),
                    values=jnp.asarray(vals),
@@ -79,7 +102,7 @@ class Csr(LinOp):
                    shape=(n, m), nnz=nnz, strategy=strategy,
                    diag_offsets=diag_offsets, band_meta=band_meta,
                    diag_values=None if diag_values is None
-                   else jnp.asarray(diag_values))
+                   else jnp.asarray(diag_values), **tail_kw)
 
     @classmethod
     def from_dense(cls, dense, **kwargs):
@@ -136,6 +159,8 @@ class Csr(LinOp):
         new = dataclass_replace(self, values=self.values * alpha)
         if new.diag_values is not None:
             new = dataclass_replace(new, diag_values=self.diag_values * alpha)
+        if new.tail_vals is not None:
+            new = dataclass_replace(new, tail_vals=self.tail_vals * alpha)
         return new
 
     # -- sparse algebra (host symbolic + device numeric; ops/spgemm.py) ------
@@ -181,7 +206,9 @@ class Csr(LinOp):
         return dataclass_replace(
             self, values=self.values.astype(dtype),
             diag_values=None if self.diag_values is None
-            else self.diag_values.astype(dtype))
+            else self.diag_values.astype(dtype),
+            tail_vals=None if self.tail_vals is None
+            else self.tail_vals.astype(dtype))
 
 
 def dataclass_replace(obj, **changes):
@@ -197,37 +224,66 @@ _BANDED_MAX_DIAGS = 64        # cap aux storage at 64 diagonals
 _BANDED_MIN_FILL = 0.55       # required nnz density along kept diagonals
 
 
+# tail acceptance: outlier gathers cost ~7ns/element on TPU vs ~5ps/value
+# for the streamed diagonals — keep the tail under ~0.05% of the band work
+_TAIL_FRACTION = 5e-4
+
+
 def _process_strategy(strategy: str, d: MatrixData, values_np: np.ndarray):
-    """Decide the kernel layout and precompute its aux arrays."""
+    """Decide the kernel layout and precompute its aux arrays.
+
+    Returns (strategy, offsets, meta, blocked_diag_values, tail) where tail
+    is None or (rows, cols, vals) of off-band outliers."""
     if strategy not in ("classical", "banded", "automatical", "load_balance",
                         "merge_path", "sparselib"):
         raise ValueError(f"unknown CSR strategy {strategy!r}")
     # merge_path/load_balance/sparselib are GPU-ism aliases: on TPU they all
     # resolve to the load-balanced segment-sum path (classical).
     if strategy in ("load_balance", "merge_path", "sparselib", "classical"):
-        return "classical", None, None, None
+        return "classical", None, None, None, None
 
     n, m = d.shape
     if n != m or d.nnz == 0:
-        return "classical", None, None, None
-    offsets = np.unique(d.col_idx.astype(np.int64) - d.row_idx)
-    if strategy == "automatical" and offsets.size > _BANDED_MAX_DIAGS:
-        return "classical", None, None, None
-    # fill check: banded only pays if diagonals are dense
-    fill = d.nnz / (offsets.size * n)
-    if strategy == "automatical" and fill < _BANDED_MIN_FILL:
-        return "classical", None, None, None
+        return "classical", None, None, None, None
+    diag_of = d.col_idx.astype(np.int64) - d.row_idx
+    offsets, counts = np.unique(diag_of, return_counts=True)
+
+    tail_mask = None
+    if strategy == "automatical":
+        # keep reasonably dense diagonals (boundary-clipped stencil
+        # diagonals included); spill sparse outliers to the COO tail
+        dense_enough = counts >= 0.3 * n
+        chosen = offsets[dense_enough]
+        if chosen.size > _BANDED_MAX_DIAGS:
+            order = np.argsort(-counts[dense_enough])[:_BANDED_MAX_DIAGS]
+            chosen = np.sort(chosen[order])
+        if chosen.size == 0:
+            return "classical", None, None, None, None
+        kept_nnz = counts[np.isin(offsets, chosen)].sum()
+        # banded only pays when the kept diagonals are collectively dense
+        if kept_nnz / (chosen.size * n) < _BANDED_MIN_FILL:
+            return "classical", None, None, None, None
+        tail_nnz = d.nnz - kept_nnz
+        if tail_nnz > max(64, _TAIL_FRACTION * chosen.size * n):
+            return "classical", None, None, None, None
+        if tail_nnz:
+            tail_mask = ~np.isin(diag_of, chosen)
+        offsets = chosen
     if offsets.size > 4096:
-        return "classical", None, None, None
+        return "classical", None, None, None, None
 
     # Build (num_diags, n) diagonal value array indexed by row, then block it
     # into the pipeline layout the Pallas kernel consumes.
     from ..ops.spmv_pallas import block_diag_values, plan_banded_layout
+    keep = (~tail_mask) if tail_mask is not None else slice(None)
     diag_values = np.zeros((offsets.size, n), values_np.dtype)
-    diag_of_entry = np.searchsorted(
-        offsets, d.col_idx.astype(np.int64) - d.row_idx)
-    diag_values[diag_of_entry, d.row_idx] = values_np
+    diag_idx = np.searchsorted(offsets, diag_of[keep])
+    diag_values[diag_idx, d.row_idx[keep]] = values_np[keep]
     offsets_t = tuple(int(o) for o in offsets)
     meta = plan_banded_layout(offsets_t, n)
     dvb = block_diag_values(diag_values, meta)
-    return "banded", offsets_t, tuple(sorted(meta.items())), dvb
+    tail = None
+    if tail_mask is not None:
+        tail = (d.row_idx[tail_mask], d.col_idx[tail_mask],
+                values_np[tail_mask])
+    return "banded", offsets_t, tuple(sorted(meta.items())), dvb, tail

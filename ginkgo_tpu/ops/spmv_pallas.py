@@ -94,20 +94,24 @@ def _compute_block(dblk, xw, *, by_r, S, LO, acc_dtype):
 
 def _dia_kernel(xp_ref, dvb_ref, out_ref, dbuf, xbuf, obuf, dsem, xsem, osem,
                 *, by_r, S, LO, W, G, NB, K, acc_dtype):
-    """Multi-RHS: xp_ref (K, LO+NSp+HI, 128), out_ref (K, NSp, 128) — the
-    dominant dvb stream is read ONCE per block and reused across all K
-    columns (SpMM amortisation)."""
+    """Single-RHS (K=1): 2-D refs/buffers — measurably faster DMAs than the
+    K-plane layout.  Multi-RHS: xp_ref (K, LO+NSp+HI, 128), out_ref
+    (K, NSp, 128) — the dominant dvb stream is read ONCE per block and
+    reused across all K columns (SpMM amortisation)."""
+    flat = K == 1
+
     def d_dma(t, j):
         return pltpu.make_async_copy(dvb_ref.at[t], dbuf.at[j], dsem.at[j])
 
     def x_dma(t, j):
-        return pltpu.make_async_copy(xp_ref.at[:, pl.ds(t * S, W), :],
-                                     xbuf.at[j], xsem.at[j])
+        src = (xp_ref.at[pl.ds(t * S, W), :] if flat
+               else xp_ref.at[:, pl.ds(t * S, W), :])
+        return pltpu.make_async_copy(src, xbuf.at[j], xsem.at[j])
 
     def o_dma(t, j):
-        return pltpu.make_async_copy(obuf.at[j],
-                                     out_ref.at[:, pl.ds(t * S, S), :],
-                                     osem.at[j])
+        dst = (out_ref.at[pl.ds(t * S, S), :] if flat
+               else out_ref.at[:, pl.ds(t * S, S), :])
+        return pltpu.make_async_copy(obuf.at[j], dst, osem.at[j])
 
     for j in range(NB):
         d_dma(j, j).start()
@@ -123,10 +127,15 @@ def _dia_kernel(xp_ref, dvb_ref, out_ref, dbuf, xbuf, obuf, dsem, xsem, osem,
             def _():
                 o_dma(t - NB, j).wait()   # slot's previous writeback done
 
-            for kk in range(K):
-                obuf[j, kk] = _compute_block(
-                    dbuf[j], xbuf[j, kk], by_r=by_r, S=S, LO=LO,
+            if flat:
+                obuf[j] = _compute_block(
+                    dbuf[j], xbuf[j], by_r=by_r, S=S, LO=LO,
                     acc_dtype=acc_dtype).astype(obuf.dtype)
+            else:
+                for kk in range(K):
+                    obuf[j, kk] = _compute_block(
+                        dbuf[j], xbuf[j, kk], by_r=by_r, S=S, LO=LO,
+                        acc_dtype=acc_dtype).astype(obuf.dtype)
             o_dma(t, j).start()
 
             @pl.when(t + NB < G)
@@ -155,16 +164,23 @@ def _build_dia_call(offsets, D, K, dtype_name, meta_items, interpret):
         acc_dtype=jnp.float32 if dtype.itemsize <= 4 else dtype)
 
     vmem = NB * (D * S + K * (W + S)) * LANES * dtype.itemsize + (1 << 20)
+    if K == 1:
+        out_shape = jax.ShapeDtypeStruct((NSp, LANES), dtype)
+        xbuf = pltpu.VMEM((NB, W, LANES), dtype)
+        obuf = pltpu.VMEM((NB, S, LANES), dtype)
+    else:
+        out_shape = jax.ShapeDtypeStruct((K, NSp, LANES), dtype)
+        xbuf = pltpu.VMEM((NB, K, W, LANES), dtype)
+        obuf = pltpu.VMEM((NB, K, S, LANES), dtype)
     return pl.pallas_call(
         kernel,
         grid=(1,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((K, NSp, LANES), dtype),
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((NB, D, S, LANES), dtype),
-                        pltpu.VMEM((NB, K, W, LANES), dtype),
-                        pltpu.VMEM((NB, K, S, LANES), dtype),
+                        xbuf, obuf,
                         pltpu.SemaphoreType.DMA((NB,)),
                         pltpu.SemaphoreType.DMA((NB,)),
                         pltpu.SemaphoreType.DMA((NB,))],
@@ -182,6 +198,11 @@ def dia_spmv_pallas(offsets, dvb, meta, b, *, interpret=False):
     call = _build_dia_call(tuple(offsets), D, k, jnp.dtype(b.dtype).name,
                            tuple(sorted(meta.items())), interpret)
     n, LO, HI, NSp = meta["n"], meta["LO"], meta["HI"], meta["NSp"]
+    if k == 1:
+        xp = jnp.pad(b[:, 0], (LO * LANES, NSp * LANES - n + HI * LANES)
+                     ).reshape(LO + NSp + HI, LANES)
+        out = call(xp, dvb)
+        return out.reshape(NSp * LANES)[:n][:, None]
     xp = jnp.pad(b, ((LO * LANES, NSp * LANES - n + HI * LANES),
                      (0, 0))).T.reshape(k, LO + NSp + HI, LANES)
     out = call(xp, dvb)

@@ -139,3 +139,41 @@ def test_composition_combination():
     comb = Combination(coefficients=(2.0, -1.0), operators=(A, B))
     np.testing.assert_allclose(comb.apply(b),
                                2 * A.apply(b) - B.apply(b), rtol=1e-13)
+
+
+def test_banded_with_tail_strategy():
+    """Almost-banded matrices keep the banded fast path: off-band outliers
+    go to a small COO tail correction."""
+    from ginkgo_tpu.utils.generators import stencil_2d
+    data = stencil_2d(32, points=5)      # 1024 rows, 5 dense diagonals
+    n = data.shape[0]
+    # add a handful of off-band outliers (boundary-condition-like)
+    extra_r = np.array([0, 1, 5, n - 1])
+    extra_c = np.array([n - 1, n - 3, n - 10, 0])
+    extra_v = np.array([0.5, -0.25, 0.125, 0.75])
+    noisy = MatrixData((n, n),
+                       np.concatenate([data.row_idx, extra_r]),
+                       np.concatenate([data.col_idx, extra_c]),
+                       np.concatenate([data.values, extra_v]))
+    A = Csr.from_data(noisy)
+    assert A.strategy == "banded"
+    assert A.tail_rows is not None
+    assert len(A.diag_offsets) == 5      # outlier diagonals NOT in the band
+    b = np.random.default_rng(0).standard_normal((n, 2))
+    np.testing.assert_allclose(np.asarray(A.apply(jnp.asarray(b))),
+                               noisy.to_dense() @ b, rtol=1e-12, atol=1e-12)
+    # scale/astype propagate to the tail
+    np.testing.assert_allclose(np.asarray(A.scale(2.0).apply(
+        jnp.asarray(b))), 2 * (noisy.to_dense() @ b), rtol=1e-12)
+
+
+def test_big_tail_falls_back_to_classical():
+    rng = np.random.default_rng(1)
+    n = 256
+    # diagonal plus lots of random off-band entries
+    r = np.concatenate([np.arange(n), rng.integers(0, n, 400)])
+    c = np.concatenate([np.arange(n), rng.integers(0, n, 400)])
+    v = rng.standard_normal(r.shape[0])
+    data = MatrixData((n, n), r, c, v)
+    A = Csr.from_data(data)
+    assert A.strategy == "classical"
