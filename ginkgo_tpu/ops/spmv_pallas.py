@@ -153,9 +153,14 @@ _MAX_RHS = 8   # VMEM budget: columns beyond this fall back to the jnp tier
 
 
 @functools.lru_cache(maxsize=64)
-def _build_dia_call(offsets, D, K, dtype_name, meta_items, interpret):
+def _build_dia_call(offsets, D, K, dtype_name, dvb_dtype_name, meta_items,
+                    interpret):
+    """dvb may be stored at reduced precision (bf16/f16): the diagonal
+    stream halves while xbuf/obuf/arithmetic stay in the vector dtype —
+    the mixed-spmv capability at kernel level."""
     meta = dict(meta_items)
-    dtype = jnp.dtype(dtype_name)
+    dtype = jnp.dtype(dtype_name)          # vector/output dtype
+    ddtype = jnp.dtype(dvb_dtype_name)     # diagonal storage dtype
     S, NB, LO, HI, W, G, NSp = (meta[k] for k in
                                 ("S", "NB", "LO", "HI", "W", "G", "NSp"))
     kernel = functools.partial(
@@ -163,7 +168,8 @@ def _build_dia_call(offsets, D, K, dtype_name, meta_items, interpret):
         NB=NB, K=K,
         acc_dtype=jnp.float32 if dtype.itemsize <= 4 else dtype)
 
-    vmem = NB * (D * S + K * (W + S)) * LANES * dtype.itemsize + (1 << 20)
+    vmem = NB * (D * S * ddtype.itemsize
+                 + K * (W + S) * dtype.itemsize) * LANES + (1 << 20)
     if K == 1:
         out_shape = jax.ShapeDtypeStruct((NSp, LANES), dtype)
         xbuf = pltpu.VMEM((NB, W, LANES), dtype)
@@ -179,7 +185,7 @@ def _build_dia_call(offsets, D, K, dtype_name, meta_items, interpret):
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((NB, D, S, LANES), dtype),
+        scratch_shapes=[pltpu.VMEM((NB, D, S, LANES), ddtype),
                         xbuf, obuf,
                         pltpu.SemaphoreType.DMA((NB,)),
                         pltpu.SemaphoreType.DMA((NB,)),
@@ -191,11 +197,13 @@ def _build_dia_call(offsets, D, K, dtype_name, meta_items, interpret):
 
 
 def dia_spmv_pallas(offsets, dvb, meta, b, *, interpret=False):
-    """dvb: (G, D, S, 128) blocked diagonals; b: (n, k), k <= _MAX_RHS.
-    One dvb pass serves all k columns."""
+    """dvb: (G, D, S, 128) blocked diagonals (value dtype or reduced
+    bf16/f16 storage); b: (n, k), k <= _MAX_RHS. One dvb pass serves all
+    k columns."""
     G, D, S, _ = dvb.shape
     k = b.shape[1]
     call = _build_dia_call(tuple(offsets), D, k, jnp.dtype(b.dtype).name,
+                           jnp.dtype(dvb.dtype).name,
                            tuple(sorted(meta.items())), interpret)
     n, LO, HI, NSp = meta["n"], meta["LO"], meta["HI"], meta["NSp"]
     if k == 1:
@@ -211,9 +219,14 @@ def dia_spmv_pallas(offsets, dvb, meta, b, *, interpret=False):
 
 @register("dia_spmv", "tpu")
 def dia_spmv_tpu(offsets, dvb, meta, b):
+    ok_mixed = (jnp.dtype(b.dtype) == jnp.float32
+                and jnp.dtype(dvb.dtype) in (jnp.dtype(jnp.bfloat16),
+                                             jnp.dtype(jnp.float16),
+                                             jnp.dtype(jnp.float32)))
     if b.shape[1] > _MAX_RHS \
             or jnp.issubdtype(b.dtype, jnp.complexfloating) \
-            or b.dtype != dvb.dtype or jnp.dtype(b.dtype).itemsize > 4:
+            or jnp.dtype(b.dtype).itemsize > 4 \
+            or (b.dtype != dvb.dtype and not ok_mixed):
         from .spmv import dia_spmv
         return dia_spmv(offsets, dvb, meta, b)
     return dia_spmv_pallas(offsets, dvb, meta, b)

@@ -78,3 +78,16 @@ def test_dia_pallas_multi_rhs(k):
     got = dia_spmv_pallas(tuple(offsets), dvb, meta, x, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_dia_pallas_bf16_storage():
+    """Mixed-precision kernel: bf16 diagonal storage, f32 vectors/math."""
+    n, offsets = 2000, (-1, 0, 1)
+    diag_values, meta, dvb, x = _banded_setup(n, offsets, seed=5)
+    dvb16 = dvb.astype(jnp.bfloat16)
+    ref = dia_spmv(tuple(offsets), dvb, meta, x)
+    got = dia_spmv_pallas(tuple(offsets), dvb16, meta, x, interpret=True)
+    assert got.dtype == jnp.float32
+    scale = float(jnp.abs(ref).max()) + 1e-30
+    np.testing.assert_allclose(np.asarray(got) / scale,
+                               np.asarray(ref) / scale, atol=2e-2)
