@@ -101,3 +101,25 @@ def test_umbrella_namespaces():
     assert hasattr(gt.log, "Convergence")
     v = gt.version_info.get()
     assert v["ginkgo_tpu"] == gt.__version__
+
+
+def test_bf16_matrix_f32_solve():
+    """Mixed-precision CG: bf16-stored operator, f32 vectors/arithmetic
+    (the fast-kernel path on TPU; reference tier on CPU)."""
+    from ginkgo_tpu.utils.generators import stencil_2d
+    data = stencil_2d(12, points=5)
+    Abf = gt.Csr.from_data(data, dtype=jnp.bfloat16)
+    b = jnp.ones(144, jnp.float32)
+    res = Cg.solve(Abf, b, criteria=Iteration(2000) | ResidualNorm(1e-4))
+    assert bool(res.converged.all())
+    x64 = np.linalg.solve(data.to_dense(), np.ones(144))
+    np.testing.assert_allclose(np.asarray(res.x, np.float64), x64,
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_f16_storage_spmv():
+    data = generate_random_matrix(24, 24, nonzeros_per_row=(1, 4), seed=21)
+    A = gt.Csr.from_data(data, dtype=jnp.float16)
+    y = np.asarray(A.apply(jnp.ones(24, jnp.float32)), np.float64)
+    want = data.to_dense() @ np.ones(24)
+    assert np.abs(y - want).max() / (np.abs(want).max() + 1) < 5e-3
