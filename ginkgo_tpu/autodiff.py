@@ -11,6 +11,11 @@ implicit function theorem:
 Supports Csr/Coo/Dense system matrices; the adjoint solve reuses the same
 solver (on A^H).  This enables PDE-constrained optimisation / end-to-end
 training through solver layers on TPU.
+
+Note: differentiating w.r.t. the whole operator pytree requires
+``jax.grad(..., allow_int=True)`` (index arrays are integer leaves and
+receive zero cotangents); differentiating w.r.t. just the value buffer
+(close over the operator, map values in) needs no flag.
 """
 
 from __future__ import annotations
@@ -74,23 +79,45 @@ def _grad_wrt_operator(A, lam, x):
         gvals = gvals.astype(A.values.dtype)
         out = dataclasses.replace(zeros, values=gvals)
         if isinstance(A, Csr) and A.diag_values is not None:
+            # the banded forward never reads the COO `values` buffer — its
+            # true gradient is zero; everything flows to diag/tail buffers
+            out = dataclasses.replace(out, values=jnp.zeros_like(A.values))
             # banded layout carries a second value buffer; rebuild its grad
-            # through the same (diag, row) indexing used at construction
-            from .ops.spmv_pallas import block_diag_values, \
-                unblock_diag_values
+            # through the same (diag, row) indexing used at construction.
+            # Off-band (COO-tail) entries must NOT be scattered here — their
+            # gradient goes to tail_vals, in the same canonical entry order
+            # the tail was built with.
             meta = dict(A.band_meta)
             offs = jnp.asarray(A.diag_offsets)
-            d_of = jnp.searchsorted(offs, c.astype(jnp.int64)
-                                    - r.astype(jnp.int64))
-            flat = jnp.zeros((len(A.diag_offsets), A.shape[0]),
-                             gvals.dtype).at[d_of, r].add(gvals)
+            delta = c.astype(offs.dtype) - r.astype(offs.dtype)
+            d_of = jnp.clip(jnp.searchsorted(offs, delta), 0,
+                            offs.shape[0] - 1)
+            on_band = (offs[d_of] == delta) & (A.row_idx < A.shape[0])
+            D = len(A.diag_offsets)
+            flat = jnp.zeros((D, A.shape[0]), gvals.dtype).at[
+                jnp.where(on_band, d_of, 0),
+                jnp.where(on_band, r, 0)].add(
+                jnp.where(on_band, gvals, 0))
             n = meta["n"]
             NSp, S, G = meta["NSp"], meta["S"], meta["G"]
             padded = jnp.zeros((flat.shape[0], NSp * 128), flat.dtype
                                ).at[:, :n].set(flat)
             dvb = jnp.transpose(
                 padded.reshape(flat.shape[0], G, S, 128), (1, 0, 2, 3))
-            out = dataclasses.replace(out, diag_values=dvb)
+            out = dataclasses.replace(
+                out, diag_values=dvb.astype(A.diag_values.dtype))
+            if A.tail_rows is not None:
+                # tail entries appear in canonical order both in the full
+                # COO arrays and in the tail arrays: compact by prefix-sum
+                valid = A.row_idx < A.shape[0]
+                is_tail = (~on_band) & valid
+                slot = jnp.cumsum(is_tail.astype(jnp.int32)) - 1
+                tcap = A.tail_vals.shape[0]
+                tg = jnp.zeros((tcap + 1,), gvals.dtype).at[
+                    jnp.where(is_tail, jnp.minimum(slot, tcap), tcap)].add(
+                    jnp.where(is_tail, gvals, 0))[:tcap]
+                out = dataclasses.replace(
+                    out, tail_vals=tg.astype(A.tail_vals.dtype))
         return out
     if isinstance(A, Dense):
         return dataclasses.replace(

@@ -128,9 +128,13 @@ def write_mtx(dest, data: MatrixData) -> None:
 
 
 def write_binary(path: str, data: MatrixData) -> None:
-    """Binary serialization (``write_binary_raw`` capability analog)."""
-    np.savez(path, shape=np.asarray(data.shape, np.int64),
-             row_idx=data.row_idx, col_idx=data.col_idx, values=data.values)
+    """Binary serialization (``write_binary_raw`` capability analog).
+    Writes exactly ``path`` (np.savez would append '.npz' to a bare name,
+    breaking write/read round-trips)."""
+    with open(path, "wb") as f:
+        np.savez(f, shape=np.asarray(data.shape, np.int64),
+                 row_idx=data.row_idx, col_idx=data.col_idx,
+                 values=data.values)
 
 
 def read_binary(path: str) -> MatrixData:

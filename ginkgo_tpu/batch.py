@@ -43,6 +43,7 @@ class BatchCsr:
 
     row_idx: jnp.ndarray     # (nnz_stored,)
     col_idx: jnp.ndarray     # (nnz_stored,)
+    row_ptr: jnp.ndarray     # (n + 1,) pattern-static
     values: jnp.ndarray      # (num_batch, nnz_stored)
     shape: tuple = static_field()       # (n, m) per entry
     nnz: int = static_field()
@@ -52,9 +53,9 @@ class BatchCsr:
         return self.values.shape[0]
 
     def item(self, values_row) -> Csr:
-        """The per-lane view used inside vmap."""
-        row_ptr = jnp.zeros((self.shape[0] + 1,), self.row_idx.dtype)
-        return Csr(row_ptr=row_ptr, col_idx=self.col_idx,
+        """The per-lane view used inside vmap (pattern-consistent row_ptr
+        so row_lengths & friends are correct on batch items)."""
+        return Csr(row_ptr=self.row_ptr, col_idx=self.col_idx,
                    values=values_row, row_idx=self.row_idx,
                    shape=self.shape, nnz=self.nnz, strategy="classical")
 
@@ -94,6 +95,7 @@ class BatchCsr:
         vals[:, :nnz] = values
         return cls(row_idx=jnp.asarray(rows, index_dtype),
                    col_idx=jnp.asarray(cols, index_dtype),
+                   row_ptr=jnp.asarray(d.row_ptrs(), index_dtype),
                    values=jnp.asarray(vals), shape=d.shape, nnz=nnz)
 
     def to_dense_batch(self):
@@ -166,12 +168,20 @@ class BatchEll:
 
     @classmethod
     def from_data(cls, items, dtype=None, index_dtype=jnp.int32):
-        ells = [Ell.from_data(it, dtype, index_dtype) for it in items]
+        ds = [it.canonical() for it in items]
+        d0 = ds[0]
+        for o in ds[1:]:
+            if (o.shape != d0.shape or o.nnz != d0.nnz
+                    or not np.array_equal(o.row_idx, d0.row_idx)
+                    or not np.array_equal(o.col_idx, d0.col_idx)):
+                raise ValueError(
+                    "batch entries must share one sparsity pattern")
+        ells = [Ell.from_data(it, dtype, index_dtype) for it in ds]
         e0 = ells[0]
         w = max(e.width for e in ells)
         # rebuild with common width
         ells = [Ell.from_data(it, dtype, index_dtype, width=w)
-                for it in items]
+                for it in ds]
         return cls(col_idx=ells[0].col_idx,
                    values=jnp.stack([e.values for e in ells]),
                    row_lengths=ells[0].row_lengths, shape=e0.shape,

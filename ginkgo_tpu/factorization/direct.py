@@ -108,14 +108,16 @@ class Cholesky:
         data = A.to_matrix_data() if hasattr(A, "to_matrix_data") else A
         d = data.canonical()
         n = d.shape[0]
-        # work on the lower triangle, column-oriented left-looking
+        # work on the lower triangle, column-oriented left-looking; a
+        # row->finalized-columns index keeps cost at O(nnz + fill) instead
+        # of scanning all previous columns per j (the Lu col_rows trick)
         cols = [dict() for _ in range(n)]   # cols[j][i] = L[i, j], i >= j
+        row_cols = [[] for _ in range(n)]   # row j -> columns k<j, L[j,k]!=0
         for i, j, v in zip(d.row_idx, d.col_idx, d.values):
             if i >= j:
                 cols[int(j)][int(i)] = v
         for j in range(n):
-            # subtract contributions of previous columns k < j with L[j,k]!=0
-            for k in range(j):
+            for k in row_cols[j]:
                 ljk = cols[k].get(j)
                 if ljk is None or ljk == 0:
                     continue
@@ -130,6 +132,7 @@ class Cholesky:
             for i in list(cols[j]):
                 if i > j:
                     cols[j][i] = cols[j][i] / ljj
+                    row_cols[i].append(j)   # column j is now finalized
         r, c, v = [], [], []
         for j in range(n):
             for i, val in cols[j].items():

@@ -67,12 +67,13 @@ class Coo(LinOp):
 
     def transpose(self):
         """Device-side transpose: stable re-sort by (col, row); padded
-        entries keep sorting last so the result stays row-major-sorted."""
+        entries keep sorting last so the result stays row-major-sorted.
+        Two stable argsorts (lexsort) — no composite keys, so no int32
+        overflow when jax_enable_x64 is off."""
         pad = self.row_idx >= self.shape[0]
-        key = jnp.where(pad, jnp.iinfo(jnp.int64).max,
-                        self.col_idx.astype(jnp.int64) * self.shape[0]
-                        + jnp.minimum(self.row_idx, self.shape[0] - 1))
-        order = jnp.argsort(key, stable=True)
+        primary = jnp.where(pad, self.shape[1], self.col_idx)
+        o1 = jnp.argsort(self.row_idx, stable=True)
+        order = o1[jnp.argsort(primary[o1], stable=True)]
         pad_s = pad[order]
         new_rows = jnp.where(pad_s, self.shape[1], self.col_idx[order])
         new_cols = jnp.where(pad_s, 0, self.row_idx[order])

@@ -16,10 +16,11 @@ from ..base.linop import LinOp, linop_dataclass, static_field
 
 @linop_dataclass
 class Fft(LinOp):
-    """1-D DFT over multivector rows: x = FFT(b) columnwise."""
+    """1-D DFT over multivector rows: x = scale * FFT(b) columnwise."""
 
     size: int = static_field()
     inverse: bool = static_field(default=False)
+    scale: float = static_field(default=1.0)
 
     @property
     def shape(self):
@@ -27,15 +28,21 @@ class Fft(LinOp):
 
     def _apply(self, b):
         bc = b.astype(jnp.result_type(b.dtype, jnp.complex64))
-        if self.inverse:
-            return jnp.fft.ifft(bc, axis=0)
-        return jnp.fft.fft(bc, axis=0)
+        out = (jnp.fft.ifft(bc, axis=0) if self.inverse
+               else jnp.fft.fft(bc, axis=0))
+        return out if self.scale == 1.0 else out * self.scale
 
     def transpose(self):
-        return self
+        return self          # the DFT matrix is symmetric
 
     def conj_transpose(self):
-        return Fft(size=self.size, inverse=not self.inverse)
+        # true adjoint: F^H = N * ifft (the op convention keeps ifft
+        # normalised, so the adjoint carries the explicit N)
+        if self.inverse:
+            return Fft(size=self.size, inverse=False,
+                       scale=self.scale / self.size)
+        return Fft(size=self.size, inverse=True,
+                   scale=self.scale * self.size)
 
 
 @linop_dataclass
@@ -45,6 +52,7 @@ class FftNd(LinOp):
 
     dims: tuple = static_field()
     inverse: bool = static_field(default=False)
+    scale: float = static_field(default=1.0)
 
     @property
     def shape(self):
@@ -60,10 +68,15 @@ class FftNd(LinOp):
         axes = tuple(range(len(self.dims)))
         out = (jnp.fft.ifftn(grid, axes=axes) if self.inverse
                else jnp.fft.fftn(grid, axes=axes))
-        return out.reshape(self.shape[0], k)
+        out = out.reshape(self.shape[0], k)
+        return out if self.scale == 1.0 else out * self.scale
 
     def conj_transpose(self):
-        return FftNd(dims=self.dims, inverse=not self.inverse)
+        n = self.shape[0]
+        if self.inverse:
+            return FftNd(dims=self.dims, inverse=False,
+                         scale=self.scale / n)
+        return FftNd(dims=self.dims, inverse=True, scale=self.scale * n)
 
 
 def Fft2(n1, n2=None, inverse=False):

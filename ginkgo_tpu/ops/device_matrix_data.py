@@ -16,12 +16,11 @@ import jax.numpy as jnp
 
 
 def sort_row_major(rows, cols, vals, num_rows, num_cols):
-    """Stable sort by (row, col); padding (row >= num_rows) sorts last."""
-    key = jnp.where(rows >= num_rows,
-                    jnp.iinfo(jnp.int64).max,
-                    rows.astype(jnp.int64) * num_cols
-                    + cols.astype(jnp.int64))
-    order = jnp.argsort(key, stable=True)
+    """Stable sort by (row, col); padding (row >= num_rows) sorts last.
+    Two stable argsorts (lexsort) — overflow-safe without x64."""
+    order1 = jnp.argsort(cols, stable=True)
+    primary = jnp.minimum(rows, num_rows)[order1]
+    order = order1[jnp.argsort(primary, stable=True)]
     return rows[order], cols[order], vals[order]
 
 
@@ -30,13 +29,9 @@ def sum_duplicates(rows, cols, vals, num_rows, num_cols):
     result is row-major sorted, deduplicated, padded at the tail; also
     returns the traced nnz."""
     rows, cols, vals = sort_row_major(rows, cols, vals, num_rows, num_cols)
-    key = jnp.where(rows >= num_rows,
-                    jnp.iinfo(jnp.int64).max,
-                    rows.astype(jnp.int64) * num_cols
-                    + cols.astype(jnp.int64))
     valid = rows < num_rows
-    is_new = jnp.concatenate([valid[:1],
-                              (key[1:] != key[:-1]) & valid[1:]])
+    same = (rows[1:] == rows[:-1]) & (cols[1:] == cols[:-1])
+    is_new = jnp.concatenate([valid[:1], (~same) & valid[1:]])
     # destination slot of each entry = (#new groups before it) - 1
     slot = jnp.cumsum(is_new.astype(jnp.int32)) - 1
     cap = rows.shape[0]

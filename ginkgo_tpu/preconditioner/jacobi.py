@@ -268,9 +268,12 @@ def _extract_diag_blocks(A, nb: int, bs: int):
         dense = jnp.pad(dense, ((0, pad), (0, pad)))
         out = jnp.stack([dense[i * bs:(i + 1) * bs, i * bs:(i + 1) * bs]
                          for i in range(nb)])
-    # unit diagonal on padded rows (and rows with zero diagonal)
+    # unit diagonal on padded rows AND on in-range all-zero rows (a zero
+    # diagonal block row would otherwise poison the batched inverse with
+    # nan/inf — the scalar path's diag==0 guard, blockwise)
     pad_rows = (jnp.arange(nb)[:, None] * bs
                 + jnp.arange(bs)[None, :]) >= n           # (nb, bs)
+    zero_rows = jnp.all(out == 0, axis=2)                 # (nb, bs)
     eye = jnp.eye(bs, dtype=out.dtype)
-    out = jnp.where(pad_rows[:, :, None], eye[None], out)
+    out = jnp.where((pad_rows | zero_rows)[:, :, None], eye[None], out)
     return out

@@ -123,17 +123,33 @@ def run_iteration_loop(step_fn, make_check_args, state0, criterion: Criterion,
 
     from ..stop.criterion import has_host_side
     if has_host_side(criterion):
-        # host-driven loop (Time criterion / per-iteration logging): one
-        # jitted-on-first-use step per trip, criterion checked on the host
+        # host-driven loop (Time criterion / per-iteration logging): the
+        # heavy step+mask is jitted ONCE (a single device dispatch per
+        # trip); only the criterion check runs eagerly so Time can read
+        # the wall clock
         import numpy as np
         from ..log import logger as _log
+
+        @jax.jit
+        def fused_step(active, state):
+            new_state = step_fn(state)
+            return mask_cols(active, new_state, state)
+
         carry = carry0
         while bool(np.any(np.asarray(carry["active"]))) and \
                 int(carry["it"]) < cap:
-            carry = body(carry)
+            state = fused_step(carry["active"], carry["state"])
+            it = carry["it"] + 1
+            args = make_check_args(state, it)
+            stop, conv, crit = criterion.check(carry["crit"], args)
+            newly = carry["active"] & stop
+            carry = dict(
+                state=state, crit=crit, it=it,
+                active=carry["active"] & ~stop,
+                converged=carry["converged"] | (newly & conv),
+                iters=carry["iters"] + carry["active"].astype(jnp.int32))
             if _log.has_loggers():
-                _log.dispatch(_log.ITERATION_COMPLETE,
-                              iteration=int(carry["it"]))
+                _log.dispatch(_log.ITERATION_COMPLETE, iteration=int(it))
         return carry, None
 
     if not trace:

@@ -202,9 +202,13 @@ def default_criterion(dtype, max_iters=1000, reduction_factor=None):
 def as_criterion(obj) -> Criterion:
     if obj is None:
         raise ValueError("a stopping criterion is required")
+    if isinstance(obj, Combined) and not obj.criteria:
+        raise ValueError("Combined criterion needs at least one member")
     if isinstance(obj, Criterion):
         return obj
     if isinstance(obj, (list, tuple)):
+        if not obj:
+            raise ValueError("criteria list must not be empty")
         return Combined(criteria=tuple(obj))
     raise TypeError(f"not a criterion: {obj!r}")
 

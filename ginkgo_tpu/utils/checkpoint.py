@@ -19,12 +19,15 @@ import numpy as np
 
 
 def save(path: str, tree) -> None:
-    """Save any pytree of arrays (+ picklable static aux) to ``path``."""
+    """Save any pytree of arrays (+ picklable static aux) to exactly
+    ``path`` (np.savez appends '.npz' to bare names, breaking round-trips,
+    so write through a file handle)."""
     leaves, treedef = jax.tree_util.tree_flatten(tree)
     arrays = {f"leaf_{i}": np.asarray(v) for i, v in enumerate(leaves)}
     arrays["__treedef__"] = np.frombuffer(
         pickle.dumps(treedef), dtype=np.uint8)
-    np.savez(path, **arrays)
+    with open(path, "wb") as f:
+        np.savez(f, **arrays)
 
 
 def load(path: str):
