@@ -208,13 +208,17 @@ class DistributedMatrix(LinOp):
             gpos = np.searchsorted(imap.remote_global, d.col_idx[is_ghost])
             nl_ghost.append(gpos)
             nl_vals.append(d.values[is_ghost])
-            # schedule: ghost g owned by q at local row imap.remote_local[g]
+            # schedule: ghost g owned by q at local row imap.remote_local[g];
+            # slots are per-(owner q -> me p) positions — vectorized group-by
+            # (remote_owner is sorted, ghosts of one owner stay in order)
             gown = imap.remote_owner
-            gsl = np.zeros(imap.num_ghosts, np.int64)
-            for g in range(imap.num_ghosts):
-                q = int(gown[g])
-                gsl[g] = len(send_lists[q][p])
-                send_lists[q][p].append(int(imap.remote_local[g]))
+            starts = np.searchsorted(gown, np.arange(P + 1))
+            gsl = (np.arange(imap.num_ghosts) - starts[gown]
+                   if imap.num_ghosts else np.zeros(0, np.int64))
+            for q in range(P):
+                lo, hi = starts[q], starts[q + 1]
+                if hi > lo:
+                    send_lists[q][p] = imap.remote_local[lo:hi].tolist()
             ghost_owner.append(gown)
             ghost_slot.append(gsl)
         S = max([len(send_lists[q][p]) for q in range(P)
