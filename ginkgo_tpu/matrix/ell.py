@@ -34,12 +34,17 @@ class Ell(LinOp):
 
     @classmethod
     def from_data(cls, data: MatrixData, dtype=None, index_dtype=jnp.int32,
-                  width: int | None = None):
+                  width: int | None = None, allow_truncate: bool = False):
         d = data.canonical()
         n, m = d.shape
         lengths = np.diff(d.row_ptrs())
-        w = int(lengths.max()) if width is None else width
-        w = max(w, 1)
+        w = int(lengths.max()) if width is None and d.nnz else width
+        w = max(w if w is not None else 1, 1)
+        if (not allow_truncate and d.nnz
+                and int(lengths.max()) > w):
+            raise ValueError(
+                f"row with {int(lengths.max())} entries exceeds the imposed "
+                f"ELL width {w} (pass allow_truncate=True to drop overflow)")
         cols = np.zeros((n, w), np.int64)
         vals = np.zeros((n, w), d.values.dtype if dtype is None else dtype)
         pos = np.concatenate([np.arange(l) for l in lengths]) if d.nnz else \

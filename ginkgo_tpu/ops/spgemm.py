@@ -54,6 +54,12 @@ def spgeam_data(alpha, a: MatrixData, beta, b: MatrixData) -> MatrixData:
     return _from_scipy(c).sort_row_major()
 
 
+def advanced_spgemm_data(alpha, a: MatrixData, b: MatrixData, beta,
+                         d: MatrixData) -> MatrixData:
+    """C = alpha*A@B + beta*D (Ginkgo's advanced spgemm / apply(a,b,c,d))."""
+    return spgeam_data(alpha, spgemm_data(a, b), beta, d)
+
+
 class SpgemmReuse:
     """Symbolic capture of C = A @ B for repeated numeric products.
 

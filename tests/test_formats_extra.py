@@ -170,3 +170,23 @@ def test_csr_submatrix():
     np.testing.assert_allclose(S.to_dense(),
                                np.asarray(A.to_dense())[5:15, 2:12],
                                rtol=1e-14)
+
+
+def test_advanced_spgemm():
+    from ginkgo_tpu.ops.spgemm import advanced_spgemm_data
+    a = generate_random_matrix(12, 10, nonzeros_per_row=(1, 4), seed=30)
+    b = generate_random_matrix(10, 14, nonzeros_per_row=(1, 4), seed=31)
+    d = generate_random_matrix(12, 14, nonzeros_per_row=(1, 3), seed=32)
+    c = advanced_spgemm_data(2.0, a, b, -0.5, d)
+    want = 2.0 * a.to_dense() @ b.to_dense() - 0.5 * d.to_dense()
+    np.testing.assert_allclose(c.to_dense(), want, rtol=1e-12, atol=1e-13)
+
+
+def test_ell_imposed_width_raises():
+    from ginkgo_tpu import Ell
+    data = MatrixData((2, 4), [0, 0, 0, 1], [0, 1, 2, 0],
+                      [1.0, 2.0, 3.0, 4.0])
+    with pytest.raises(ValueError):
+        Ell.from_data(data, width=2)
+    A = Ell.from_data(data, width=2, allow_truncate=True)
+    assert A.nnz == 3          # one entry dropped, explicitly allowed
