@@ -87,3 +87,33 @@ def test_distributed_benchmark_smoke(capsys):
     # check the schema and that the measurement is positive
     assert results[1]["weak_scaling_efficiency"] > 0
     assert results[1]["nnz_per_s"] > 0 and results[1]["devices"] == 2
+
+
+def test_export_solve_roundtrip():
+    """AOT export: a configured CG solve serializes to StableHLO and runs
+    after deserialization with NEW matrix values on the same pattern."""
+    import jax
+    from ginkgo_tpu.solver import cg
+    from ginkgo_tpu.stop.criterion import Iteration, ResidualNorm
+    from ginkgo_tpu.utils.export import load_solve, serialize_solve
+    from ginkgo_tpu.utils.generators import make_spd
+
+    data = make_spd(generate_random_matrix(
+        16, 16, nonzeros_per_row=(1, 4), seed=40), shift=1.5)
+    A = Csr.from_data(data, dtype=np.float32)
+    crit = Iteration(200) | ResidualNorm(1e-6)
+    blob = serialize_solve(
+        cg.solve, A, jax.ShapeDtypeStruct((16,), jnp.float32),
+        criteria=crit)
+    assert isinstance(blob, (bytes, bytearray)) and len(blob) > 100
+
+    run = load_solve(blob)
+    b = jnp.ones(16, jnp.float32)
+    x = np.asarray(run(A, b))
+    np.testing.assert_allclose(data.to_dense() @ x, 1.0, rtol=1e-4,
+                               atol=1e-4)
+    # new values, same pattern
+    import dataclasses
+    A2 = dataclasses.replace(A, values=A.values * 2.0)
+    x2 = np.asarray(run(A2, b))
+    np.testing.assert_allclose(x2, x / 2.0, rtol=1e-4, atol=1e-5)
