@@ -73,7 +73,9 @@ def _grad_wrt_operator(A, lam, x):
     if isinstance(A, (Csr, Coo)):
         r = jnp.clip(A.row_idx, 0, A.shape[0] - 1)
         c = jnp.clip(A.col_idx, 0, A.shape[1] - 1)
-        gvals = -jnp.sum(lam2[r] * jnp.conj(x2[c]), axis=1)
+        # JAX cotangent convention: dL/dA = -lam x^T (no conjugation of x;
+        # verified against jnp.linalg.solve gradients for complex types)
+        gvals = -jnp.sum(lam2[r] * x2[c], axis=1)
         # zero out padded entries
         gvals = jnp.where(A.row_idx < A.shape[0], gvals, 0)
         gvals = gvals.astype(A.values.dtype)
@@ -121,6 +123,6 @@ def _grad_wrt_operator(A, lam, x):
         return out
     if isinstance(A, Dense):
         return dataclasses.replace(
-            zeros, data=(-lam2 @ jnp.conj(x2).T).astype(A.data.dtype))
+            zeros, data=(-lam2 @ x2.T).astype(A.data.dtype))
     raise NotImplementedError(
         f"implicit gradients not implemented for {type(A).__name__}")

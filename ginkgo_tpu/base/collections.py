@@ -108,8 +108,10 @@ class IndexSet:
     def get_global_index(self, local_idx) -> np.ndarray:
         """position within the set -> global index (-1 when out of range)."""
         l = np.asarray(local_idx, np.int64)
+        if self.get_num_elems() == 0:
+            return np.full(l.shape, -1, np.int64)
         ok = (l >= 0) & (l < self.get_num_elems())
-        lc = np.clip(l, 0, max(self.get_num_elems() - 1, 0))
+        lc = np.clip(l, 0, self.get_num_elems() - 1)
         sub = np.searchsorted(self.offsets[1:], lc, side="right")
         out = self.begins[sub] + (lc - self.offsets[sub])
         return np.where(ok, out, -1)

@@ -48,7 +48,7 @@ def storage_bytes(fmt, A):
     if fmt == "ell":
         return int(A.values.size * (vb + ib))
     if fmt == "sellp":
-        return int(A.values.size * (vb + ib))
+        return int(A.val_flat.size * (vb + ib))
     if fmt == "hybrid":
         return int(A.ell.values.size * (vb + ib)
                    + A.coo.nnz * (2 * ib + vb))

@@ -55,7 +55,19 @@ class Coo(LinOp):
             self.row_idx, self.col_idx].add(self.values, mode="drop")
 
     def to_csr(self, strategy="classical"):
+        """Device-side conversion (classical layout). Non-classical
+        strategies need host-side layout processing and therefore concrete
+        (non-traced) arrays — they route through from_data."""
         from .csr import Csr
+        if strategy not in ("classical", "load_balance", "merge_path",
+                            "sparselib"):
+            import jax.core
+            if isinstance(self.values, jax.core.Tracer):
+                raise ValueError(
+                    f"strategy {strategy!r} needs build-time (non-traced) "
+                    "arrays; convert outside jit or use 'classical'")
+            return Csr.from_data(self.to_matrix_data(), strategy=strategy,
+                                 dtype=self.values.dtype)
         counts = jnp.where(
             jnp.arange(self.row_idx.shape[0]) < self.nnz,
             jnp.ones_like(self.row_idx), jnp.zeros_like(self.row_idx))

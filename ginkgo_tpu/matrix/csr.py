@@ -145,12 +145,25 @@ class Csr(LinOp):
         return SparsityCsr.from_data(self.to_matrix_data(), **kw)
 
     def transpose(self):
-        t = self.to_coo().transpose()
-        return t.to_csr()
+        """Transpose. With concrete (build-time) arrays the strategy is
+        re-derived so a banded matrix stays banded; inside jit the result
+        uses the traceable classical layout."""
+        import jax.core
+        if (self.strategy == "banded"
+                and not isinstance(self.values, jax.core.Tracer)):
+            return Csr.from_data(self.to_matrix_data().transpose()
+                                 .sort_row_major(), strategy="automatical",
+                                 dtype=self.values.dtype)
+        return self.to_coo().transpose().to_csr()
 
     def conj_transpose(self):
-        t = self.to_coo().conj_transpose()
-        return t.to_csr()
+        import jax.core
+        if (self.strategy == "banded"
+                and not isinstance(self.values, jax.core.Tracer)):
+            return Csr.from_data(self.to_matrix_data().conj_transpose()
+                                 .sort_row_major(), strategy="automatical",
+                                 dtype=self.values.dtype)
+        return self.to_coo().conj_transpose().to_csr()
 
     def extract_diagonal(self):
         return self.to_coo().extract_diagonal()
@@ -190,8 +203,10 @@ class Csr(LinOp):
     def create_submatrix(self, rows: slice, cols: slice, **kwargs):
         """Extract the [rows, cols] block (csr.cpp submatrix kernels)."""
         d = self.to_matrix_data()
-        r0, r1 = rows.start or 0, rows.stop
-        c0, c1 = cols.start or 0, cols.stop
+        r0 = rows.start or 0
+        r1 = self.shape[0] if rows.stop is None else rows.stop
+        c0 = cols.start or 0
+        c1 = self.shape[1] if cols.stop is None else cols.stop
         keep = ((d.row_idx >= r0) & (d.row_idx < r1)
                 & (d.col_idx >= c0) & (d.col_idx < c1))
         sub = MatrixData((r1 - r0, c1 - c0), d.row_idx[keep] - r0,

@@ -36,9 +36,10 @@ class Fbcsr(LinOp):
         bp = jnp.pad(b, ((0, pad_m), (0, 0))) if pad_m else b
         b_blocks = bp.reshape(nbc, bs, k)
         gathered = b_blocks[self.block_cols]               # (nnzb, bs, k)
-        prod = jnp.einsum("bij,bjk->bik",
-                          self.blocks.astype(b.dtype), gathered,
-                          preferred_element_type=b.dtype)  # MXU batched gemm
+        from .dense import _acc_dtype
+        prod = jnp.einsum(
+            "bij,bjk->bik", self.blocks.astype(b.dtype), gathered,
+            preferred_element_type=_acc_dtype(b.dtype)).astype(b.dtype)
         out = jax.ops.segment_sum(prod, self.block_rows,
                                   num_segments=nbr + 1)[:nbr]
         return out.reshape(nbr * bs, k)[:n]

@@ -1,10 +1,13 @@
 """SELL-P (sliced ELLPACK) format.
 
 Analog of ``include/ginkgo/core/matrix/sellp.hpp:43`` (SELL-C-sigma family):
-rows are grouped into slices of ``slice_size``; each slice is padded to its
-own max row length rounded up to ``stride_factor``.  On TPU the (slice,
-slice_size, width) planes are exactly the VPU-lane-friendly tiling; slices
-bound padding waste the way SELL-C bounds it on SIMD CPUs.
+rows are grouped into slices of ``slice_size``; each slice is padded to ITS
+OWN max row length rounded up to ``stride_factor`` — that per-slice stride
+is the format's whole point (one long row only pads its own slice, unlike
+ELL).  Storage is the flat per-slice-padded buffer with slice offsets
+(Ginkgo's layout); the SpMV is the load-balanced gather + segment-sum over
+the flat entries, which is also how the classical CSR strategy maps to the
+VPU (SURVEY.md §2.12).
 """
 
 from __future__ import annotations
@@ -19,22 +22,26 @@ from ..ops.registry import lookup
 
 @linop_dataclass
 class Sellp(LinOp):
-    col_idx: jnp.ndarray      # (num_slices, slice_size, width)
-    values: jnp.ndarray       # (num_slices, slice_size, width)
-    row_lengths: jnp.ndarray  # (num_slices, slice_size)
+    col_flat: jnp.ndarray     # (total,) columns, slice-major padded, pad 0
+    val_flat: jnp.ndarray     # (total,) values, pad 0
+    row_flat: jnp.ndarray     # (total,) owning row, pad n
     shape: tuple = static_field()
     nnz: int = static_field()
     slice_size: int = static_field(default=64)
+    slice_offsets: tuple = static_field(default=())   # per-slice start
+    slice_widths: tuple = static_field(default=())    # per-slice stride
 
     @property
-    def width(self):
-        return self.values.shape[2]
+    def num_slices(self):
+        return len(self.slice_widths)
+
+    @property
+    def total_storage(self):
+        return self.val_flat.shape[0]
 
     def _apply(self, b):
-        mask = (jnp.arange(self.width)[None, None, :]
-                < self.row_lengths[:, :, None])
-        return lookup("sellp_spmv")(self.col_idx, self.values, b, mask,
-                                    self.shape[0])
+        return lookup("coo_spmv")(self.row_flat, self.col_flat,
+                                  self.val_flat, b, self.shape[0])
 
     @classmethod
     def from_data(cls, data: MatrixData, dtype=None, index_dtype=jnp.int32,
@@ -46,46 +53,40 @@ class Sellp(LinOp):
         lengths = np.zeros(num_slices * ss, np.int64)
         lengths[:n] = np.diff(d.row_ptrs())
         per_slice = lengths.reshape(num_slices, ss)
-        w = int(-(-(per_slice.max() if d.nnz else 1) // stride_factor)
-                * stride_factor)
-        w = max(w, 1)
-        cols = np.zeros((num_slices, ss, w), np.int64)
-        vals = np.zeros((num_slices, ss, w),
-                        d.values.dtype if dtype is None else dtype)
+        widths = np.maximum(
+            -(-per_slice.max(axis=1) // stride_factor) * stride_factor, 1)
+        offsets = np.concatenate([[0], np.cumsum(widths * ss)])
+        total = int(offsets[-1])
+        cols = np.zeros(total, np.int64)
+        vals = np.zeros(total, d.values.dtype if dtype is None else dtype)
+        rows = np.full(total, n, np.int64)
         if d.nnz:
             pos = np.concatenate([np.arange(l) for l in lengths[:n]])
             sl = d.row_idx // ss
             lr = d.row_idx - sl * ss
-            cols[sl, lr, pos] = d.col_idx
-            vals[sl, lr, pos] = d.values
-        return cls(col_idx=jnp.asarray(cols, index_dtype),
-                   values=jnp.asarray(vals),
-                   row_lengths=jnp.asarray(per_slice, index_dtype),
-                   shape=(n, m), nnz=d.nnz, slice_size=ss)
+            flat = offsets[sl] + lr * widths[sl] + pos
+            cols[flat] = d.col_idx
+            vals[flat] = d.values
+            rows[flat] = d.row_idx
+        return cls(col_flat=jnp.asarray(cols, index_dtype),
+                   val_flat=jnp.asarray(vals),
+                   row_flat=jnp.asarray(rows, index_dtype),
+                   shape=(n, m), nnz=d.nnz, slice_size=ss,
+                   slice_offsets=tuple(int(o) for o in offsets[:-1]),
+                   slice_widths=tuple(int(w) for w in widths))
 
     def to_dense(self):
-        s, c, w = self.col_idx.shape
-        mask = (jnp.arange(w)[None, None, :] < self.row_lengths[:, :, None])
-        rows = jnp.broadcast_to(
-            (jnp.arange(s)[:, None, None] * c
-             + jnp.arange(c)[None, :, None]), self.col_idx.shape)
-        flat = jnp.zeros((s * c, self.shape[1]), self.values.dtype).at[
-            rows.reshape(-1), self.col_idx.reshape(-1)].add(
-            jnp.where(mask, self.values, 0).reshape(-1))
-        return flat[:self.shape[0]]
+        return jnp.zeros(self.shape, self.val_flat.dtype).at[
+            self.row_flat, self.col_flat].add(self.val_flat, mode="drop")
 
     def to_matrix_data(self) -> MatrixData:
-        cols = np.asarray(self.col_idx)
-        vals = np.asarray(self.values)
-        lens = np.asarray(self.row_lengths)
-        s, c, w = cols.shape
-        mask = np.arange(w)[None, None, :] < lens[:, :, None]
-        si, li, pi = np.nonzero(mask)
-        rows = si * c + li
+        rows = np.asarray(self.row_flat)
         keep = rows < self.shape[0]
-        return MatrixData(self.shape, rows[keep].astype(np.int64),
-                          cols[si, li, pi][keep],
-                          vals[si, li, pi][keep]).sort_row_major()
+        vals = np.asarray(self.val_flat)[keep]
+        nz = vals != 0
+        return MatrixData(self.shape, rows[keep][nz],
+                          np.asarray(self.col_flat)[keep][nz],
+                          vals[nz]).sort_row_major()
 
     def to_csr(self, **kwargs):
         from .csr import Csr

@@ -56,9 +56,16 @@ def remove_zeros(rows, cols, vals, num_rows):
 
 def canonicalize_device(coo):
     """Full device canonicalization of a Coo operator (returns a new Coo
-    with the same capacity; padded tail inert). Jit-compatible."""
+    with the same capacity; padded tail inert). Jit-compatible.
+
+    Order matches MatrixData.canonical(): duplicates are summed FIRST so
+    entries that cancel to zero are removed (a second dedup pass compacts
+    the holes left by zero removal — it is a no-op on the values since no
+    duplicates remain)."""
     import dataclasses
     n, m = coo.shape
-    r, c, v = remove_zeros(coo.row_idx, coo.col_idx, coo.values, n)
+    r, c, v = coo.row_idx, coo.col_idx, coo.values
+    r, c, v, _ = sum_duplicates(r, c, v, n, m)
+    r, c, v = remove_zeros(r, c, v, n)
     r, c, v, _ = sum_duplicates(r, c, v, n, m)
     return dataclasses.replace(coo, row_idx=r, col_idx=c, values=v)

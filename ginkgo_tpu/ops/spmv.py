@@ -62,12 +62,5 @@ def dense_spmv(a, b):
     return a @ b
 
 
-@register("sellp_spmv", "reference")
-def sellp_spmv(col_idx, values, b, valid_mask, num_rows):
-    """SELL-P: per-slice padded ELL; arrays are (num_slices, slice_size, w)."""
-    s, c, w = col_idx.shape
-    flat_cols = col_idx.reshape(s * c, w)
-    flat_vals = jnp.where(valid_mask, values, 0).reshape(s * c, w)
-    gathered = b[flat_cols]                          # (s*c, w, k)
-    out = jnp.einsum("nw,nwk->nk", flat_vals.astype(b.dtype), gathered)
-    return out[:num_rows]
+# SELL-P uses the flat per-slice-padded layout and the coo_spmv kernel
+# (matrix/sellp.py) — the padded-3D einsum variant was removed with it.

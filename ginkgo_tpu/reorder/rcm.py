@@ -51,18 +51,16 @@ def _bfs_levels(adj, start, order_by_degree=True):
 
 
 def _pseudo_peripheral(adj, start):
-    """George-Liu: repeat BFS from the deepest min-degree leaf."""
-    deg = np.diff(adj.indptr)
+    """George-Liu: repeat BFS from the last-discovered vertex until the
+    eccentricity stops growing (one BFS per iteration)."""
     current = start
-    _, depth = _bfs_levels(adj, current, order_by_degree=False)
+    order, depth = _bfs_levels(adj, current, order_by_degree=False)
     while True:
-        order, d2 = _bfs_levels(adj, current, order_by_degree=False)
         last = order[-1]
-        # min-degree vertex of the last level
-        order2, d3 = _bfs_levels(adj, last, order_by_degree=False)
-        if d3 <= d2:
+        order, d2 = _bfs_levels(adj, last, order_by_degree=False)
+        if d2 <= depth:
             return current
-        current = last
+        current, depth = last, d2
 
 
 def rcm_ordering(data) -> np.ndarray:

@@ -87,3 +87,29 @@ def test_grad_through_jit():
     # dL/db = A^-T 1
     want = np.linalg.solve(data.to_dense().T, np.ones(8))
     np.testing.assert_allclose(np.asarray(g), want, rtol=1e-7, atol=1e-9)
+
+
+def test_grad_complex_operator_matches_linalg_solve():
+    """Complex cotangent convention matches jnp.linalg.solve gradients."""
+    rng = np.random.default_rng(7)
+    n = 6
+    a = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    a = a @ a.conj().T + n * np.eye(n)          # HPD
+    b = jnp.asarray(rng.standard_normal(n) + 1j * rng.standard_normal(n))
+    solve = make_differentiable_solve(cg.solve, criteria=CRIT)
+
+    def loss_ours(data):
+        return jnp.sum(jnp.abs(solve(gt.Dense.create(data), b)) ** 2)
+
+    def loss_ref(data):
+        return jnp.sum(jnp.abs(jnp.linalg.solve(data, b)) ** 2)
+
+    aj = jnp.asarray(a)
+    g_ours = np.asarray(jax.grad(loss_ours)(aj))
+    g_ref = np.asarray(jax.grad(loss_ref)(aj))
+    np.testing.assert_allclose(g_ours, g_ref, rtol=1e-6, atol=1e-9)
+    gb_ours = np.asarray(jax.grad(lambda b: jnp.sum(jnp.abs(
+        solve(gt.Dense.create(aj), b)) ** 2))(b))
+    gb_ref = np.asarray(jax.grad(lambda b: jnp.sum(jnp.abs(
+        jnp.linalg.solve(aj, b)) ** 2))(b))
+    np.testing.assert_allclose(gb_ours, gb_ref, rtol=1e-6, atol=1e-9)

@@ -190,3 +190,45 @@ def test_ell_imposed_width_raises():
         Ell.from_data(data, width=2)
     A = Ell.from_data(data, width=2, allow_truncate=True)
     assert A.nnz == 3          # one entry dropped, explicitly allowed
+
+
+def test_sellp_per_slice_widths():
+    """SELL-P pads per slice: one long row only inflates its own slice."""
+    from ginkgo_tpu import Ell, Sellp
+    n = 64
+    rows = np.concatenate([np.zeros(32, np.int64), np.arange(1, n)])
+    cols = np.concatenate([np.arange(32), np.zeros(n - 1, np.int64)])
+    vals = np.arange(1.0, 32 + n)
+    data = MatrixData((n, n), rows, cols, vals)
+    A = Sellp.from_data(data, slice_size=8, stride_factor=8)
+    assert A.slice_widths[0] == 32          # the dense-row slice
+    assert all(w == 8 for w in A.slice_widths[1:])
+    ell = Ell.from_data(data)
+    assert A.total_storage < ell.values.size   # beats global-width padding
+    b = np.random.default_rng(0).standard_normal(n)
+    np.testing.assert_allclose(np.asarray(A.apply(jnp.asarray(b))),
+                               data.to_dense() @ b, rtol=1e-12)
+
+
+def test_schwarz_ilu_local_solver():
+    """Host-symbolic local solvers (Ilu) work in Schwarz (generated at
+    build time per part, not inside the shard_map trace)."""
+    import jax
+    from jax.sharding import Mesh
+    from ginkgo_tpu.distributed import (Partition, Schwarz,
+                                        distribute_vector, read_distributed)
+    from ginkgo_tpu.preconditioner.ilu import Ilu
+    from ginkgo_tpu.solver import Cg
+    from ginkgo_tpu.stop.criterion import Iteration, ResidualNorm
+    data = stencil_2d(8, points=5)
+    part = Partition.build_from_global_size_uniform(4, 64)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("rows",))
+    A = read_distributed(data, part, mesh)
+    M = Schwarz(local_solver=Ilu()).generate(A)
+    b = distribute_vector(np.ones(64), part, mesh)
+    res = Cg.solve(A, b, preconditioner=M,
+                   criteria=Iteration(500) | ResidualNorm(1e-10))
+    assert bool(res.converged.all())
+    serial = np.linalg.solve(data.to_dense(), np.ones(64))
+    np.testing.assert_allclose(part.from_padded(np.asarray(res.x)), serial,
+                               rtol=1e-6, atol=1e-7)
