@@ -107,6 +107,74 @@ class DisjointSets:
                        if self.find(i) == i))
 
 
+class RangeMinimumQuery:
+    """Sparse-table RMQ (``core/components/range_minimum_query.hpp``):
+    O(n log n) build, O(1) min-index queries — host-side (consumed by
+    elimination-tree style symbolics)."""
+
+    def __init__(self, values):
+        v = np.asarray(values)
+        n = v.shape[0]
+        levels = max(1, n.bit_length())
+        self.v = v
+        self.idx = [np.arange(n, dtype=np.int64)]
+        for k in range(1, levels):
+            half = 1 << (k - 1)
+            prev = self.idx[-1]
+            if n - (1 << k) + 1 <= 0:
+                break
+            a = prev[: n - (1 << k) + 1]
+            b = prev[half: half + n - (1 << k) + 1]
+            self.idx.append(np.where(v[a] <= v[b], a, b))
+
+    def argmin(self, lo: int, hi: int) -> int:
+        """Index of the minimum of values[lo:hi] (hi exclusive)."""
+        if hi <= lo:
+            raise ValueError("empty range")
+        span = hi - lo
+        k = span.bit_length() - 1
+        a = self.idx[k][lo]
+        b = self.idx[k][hi - (1 << k)]
+        return int(a if self.v[a] <= self.v[b] else b)
+
+    def min(self, lo: int, hi: int):
+        return self.v[self.argmin(lo, hi)]
+
+
+class AddressablePriorityQueue:
+    """Min-heap with update-key by handle
+    (``core/components/addressable_pq.hpp``) — host-side, used by
+    Dijkstra/MC64-style shortest-path symbolics."""
+
+    def __init__(self):
+        import heapq
+        self._heapq = heapq
+        self._heap = []          # (key, seq, handle)
+        self._current = {}       # handle -> key
+        self._seq = 0
+
+    def insert(self, handle, key):
+        self._current[handle] = key
+        self._heapq.heappush(self._heap, (key, self._seq, handle))
+        self._seq += 1
+
+    update_key = insert          # lazy-deletion update
+
+    def pop_min(self):
+        while self._heap:
+            key, _, handle = self._heapq.heappop(self._heap)
+            if self._current.get(handle) == key:
+                del self._current[handle]
+                return handle, key
+        raise IndexError("empty priority queue")
+
+    def __len__(self):
+        return len(self._current)
+
+    def __contains__(self, handle):
+        return handle in self._current
+
+
 def convert_idxs_to_ptrs(idxs, num_rows):
     """Row indices -> CSR row pointers (format_conversion_kernels)."""
     counts = jnp.zeros(num_rows + 1, jnp.int64).at[

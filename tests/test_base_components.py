@@ -192,3 +192,31 @@ def test_neighborhood_communicator_matches_dense():
                           part, mesh)
     np.testing.assert_allclose(np.asarray(An.apply(x)),
                                np.asarray(Ad.apply(x)), rtol=1e-12)
+
+
+def test_range_minimum_query():
+    from ginkgo_tpu.ops.components import RangeMinimumQuery
+    rng = np.random.default_rng(3)
+    v = rng.integers(0, 1000, 200)
+    rmq = RangeMinimumQuery(v)
+    for lo, hi in [(0, 200), (5, 6), (13, 57), (100, 199), (0, 1)]:
+        assert rmq.min(lo, hi) == v[lo:hi].min(), (lo, hi)
+        assert v[rmq.argmin(lo, hi)] == v[lo:hi].min()
+    with pytest.raises(ValueError):
+        rmq.argmin(5, 5)
+
+
+def test_addressable_priority_queue():
+    from ginkgo_tpu.ops.components import AddressablePriorityQueue
+    q = AddressablePriorityQueue()
+    q.insert("a", 5)
+    q.insert("b", 3)
+    q.insert("c", 9)
+    q.update_key("c", 1)        # decrease-key
+    assert len(q) == 3 and "c" in q
+    assert q.pop_min() == ("c", 1)
+    assert q.pop_min() == ("b", 3)
+    q.update_key("a", 10)       # increase-key
+    assert q.pop_min() == ("a", 10)
+    with pytest.raises(IndexError):
+        q.pop_min()
