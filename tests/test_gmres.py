@@ -127,3 +127,26 @@ def test_gmres_spd_matches_cg():
     res = Gmres.solve(A, b, criteria=Iteration(300) | ResidualNorm(1e-12))
     assert bool(res.converged.all())
     np.testing.assert_allclose(res.x, x_true, rtol=1e-7, atol=1e-8)
+
+
+def test_gmres_multi_rhs_freeze_across_restarts():
+    """Columns converging at very different iterations (one instantly, one
+    needing several restarts) must each keep a consistent frozen state."""
+    rng = np.random.default_rng(47)
+    n = 40
+    data = generate_random_matrix(n, n, nonzeros_per_row=(2, 5), seed=47)
+    dense = data.to_dense()
+    dense += np.diag(np.abs(dense).sum(1) + 1.0)
+    A = Csr.from_dense(dense)
+    eigvals, eigvecs = np.linalg.eig(dense)
+    # column 0: eigenvector rhs (converges almost immediately);
+    # column 1: random rhs (needs many iterations + restarts at m=4)
+    b = np.stack([np.real(eigvecs[:, 0]), rng.standard_normal(n)], axis=1)
+    res = Gmres.solve(A, jnp.asarray(b), krylov_dim=4,
+                      criteria=Iteration(3000) | ResidualNorm(1e-10))
+    assert bool(res.converged.all())
+    assert int(res.iterations[0]) < int(res.iterations[1])
+    x = np.asarray(res.x)
+    for k in range(2):
+        resid = np.linalg.norm(b[:, k] - dense @ x[:, k])
+        assert resid <= 1e-8 * np.linalg.norm(b[:, k]), k
