@@ -79,8 +79,11 @@ def measure_spmv(on_tpu):
     vbytes = 4
     if A.strategy == "banded":
         storage = A.diag_values.size * vbytes     # no index storage
+        if A.tail_vals is not None:
+            storage += A.tail_vals.size * (vbytes + 8)
     else:
-        storage = A.nnz * (vbytes + 4)
+        # values + col indices + row pointers (loggers.hpp:111 accounting)
+        storage = A.nnz * (vbytes + 4) + (n + 1) * 4
     bytes_moved = storage + 2 * n * vbytes
     return A, n, bytes_moved / t / 1e9
 

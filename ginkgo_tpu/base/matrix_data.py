@@ -68,10 +68,23 @@ class MatrixData:
                           self.col_idx[order], self.values[order])
 
     def sum_duplicates(self) -> "MatrixData":
-        """Combine duplicate (row, col) entries — ``sum_duplicates`` analog."""
+        """Combine duplicate (row, col) entries — ``sum_duplicates`` analog.
+        Large f64/c128 inputs take the C++ native kernel; everything else
+        the numpy path (both produce canonical row-major order)."""
+        if self.nnz == 0:
+            return self.sort_row_major()
+        if (self.nnz >= 1 << 16
+                and self.values.dtype in (np.float64, np.complex128)):
+            from ..native import coo_canonicalize_native
+            out = coo_canonicalize_native(self.row_idx, self.col_idx,
+                                          self.values)
+            if out is not None:
+                r, c, v = out
+                return MatrixData(self.shape,
+                                  r.astype(self.row_idx.dtype),
+                                  c.astype(self.col_idx.dtype),
+                                  v.astype(self.values.dtype))
         d = self.sort_row_major()
-        if d.nnz == 0:
-            return d
         keys = d.row_idx.astype(np.int64) * self.shape[1] + d.col_idx
         uniq, inv = np.unique(keys, return_inverse=True)
         values = np.zeros(uniq.shape[0], d.values.dtype)

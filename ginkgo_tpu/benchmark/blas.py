@@ -61,7 +61,7 @@ def run_case(case, ops, args):
                     return f
                 bytes_per = 2 * n * r * 4
             elif op in ("dot", "norm2"):
-                # reduction + feedback write: read x, read z, write z
+                # dot: read x + read z + write z; norm2: read z + write z
                 def mk(K, op=op):
                     @jax.jit
                     def f(x, y):
@@ -74,7 +74,7 @@ def run_case(case, ops, args):
                             0, K, body, (y, jnp.zeros((r,))))
                         return acc.sum()
                     return f
-                bytes_per = 3 * n * r * 4
+                bytes_per = (3 if op == "dot" else 2) * n * r * 4
             else:
                 raise ValueError(op)
             t = time_chained(mk, (x, y), k1, k2)

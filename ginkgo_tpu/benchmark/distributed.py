@@ -49,12 +49,14 @@ def run_weak_scaling(base_edge: int, parts_list, comm, args):
         t = time_chained(mk, (A, x), k1, k2,
                          reps=max(args.repetitions // 2, 2))
         nnz_per_s = nnz / t
-        if base_nnz_per_s is None:
-            base_nnz_per_s = nnz_per_s / P   # per-device baseline
-        eff = nnz_per_s / (P * base_nnz_per_s)
-        results.append({"devices": P, "rows": n, "nonzeros": nnz,
-                        "time": t, "nnz_per_s": nnz_per_s,
-                        "weak_scaling_efficiency": eff, "comm": comm})
+        entry = {"devices": P, "rows": n, "nonzeros": nnz,
+                 "time": t, "nnz_per_s": nnz_per_s, "comm": comm}
+        if P == 1:
+            base_nnz_per_s = nnz_per_s      # the documented 1-device base
+        if base_nnz_per_s is not None:
+            entry["weak_scaling_efficiency"] = (
+                nnz_per_s / (P * base_nnz_per_s))
+        results.append(entry)
     return results
 
 

@@ -82,27 +82,41 @@ def time_chained(make_chain, args_tuple, k1=2, k2=8, reps=3):
             ts.append(time.perf_counter() - t0)
         return min(ts), (max(ts) - min(ts))
 
-    for _ in range(4):
+    for attempt in range(4):
         t1, j1 = run(k1)
         t2, j2 = run(k2)
         delta = t2 - t1
         jitter = max(j1, j2)
-        if delta > max(4 * jitter, 1e-4):
+        if delta > max(4 * jitter, 1e-4) or attempt == 3:
             break
         k2 *= 4          # widen until signal >> noise
     return max(delta / (k2 - k1), 1e-9)
 
 
 def time_blocking(fn, warmup=1, reps=5):
-    """Wall time of a host-blocking operation (generate paths)."""
+    """Wall time of a host-blocking operation (generate paths); waits on
+    every device array in the result (pytree-aware) so async dispatch does
+    not under-report."""
     for _ in range(warmup):
-        fn()
+        jax.block_until_ready(fn())
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = fn()
-        if hasattr(out, "block_until_ready"):
-            out.block_until_ready()
+        jax.block_until_ready(fn())
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def dispatch_overhead(reps=5):
+    """Per-dispatch overhead of this environment (tunnel cost) measured on
+    a trivial jitted call — subtract from single-dispatch timings."""
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.zeros((8,), jnp.float32)
+    jax.block_until_ready(f(x))
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(f(x))
         ts.append(time.perf_counter() - t0)
     return min(ts)
 

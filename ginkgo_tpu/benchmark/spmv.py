@@ -40,8 +40,12 @@ def make_operator(fmt: str, data, dtype=np.float32):
 def storage_bytes(fmt, A):
     vb = np.dtype(np.float32).itemsize
     ib = 4
-    if fmt == "csr_banded" and getattr(A, "strategy", "") == "banded":
-        return int(A.diag_values.size * vb)
+    if fmt == "csr_banded":
+        if getattr(A, "strategy", "") == "banded":
+            tail = (0 if A.tail_vals is None
+                    else int(A.tail_vals.size * (vb + 2 * ib)))
+            return int(A.diag_values.size * vb) + tail
+        fmt = "csr"   # automatical fell back to the classical layout
     if fmt == "coo" or fmt == "csr":
         return int(A.nnz * (vb + ib)) + (
             (A.shape[0] + 1) * ib if fmt == "csr" else A.nnz * ib)

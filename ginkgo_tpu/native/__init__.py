@@ -26,14 +26,27 @@ _tried = False
 
 
 def _build() -> bool:
+    """Compile to a temp path and atomically rename — concurrent builders
+    (parallel pytest workers) or a timed-out g++ never leave a corrupt .so
+    behind with a fresh mtime."""
     os.makedirs(_LIBDIR, exist_ok=True)
+    tmp = f"{_LIBPATH}.{os.getpid()}.tmp"
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-           _SRC, "-o", _LIBPATH]
+           _SRC, "-o", tmp]
     try:
         res = subprocess.run(cmd, capture_output=True, timeout=240)
-        return res.returncode == 0
+        if res.returncode != 0:
+            return False
+        os.replace(tmp, _LIBPATH)
+        return True
     except (OSError, subprocess.TimeoutExpired):
         return False
+    finally:
+        if os.path.exists(tmp):
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
 
 
 def _bind(lib):
@@ -82,6 +95,12 @@ def lib():
                     return None
             _lib = _bind(ctypes.CDLL(_LIBPATH))
         except OSError:
+            # corrupt artifact (e.g. older non-atomic build): drop it so
+            # the next process rebuilds instead of failing forever
+            try:
+                os.remove(_LIBPATH)
+            except OSError:
+                pass
             _lib = None
     return _lib
 
@@ -124,7 +143,10 @@ def read_mtx_native(path: str):
                              _ptr(cols, ctypes.c_int64),
                              _ptr(vals, ctypes.c_double))
     if rc != 0:
-        raise ValueError(f"truncated MatrixMarket body in {path!r}")
+        reason = {-6: "truncated body", -7: "malformed entry line",
+                  -8: "index outside declared dimensions"}.get(
+            rc, f"native rc={rc}")
+        raise ValueError(f"invalid MatrixMarket body in {path!r}: {reason}")
     if cpx.value:
         vals = vals.view(np.complex128)
     return ((nr.value, nc.value), rows, cols, vals,

@@ -106,15 +106,34 @@ int gt_mtx_read_coord(const char* path, int64_t nnz, int32_t is_complex,
             return -6;
         }
         char* p = line;
-        rows[k] = strtol(p, &p, 10) - 1;
-        cols[k] = strtol(p, &p, 10) - 1;
+        char* q = p;
+        rows[k] = strtol(p, &q, 10) - 1;
+        if (q == p) {   // malformed/blank line: strtol consumed nothing
+            fclose(f);
+            return -7;
+        }
+        p = q;
+        cols[k] = strtol(p, &q, 10) - 1;
+        if (q == p) {
+            fclose(f);
+            return -7;
+        }
+        p = q;
+        if (rows[k] < 0 || rows[k] >= nr || cols[k] < 0 || cols[k] >= nc) {
+            fclose(f);
+            return -8;  // index out of the declared dimensions
+        }
         if (is_pattern) {
             vals[k] = 1.0;
         } else if (is_complex) {
-            vals[2 * k] = strtod(p, &p);
-            vals[2 * k + 1] = strtod(p, &p);
+            vals[2 * k] = strtod(p, &q);
+            if (q == p) { fclose(f); return -7; }
+            p = q;
+            vals[2 * k + 1] = strtod(p, &q);
+            if (q == p) { fclose(f); return -7; }
         } else {
-            vals[k] = strtod(p, &p);
+            vals[k] = strtod(p, &q);
+            if (q == p) { fclose(f); return -7; }
         }
     }
     fclose(f);

@@ -110,3 +110,35 @@ def test_native_coo_canonicalize(lib):
     np.testing.assert_array_equal(r, [0, 1, 2])
     np.testing.assert_array_equal(c, [0, 2, 1])
     np.testing.assert_allclose(v, [5.0, 5.0, 5.0])
+
+
+def test_native_malformed_body_raises(lib, tmp_path):
+    p = tmp_path / "bad_body.mtx"
+    p.write_text("%%MatrixMarket matrix coordinate real general\n"
+                 "3 3 2\n1 1 1.0\n\n")
+    with pytest.raises(ValueError):
+        read_mtx(str(p))
+    p2 = tmp_path / "oob.mtx"
+    p2.write_text("%%MatrixMarket matrix coordinate real general\n"
+                  "3 3 1\n5 1 1.0\n")
+    with pytest.raises(ValueError):
+        read_mtx(str(p2))
+
+
+def test_native_sum_duplicates_large_f64():
+    rng = np.random.default_rng(9)
+    nnz = (1 << 16) + 100
+    rows = rng.integers(0, 500, nnz)
+    cols = rng.integers(0, 500, nnz)
+    vals = rng.standard_normal(nnz)
+    d = MatrixData((500, 500), rows, cols, vals)
+    got = d.sum_duplicates()           # native path (f64, big)
+    # numpy oracle
+    keys = rows.astype(np.int64) * 500 + cols
+    uniq, inv = np.unique(keys, return_inverse=True)
+    want = np.zeros(uniq.shape[0])
+    np.add.at(want, inv, vals)
+    assert got.nnz == uniq.shape[0]
+    np.testing.assert_allclose(got.values, want, rtol=1e-14)
+    np.testing.assert_array_equal(
+        got.row_idx.astype(np.int64) * 500 + got.col_idx, uniq)
