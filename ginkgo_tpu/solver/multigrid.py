@@ -118,15 +118,35 @@ class MultigridOp(LinOp):
         r = b - lvl.fine_op._apply(x)
         rc = lvl.restrict._apply(r)
         xc = jnp.zeros_like(rc)
-        xc = self.run_cycle(rc, xc, level + 1)
-        if self.cycle == "w" and level + 1 < len(self.levels):
+        if self.cycle == "k" and level + 1 < len(self.levels):
+            # K-cycle (Notay): Krylov-accelerated coarse solve — one cycle
+            # application plus a minimization step on the coarse system
+            xc = self._kcycle_solve(rc, level + 1)
+        else:
             xc = self.run_cycle(rc, xc, level + 1)
-        elif self.cycle == "f" and level + 1 < len(self.levels):
-            # F-cycle: after the recursive F, one extra V from this level
-            xc = self._v_cycle(rc, xc, level + 1)
+            if self.cycle == "w" and level + 1 < len(self.levels):
+                xc = self.run_cycle(rc, xc, level + 1)
+            elif self.cycle == "f" and level + 1 < len(self.levels):
+                # F-cycle: after the recursive F, one extra V from here
+                xc = self._v_cycle(rc, xc, level + 1)
         x = x + lvl.prolong._apply(xc)            # coarse-grid correction
         x = _smooth(sm, lvl.fine_op, b, x)        # post-smooth
         return x
+
+    def _kcycle_solve(self, b, level):
+        """~2 steps of cycle-preconditioned minimization on the level's
+        system (the kcycle of multigrid_kernels; simplified steepest
+        descent in the cycle-preconditioned direction)."""
+        A = self.levels[level].fine_op
+        x = self.run_cycle(b, jnp.zeros_like(b), level)
+        r = b - A._apply(x)
+        z = self.run_cycle(r, jnp.zeros_like(r), level)
+        Az = A._apply(z)
+        num = jnp.sum(jnp.conj(z) * r, axis=0)
+        den = jnp.sum(jnp.conj(z) * Az, axis=0)
+        alpha = jnp.where(den == 0, jnp.zeros_like(num), num /
+                          jnp.where(den == 0, jnp.ones_like(den), den))
+        return x + alpha[None, :] * z
 
     def _v_cycle(self, b, x, level):
         if level >= len(self.levels):

@@ -51,7 +51,7 @@ def test_pgm_level_operators():
     np.testing.assert_allclose(down, sizes * np.asarray(b), rtol=1e-12)
 
 
-@pytest.mark.parametrize("cycle", ["v", "w", "f"])
+@pytest.mark.parametrize("cycle", ["v", "w", "f", "k"])
 def test_multigrid_solver_cycles(cycle):
     data = stencil_2d(16, points=5)
     A = Csr.from_data(data)
