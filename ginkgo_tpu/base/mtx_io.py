@@ -106,8 +106,16 @@ def _assemble(shape, rows, cols, vals, symmetry) -> MatrixData:
                       vals).sort_row_major()
 
 
-def write_mtx(dest, data: MatrixData) -> None:
-    """Write MatrixData as a general coordinate MatrixMarket file."""
+def write_mtx(dest, data) -> None:
+    """Write a matrix as a general coordinate MatrixMarket file.
+
+    Accepts MatrixData, any operator with ``to_matrix_data`` (gko::write
+    analog), or a dense array."""
+    if not isinstance(data, MatrixData):
+        if hasattr(data, "to_matrix_data"):
+            data = data.to_matrix_data()
+        else:
+            data = MatrixData.from_dense(np.asarray(data))
     close = False
     if isinstance(dest, str):
         dest = open(dest, "w")

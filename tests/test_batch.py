@@ -120,3 +120,21 @@ def test_batch_solve_jittable():
     for i in range(3):
         np.testing.assert_allclose(Ad[i] @ np.asarray(x[i]), np.asarray(b)[i],
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_batch_solver_with_ell_format():
+    """Batch solvers accept any batch format exposing values/item."""
+    from ginkgo_tpu.batch import BatchCg, BatchEll
+    pattern = make_spd(generate_random_matrix(
+        16, 16, nonzeros_per_row=(2, 4), seed=20), shift=1.5)
+    rng = np.random.default_rng(21)
+    items = [MatrixData(pattern.shape, pattern.row_idx, pattern.col_idx,
+                        pattern.values * s) for s in (1.0, 1.7)]
+    A = BatchEll.from_data(items)
+    x_true = rng.standard_normal((2, 16))
+    dense = [it.to_dense() for it in items]
+    b = np.stack([dense[i] @ x_true[i] for i in range(2)])
+    res = BatchCg(max_iterations=200, tolerance=1e-10).solve(
+        A, jnp.asarray(b))
+    assert bool(res.converged.all())
+    np.testing.assert_allclose(res.x, x_true, rtol=1e-6, atol=1e-7)

@@ -119,3 +119,14 @@ def test_device_canonicalize_matches_host():
     rr, cc = r[valid], np.asarray(out.col_idx)[valid]
     keys = rr.astype(np.int64) * n + cc
     assert (np.diff(keys) > 0).all()     # strictly increasing => deduped
+
+
+def test_write_mtx_accepts_operators_and_arrays(tmp_path):
+    from ginkgo_tpu import Csr, read_mtx, write_mtx
+    dense = np.array([[1.0, 0], [2.0, 3.0]])
+    p1 = str(tmp_path / "op.mtx")
+    write_mtx(p1, Csr.from_dense(dense))
+    np.testing.assert_allclose(read_mtx(p1).to_dense(), dense)
+    p2 = str(tmp_path / "arr.mtx")
+    write_mtx(p2, dense)
+    np.testing.assert_allclose(read_mtx(p2).to_dense(), dense)

@@ -80,11 +80,12 @@ def test_dia_pallas_multi_rhs(k):
                                rtol=1e-5, atol=1e-5)
 
 
-def test_dia_pallas_bf16_storage():
-    """Mixed-precision kernel: bf16 diagonal storage, f32 vectors/math."""
+@pytest.mark.parametrize("sdtype", [jnp.bfloat16, jnp.float16], ids=str)
+def test_dia_pallas_reduced_storage(sdtype):
+    """Mixed-precision kernel: bf16/f16 diagonal storage, f32 vectors/math."""
     n, offsets = 2000, (-1, 0, 1)
     diag_values, meta, dvb, x = _banded_setup(n, offsets, seed=5)
-    dvb16 = dvb.astype(jnp.bfloat16)
+    dvb16 = dvb.astype(sdtype)
     ref = dia_spmv(tuple(offsets), dvb, meta, x)
     got = dia_spmv_pallas(tuple(offsets), dvb16, meta, x, interpret=True)
     assert got.dtype == jnp.float32
