@@ -134,26 +134,35 @@ class ParIlu:
                               np.asarray(uv), d.values.dtype)
 
 
-def _run_sweeps(lv, uv, la, ua, pl, pu, po, lcols, udiag_pos, iterations):
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("iterations",))
+def _sweeps_kernel(lv, uv, la, ua, pl, pu, po, lcols, udiag_pos,
+                   iterations):
+    """Module-level jitted sweep: all data passed as arguments so the
+    compile cache is shared across calls/iterations (a local closure
+    would bake the arrays in as constants and recompile every call)."""
     nl = la.shape[0]
     nout = nl + ua.shape[0]
 
-    @jax.jit
-    def sweeps(lv, uv):
-        def body(_, carry):
-            lv, uv = carry
-            contrib = jax.ops.segment_sum(lv[pl] * uv[pu], po,
-                                          num_segments=nout)
-            s_l = la - contrib[:nl]
-            s_u = ua - contrib[nl:]
-            udiag = uv[udiag_pos]
-            udiag = jnp.where(udiag == 0, jnp.ones_like(udiag), udiag)
-            new_l = s_l / udiag[lcols]
-            return new_l, s_u
+    def body(_, carry):
+        lv, uv = carry
+        contrib = jax.ops.segment_sum(lv[pl] * uv[pu], po,
+                                      num_segments=nout)
+        s_l = la - contrib[:nl]
+        s_u = ua - contrib[nl:]
+        udiag = uv[udiag_pos]
+        udiag = jnp.where(udiag == 0, jnp.ones_like(udiag), udiag)
+        new_l = s_l / udiag[lcols]
+        return new_l, s_u
 
-        return jax.lax.fori_loop(0, iterations, body, (lv, uv))
+    return jax.lax.fori_loop(0, iterations, body, (lv, uv))
 
-    return sweeps(lv, uv)
+
+def _run_sweeps(lv, uv, la, ua, pl, pu, po, lcols, udiag_pos, iterations):
+    return _sweeps_kernel(lv, uv, la, ua, pl, pu, po, lcols, udiag_pos,
+                          int(iterations))
 
 
 def _build_factors(n, lr, lc, lv, ur, uc, uv, dtype):
@@ -167,6 +176,20 @@ def _build_factors(n, lr, lc, lv, ur, uc, uv, dtype):
     L = Csr.from_data(l_data, strategy="classical")
     U = Csr.from_data(u_data, strategy="classical")
     return Factorization(l_factor=L, u_factor=U)
+
+
+@partial(jax.jit, static_argnames=("iterations",))
+def _ic_sweeps_kernel(la, p1, p2, po, dpos, isd, lr, lc, iterations):
+    def body(_, lv):
+        contrib = jax.ops.segment_sum(lv[p1] * jnp.conj(lv[p2]), po,
+                                      num_segments=la.shape[0])
+        s = la - contrib
+        diag_new = jnp.sqrt(jnp.abs(s[dpos]))
+        diag_new = jnp.where(diag_new == 0, jnp.ones_like(diag_new),
+                             diag_new)
+        return jnp.where(isd, diag_new[lr], s / diag_new[lc])
+
+    return jax.lax.fori_loop(0, iterations, body, la)
 
 
 class ParIc:
@@ -211,29 +234,13 @@ class ParIc:
                 diag_pos[i] = idx
         is_diag = lr == lc
 
-        la = jnp.asarray(lv0)
-        p1 = jnp.asarray(np.asarray(p1, np.int64))
-        p2 = jnp.asarray(np.asarray(p2, np.int64))
-        po_ = jnp.asarray(np.asarray(po, np.int64))
-        dpos = jnp.asarray(diag_pos)
-        isd = jnp.asarray(is_diag)
-        iters = self.iterations
-
-        @jax.jit
-        def sweeps(lv):
-            def body(_, lv):
-                contrib = jax.ops.segment_sum(lv[p1] * jnp.conj(lv[p2]), po_,
-                                              num_segments=la.shape[0])
-                s = la - contrib
-                diag_new = jnp.sqrt(jnp.abs(s[dpos]))
-                diag_new = jnp.where(diag_new == 0, jnp.ones_like(diag_new),
-                                     diag_new)
-                ldiag = diag_new[lc]
-                return jnp.where(isd, diag_new[lr], s / ldiag)
-
-            return jax.lax.fori_loop(0, iters, body, lv)
-
-        lv = np.asarray(sweeps(la))
+        lv = np.asarray(_ic_sweeps_kernel(
+            jnp.asarray(lv0),
+            jnp.asarray(np.asarray(p1, np.int64)),
+            jnp.asarray(np.asarray(p2, np.int64)),
+            jnp.asarray(np.asarray(po, np.int64)),
+            jnp.asarray(diag_pos), jnp.asarray(is_diag),
+            jnp.asarray(lr), jnp.asarray(lc), int(self.iterations)))
         l_data = MatrixData((n, n), lr, lc, lv)
         L = Csr.from_data(l_data, strategy="classical")
         Lt = Csr.from_data(l_data.conj_transpose().sort_row_major(),

@@ -35,18 +35,44 @@ def _entry_dict(r, c, v):
     return {(int(i), int(j)): val for i, j, val in zip(r, c, v)}
 
 
+def _pow2(x: int) -> int:
+    return 1 << max(int(x) - 1, 0).bit_length()
+
+
 def _sweep(n, lr, lc, lv, ur, uc, uv, la, ua, iterations):
-    """Run Chow-Patel sweeps on the given split pattern; returns values."""
+    """Run Chow-Patel sweeps on the given split pattern; returns values.
+
+    All device arrays are padded to power-of-two buckets so the jitted
+    sweep kernel's compile cache hits across ParILUT's pattern-evolving
+    outer iterations (padded entries carry zero values / dropped pair
+    segments and cannot affect real outputs)."""
     pl, pu, po = _pair_lists(lr, lc, ur, uc, n)
     udiag_pos = np.full(n, -1, np.int64)
     for idx, (i, j) in enumerate(zip(ur, uc)):
         if i == j:
             udiag_pos[i] = idx
+
+    nl, nu, np_ = len(lr), len(ur), len(pl)
+    cl, cu, cp = _pow2(max(nl, 1)), _pow2(max(nu, 1)), _pow2(max(np_, 1))
+    nout_pad = cl + cu
+
+    def pad(a, cap, fill, dtype=None):
+        out = np.full(cap, fill, a.dtype if dtype is None else dtype)
+        out[:len(a)] = a
+        return out
+
     lv2, uv2 = _run_sweeps(
-        jnp.asarray(lv), jnp.asarray(uv), jnp.asarray(la), jnp.asarray(ua),
-        jnp.asarray(pl), jnp.asarray(pu), jnp.asarray(po),
-        jnp.asarray(lc), jnp.asarray(udiag_pos), iterations)
-    return np.asarray(lv2), np.asarray(uv2)
+        jnp.asarray(pad(lv, cl, 0)), jnp.asarray(pad(uv, cu, 0)),
+        jnp.asarray(pad(la, cl, 0)), jnp.asarray(pad(ua, cu, 0)),
+        jnp.asarray(pad(np.asarray(pl), cp, 0)),
+        jnp.asarray(pad(np.asarray(pu), cp, 0)),
+        # padded pairs scatter into the dropped segment
+        jnp.asarray(pad(np.asarray(po)
+                        + np.where(np.asarray(po) >= nl, cl - nl, 0)
+                        if np_ else np.zeros(0, np.int64),
+                        cp, nout_pad)),
+        jnp.asarray(pad(lc, cl, 0)), jnp.asarray(udiag_pos), iterations)
+    return np.asarray(lv2)[:nl], np.asarray(uv2)[:nu]
 
 
 def _threshold_filter(r, c, v, keep_count, keep_diag=True):
