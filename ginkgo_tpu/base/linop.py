@@ -90,6 +90,16 @@ class LinOp:
         n, m = self.shape
         return self._apply(jnp.eye(m, dtype=self.dtype))
 
+    def compute_absolute(self):
+        """|A| entrywise (AbsoluteComputable mixin, ``lin_op.hpp``): abs over
+        every inexact (value) leaf; index/pattern leaves pass through.
+        Correct for every storage format whose value arrays hold the entries
+        (padded slots are zero, and |0| = 0)."""
+        return jax.tree_util.tree_map(
+            lambda x: jnp.abs(x)
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.inexact)
+            else x, self)
+
 
 def _log_hook(op, phase: str) -> bool:
     """Fire linop_apply_* on the logger bus (host-level; inside jit this

@@ -33,6 +33,17 @@ from .matrix.ell import Ell
 from .stop.criterion import Combined, Iteration, ResidualNorm
 
 
+def _batch_scalar(alpha, num_batch):
+    """Normalize a scalar / (nb,) array / BatchMultiVector of shape
+    (nb, 1, 1) to a (nb,) array (the per-entry scalars Ginkgo's batch
+    add_scaled_identity takes as MultiVectors)."""
+    if isinstance(alpha, BatchMultiVector):
+        alpha = alpha.data
+    alpha = jnp.asarray(alpha)
+    return jnp.broadcast_to(alpha.reshape(-1) if alpha.ndim else alpha,
+                            (num_batch,))
+
+
 # ---------------------------------------------------------------------------
 # Batch formats (shared pattern, per-entry values)
 # ---------------------------------------------------------------------------
@@ -109,6 +120,23 @@ class BatchCsr:
             (self.shape[0],), v.dtype).at[idx].add(
             jnp.where(on, v, 0), mode="drop"))(self.values)
 
+    def add_scaled_identity(self, alpha, beta):
+        """Per-entry ``beta_i*A_i + alpha_i*I`` (``batch_csr.hpp:380``).
+        alpha/beta: scalars or (num_batch,) arrays.  Requires every diagonal
+        entry structurally present, like the reference."""
+        import jax.core
+        if not isinstance(self.row_idx, jax.core.Tracer):
+            rows = np.asarray(self.row_idx)[:self.nnz]
+            cols = np.asarray(self.col_idx)[:self.nnz]
+            if np.count_nonzero(rows == cols) < min(self.shape):
+                raise ValueError(
+                    "add_scaled_identity: matrix has structurally zero "
+                    "diagonal entries")
+        a = _batch_scalar(alpha, self.num_batch_items)[:, None]
+        b = _batch_scalar(beta, self.num_batch_items)[:, None]
+        on = (self.row_idx == self.col_idx).astype(self.values.dtype)
+        return dataclasses.replace(self, values=b * self.values + a * on)
+
 
 @linop_dataclass
 class BatchDense:
@@ -136,6 +164,13 @@ class BatchDense:
 
     def extract_diagonals(self):
         return jnp.diagonal(self.data, axis1=1, axis2=2)
+
+    def add_scaled_identity(self, alpha, beta):
+        """Per-entry ``beta_i*A_i + alpha_i*I`` (``batch_dense.hpp:384``)."""
+        a = _batch_scalar(alpha, self.num_batch_items)[:, None, None]
+        b = _batch_scalar(beta, self.num_batch_items)[:, None, None]
+        eye = jnp.eye(*self.shape, dtype=self.data.dtype)
+        return BatchDense(data=b * self.data + a * eye)
 
 
 @linop_dataclass
@@ -165,6 +200,27 @@ class BatchEll:
         on = self.col_idx == jnp.arange(self.shape[0])[:, None]
         return jax.vmap(lambda v: jnp.sum(jnp.where(on, v, 0), axis=1))(
             self.values)
+
+    def add_scaled_identity(self, alpha, beta):
+        """Per-entry ``beta_i*A_i + alpha_i*I`` (``batch_ell.hpp:392``).
+        Requires every diagonal entry structurally present (each row must
+        reference its own column with a stored slot)."""
+        import jax.core
+        on = self.col_idx == jnp.arange(self.shape[0])[:, None]
+        # padded slots repeat a real column index; only slots inside
+        # row_lengths are structural entries
+        valid = (jnp.arange(self.col_idx.shape[1])[None, :]
+                 < self.row_lengths[:, None])
+        on = on & valid
+        if not isinstance(self.col_idx, jax.core.Tracer):
+            if int(jnp.count_nonzero(jnp.any(on, axis=1))) < min(self.shape):
+                raise ValueError(
+                    "add_scaled_identity: matrix has structurally zero "
+                    "diagonal entries")
+        a = _batch_scalar(alpha, self.num_batch_items)[:, None, None]
+        b = _batch_scalar(beta, self.num_batch_items)[:, None, None]
+        add = on.astype(self.values.dtype)[None, :, :]
+        return dataclasses.replace(self, values=b * self.values + a * add)
 
     @classmethod
     def from_data(cls, items, dtype=None, index_dtype=jnp.int32):

@@ -176,6 +176,55 @@ class Csr(LinOp):
             new = dataclass_replace(new, tail_vals=self.tail_vals * alpha)
         return new
 
+    def inv_scale(self, alpha):
+        """values / alpha (``csr.hpp:1356`` inv_scale)."""
+        new = dataclass_replace(self, values=self.values / alpha)
+        if new.diag_values is not None:
+            new = dataclass_replace(new, diag_values=self.diag_values / alpha)
+        if new.tail_vals is not None:
+            new = dataclass_replace(new, tail_vals=self.tail_vals / alpha)
+        return new
+
+    def compute_absolute(self):
+        """|A| entrywise (AbsoluteComputable, ``csr.hpp:1192``)."""
+        new = dataclass_replace(self, values=jnp.abs(self.values))
+        if new.diag_values is not None:
+            new = dataclass_replace(new, diag_values=jnp.abs(self.diag_values))
+        if new.tail_vals is not None:
+            new = dataclass_replace(new, tail_vals=jnp.abs(self.tail_vals))
+        return new
+
+    def add_scaled_identity(self, alpha, beta):
+        """``beta*A + alpha*I`` on the existing pattern (ScaledIdentityAddable,
+        ``core/matrix/csr.cpp:1576-1589``).  Like the reference, requires every
+        diagonal entry to be structurally present (raises ValueError
+        otherwise); the check runs on host, so this is a build-time API when
+        the matrix uses the banded strategy."""
+        import jax.core
+        concrete = not isinstance(self.values, jax.core.Tracer)
+        if concrete:
+            d = self.to_matrix_data()
+            n_diag = min(self.shape)
+            present = np.count_nonzero(d.row_idx == d.col_idx)
+            if present < n_diag:
+                raise ValueError(
+                    "add_scaled_identity: matrix has structurally zero "
+                    "diagonal entries")
+            if self.strategy == "banded":
+                new_vals = beta * d.values + np.where(
+                    d.row_idx == d.col_idx, alpha, 0).astype(d.values.dtype)
+                return Csr.from_data(
+                    MatrixData(d.shape, d.row_idx, d.col_idx, new_vals),
+                    strategy="automatical", dtype=self.values.dtype)
+        elif self.strategy == "banded":
+            raise ValueError(
+                "add_scaled_identity on a banded-strategy Csr is a "
+                "build-time (non-traced) operation")
+        on_diag = self.row_idx == self.col_idx
+        vals = beta * self.values + jnp.where(on_diag, alpha, 0).astype(
+            self.values.dtype)
+        return dataclass_replace(self, values=vals)
+
     # -- sparse algebra (host symbolic + device numeric; ops/spgemm.py) ------
     def spgemm(self, other, **kwargs):
         """C = self @ other (``csr.cpp`` spgemm). One-shot; for repeated
@@ -212,6 +261,23 @@ class Csr(LinOp):
         sub = MatrixData((r1 - r0, c1 - c0), d.row_idx[keep] - r0,
                          d.col_idx[keep] - c0, d.values[keep])
         return Csr.from_data(sub, **kwargs)
+
+    def is_sorted_by_column_index(self) -> bool:
+        """Host-side check that every row's columns are ascending
+        (``csr.hpp:1207``).  Always true for matrices built through
+        MatrixData.canonical(); useful for externally assembled arrays."""
+        rows = np.asarray(self.row_idx)[:self.nnz]
+        cols = np.asarray(self.col_idx)[:self.nnz]
+        order = np.lexsort((cols, rows))
+        return bool(np.array_equal(order, np.arange(self.nnz))
+                    and np.array_equal(rows, np.sort(rows)))
+
+    def sort_by_column_index(self):
+        """Return a copy with rows sorted by column index
+        (``csr.hpp:1199``; build-time, host side)."""
+        return Csr.from_data(self.to_matrix_data(), dtype=self.values.dtype,
+                             strategy=self.strategy if self.strategy
+                             != "banded" else "automatical")
 
     # row lengths (for strategy decisions / ELL conversion)
     def row_lengths(self):

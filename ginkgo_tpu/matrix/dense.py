@@ -70,11 +70,42 @@ class Dense(LinOp):
     def compute_mean(self):
         return compute_mean(self.data)
 
+    def compute_squared_norm2(self):
+        return compute_squared_norm2(self.data)
+
     def scale(self, alpha):
         return Dense(data=self.data * alpha)
 
+    def inv_scale(self, alpha):
+        return Dense(data=self.data / alpha)
+
     def add_scaled(self, alpha, other):
         return Dense(data=self.data + alpha * _data_of(other))
+
+    def sub_scaled(self, alpha, other):
+        return Dense(data=self.data - alpha * _data_of(other))
+
+    def add_scaled_identity(self, alpha, beta):
+        """``beta*self + alpha*I`` (ScaledIdentityAddable,
+        ``lin_op.hpp:818-838``; functional: returns the new operator)."""
+        n, m = self.shape
+        eye = jnp.eye(n, m, dtype=self.data.dtype)
+        return Dense(data=beta * self.data + alpha * eye)
+
+    def compute_absolute(self):
+        """|self| entrywise (AbsoluteComputable, ``dense.hpp:816-818``)."""
+        return Dense(data=jnp.abs(self.data))
+
+    def make_complex(self):
+        """Promote to the matching complex value type (``dense.hpp:820+``)."""
+        cdtype = jnp.result_type(self.data.dtype, jnp.complex64)
+        return Dense(data=self.data.astype(cdtype))
+
+    def get_real(self):
+        return Dense(data=jnp.real(self.data))
+
+    def get_imag(self):
+        return Dense(data=jnp.imag(self.data))
 
     def fill(self, value):
         return Dense(data=jnp.full_like(self.data, value))
@@ -135,6 +166,11 @@ def compute_norm1(a):
 
 def compute_mean(a):
     return jnp.mean(a, axis=0)
+
+
+def compute_squared_norm2(a):
+    """Columnwise squared 2-norm (``dense.hpp:1088`` compute_squared_norm2)."""
+    return jnp.real(compute_conj_dot(a, a))
 
 
 def scale(alpha, a):

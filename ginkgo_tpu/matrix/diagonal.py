@@ -30,8 +30,16 @@ class Diagonal(LinOp):
         out = b2 / self.values[:, None].astype(b2.dtype)
         return out[:, 0] if squeeze else out
 
+    def rapply(self, b):
+        """Column scaling ``b @ D`` (``diagonal.hpp:151``): scales the j-th
+        column of b by values[j]; b is (k, n) here."""
+        return b * self.values[None, :].astype(b.dtype)
+
     def inverse(self):
         return Diagonal(values=1.0 / self.values)
+
+    def compute_absolute(self):
+        return Diagonal(values=jnp.abs(self.values))
 
     def conj_transpose(self):
         return Diagonal(values=jnp.conj(self.values))
