@@ -90,15 +90,18 @@ class LinOp:
         n, m = self.shape
         return self._apply(jnp.eye(m, dtype=self.dtype))
 
-    def compute_absolute(self):
-        """|A| entrywise (AbsoluteComputable mixin, ``lin_op.hpp``): abs over
-        every inexact (value) leaf; index/pattern leaves pass through.
-        Correct for every storage format whose value arrays hold the entries
-        (padded slots are zero, and |0| = 0)."""
-        return jax.tree_util.tree_map(
-            lambda x: jnp.abs(x)
-            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.inexact)
-            else x, self)
+
+
+def absolute_of_storage(op):
+    """|A| entrywise for a *storage* format (AbsoluteComputable mixin): abs
+    over every inexact (value) leaf; index/pattern leaves pass through.
+    Only valid when the operator's float leaves ARE its entries — storage
+    formats opt in by defining ``compute_absolute`` in terms of this helper;
+    composite/solver operators deliberately do not (|A·B| != |A|·|B|)."""
+    return jax.tree_util.tree_map(
+        lambda x: jnp.abs(x)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.inexact)
+        else x, op)
 
 
 def _log_hook(op, phase: str) -> bool:

@@ -207,8 +207,9 @@ class BatchEll:
         reference its own column with a stored slot)."""
         import jax.core
         on = self.col_idx == jnp.arange(self.shape[0])[:, None]
-        # padded slots repeat a real column index; only slots inside
-        # row_lengths are structural entries
+        # padded slots carry col_idx == 0 (ell.py layout), so row 0's pads
+        # would false-match its diagonal; only slots inside row_lengths are
+        # structural entries
         valid = (jnp.arange(self.col_idx.shape[1])[None, :]
                  < self.row_lengths[:, None])
         on = on & valid

@@ -20,6 +20,8 @@ functional map, which is also a valid Chow-Patel iteration).
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -133,8 +135,6 @@ class ParIlu:
         return _build_factors(n, lr, lc, np.asarray(lv), ur, uc,
                               np.asarray(uv), d.values.dtype)
 
-
-from functools import partial
 
 
 @partial(jax.jit, static_argnames=("iterations",))

@@ -106,6 +106,12 @@ class Coo(LinOp):
             jnp.where(on_diag, self.values, 0), mode="drop")
         return Diagonal(values=diag)
 
+
+    def compute_absolute(self):
+        """|A| entrywise (AbsoluteComputable; abs over value leaves)."""
+        from ..base.linop import absolute_of_storage
+        return absolute_of_storage(self)
+
     def to_matrix_data(self) -> MatrixData:
         rows = np.asarray(self.row_idx)[:self.nnz]
         cols = np.asarray(self.col_idx)[:self.nnz]

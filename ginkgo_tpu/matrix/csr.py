@@ -66,7 +66,20 @@ class Csr(LinOp):
     @classmethod
     def from_data(cls, data: MatrixData, dtype=None, index_dtype=jnp.int32,
                   strategy: str = "automatical", pad_multiple: int = 8):
-        d = data.canonical()
+        return cls._from_canonical_data(data.canonical(), dtype=dtype,
+                                        index_dtype=index_dtype,
+                                        strategy=strategy,
+                                        pad_multiple=pad_multiple)
+
+    @classmethod
+    def _from_canonical_data(cls, d: MatrixData, dtype=None,
+                             index_dtype=jnp.int32,
+                             strategy: str = "automatical",
+                             pad_multiple: int = 8):
+        """Build from already row-major-sorted, deduplicated data WITHOUT
+        re-canonicalizing — preserves explicit zeros (pattern-preserving
+        callers like add_scaled_identity need the structural pattern kept
+        even where the new value is exactly zero)."""
         n, m = d.shape
         nnz = d.nnz
         values_np = d.values if dtype is None else d.values.astype(dtype)
@@ -198,28 +211,36 @@ class Csr(LinOp):
         """``beta*A + alpha*I`` on the existing pattern (ScaledIdentityAddable,
         ``core/matrix/csr.cpp:1576-1589``).  Like the reference, requires every
         diagonal entry to be structurally present (raises ValueError
-        otherwise); the check runs on host, so this is a build-time API when
-        the matrix uses the banded strategy."""
+        otherwise), and the structural pattern is preserved even where the new
+        value is exactly zero.  The check runs on host, so this is a
+        build-time API when the matrix uses the banded strategy."""
         import jax.core
-        concrete = not isinstance(self.values, jax.core.Tracer)
+
+        def _tracer(x):
+            return isinstance(x, jax.core.Tracer)
+
+        concrete = not _tracer(self.values)
         if concrete:
-            d = self.to_matrix_data()
-            n_diag = min(self.shape)
-            present = np.count_nonzero(d.row_idx == d.col_idx)
-            if present < n_diag:
+            rows = np.asarray(self.row_idx)[:self.nnz]
+            cols = np.asarray(self.col_idx)[:self.nnz]
+            if np.count_nonzero(rows == cols) < min(self.shape):
                 raise ValueError(
                     "add_scaled_identity: matrix has structurally zero "
                     "diagonal entries")
-            if self.strategy == "banded":
-                new_vals = beta * d.values + np.where(
-                    d.row_idx == d.col_idx, alpha, 0).astype(d.values.dtype)
-                return Csr.from_data(
-                    MatrixData(d.shape, d.row_idx, d.col_idx, new_vals),
-                    strategy="automatical", dtype=self.values.dtype)
-        elif self.strategy == "banded":
-            raise ValueError(
-                "add_scaled_identity on a banded-strategy Csr is a "
-                "build-time (non-traced) operation")
+        if self.strategy == "banded":
+            if not concrete or _tracer(alpha) or _tracer(beta):
+                raise ValueError(
+                    "add_scaled_identity on a banded-strategy Csr is a "
+                    "build-time (non-traced) operation; rebuild with "
+                    "strategy='classical' to shift inside jit")
+            vals = np.asarray(self.values)[:self.nnz]
+            new_vals = beta * vals + np.where(
+                rows == cols, alpha, 0).astype(vals.dtype)
+            # pattern-preserving rebuild (entries are already canonical
+            # row-major order; _from_canonical_data keeps exact zeros)
+            return Csr._from_canonical_data(
+                MatrixData(self.shape, rows, cols, new_vals),
+                strategy="automatical", dtype=self.values.dtype)
         on_diag = self.row_idx == self.col_idx
         vals = beta * self.values + jnp.where(on_diag, alpha, 0).astype(
             self.values.dtype)
@@ -273,11 +294,21 @@ class Csr(LinOp):
                     and np.array_equal(rows, np.sort(rows)))
 
     def sort_by_column_index(self):
-        """Return a copy with rows sorted by column index
-        (``csr.hpp:1199``; build-time, host side)."""
-        return Csr.from_data(self.to_matrix_data(), dtype=self.values.dtype,
-                             strategy=self.strategy if self.strategy
-                             != "banded" else "automatical")
+        """Return a copy with each row's entries sorted by column index
+        (``csr.hpp:1199``; build-time, host side).  A pure reorder like the
+        reference: explicit zeros and duplicate coordinates are preserved,
+        not canonicalized away."""
+        if self.is_sorted_by_column_index():
+            return self
+        rows = np.asarray(self.row_idx)
+        cols = np.asarray(self.col_idx)
+        vals = np.asarray(self.values)
+        # padded slots carry row == n, so lexsort keeps them at the end
+        order = np.lexsort((cols, rows))
+        return dataclass_replace(
+            self, row_idx=jnp.asarray(rows[order], self.row_idx.dtype),
+            col_idx=jnp.asarray(cols[order], self.col_idx.dtype),
+            values=jnp.asarray(vals[order]))
 
     # row lengths (for strategy decisions / ELL conversion)
     def row_lengths(self):

@@ -68,6 +68,12 @@ class Ell(LinOp):
         from .csr import Csr
         return Csr.from_data(self.to_matrix_data(), **kwargs)
 
+
+    def compute_absolute(self):
+        """|A| entrywise (AbsoluteComputable; abs over value leaves)."""
+        from ..base.linop import absolute_of_storage
+        return absolute_of_storage(self)
+
     def to_matrix_data(self) -> MatrixData:
         cols = np.asarray(self.col_idx)
         vals = np.asarray(self.values)

@@ -81,6 +81,12 @@ class Fbcsr(LinOp):
         return dense[:nbr].transpose(0, 1, 2, 3).reshape(
             nbr * bs, nbc * bs)[:n, :m]
 
+
+    def compute_absolute(self):
+        """|A| entrywise (AbsoluteComputable; abs over value leaves)."""
+        from ..base.linop import absolute_of_storage
+        return absolute_of_storage(self)
+
     def to_matrix_data(self) -> MatrixData:
         bs = self.block_size
         rows = np.asarray(self.block_rows)[:self.nnzb]

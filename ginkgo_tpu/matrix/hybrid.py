@@ -71,6 +71,12 @@ class Hybrid(LinOp):
     def to_dense(self):
         return self.ell.to_dense() + self.coo.to_dense()
 
+
+    def compute_absolute(self):
+        """|A| entrywise (AbsoluteComputable; abs over value leaves)."""
+        from ..base.linop import absolute_of_storage
+        return absolute_of_storage(self)
+
     def to_matrix_data(self) -> MatrixData:
         e = self.ell.to_matrix_data()
         c = self.coo.to_matrix_data()

@@ -79,6 +79,12 @@ class Sellp(LinOp):
         return jnp.zeros(self.shape, self.val_flat.dtype).at[
             self.row_flat, self.col_flat].add(self.val_flat, mode="drop")
 
+
+    def compute_absolute(self):
+        """|A| entrywise (AbsoluteComputable; abs over value leaves)."""
+        from ..base.linop import absolute_of_storage
+        return absolute_of_storage(self)
+
     def to_matrix_data(self) -> MatrixData:
         rows = np.asarray(self.row_flat)
         keep = rows < self.shape[0]

@@ -208,7 +208,8 @@ class MultigridCycleOp(LinOp):
 
 class Multigrid:
     """Factory (``multigrid.hpp`` params): ``mg_level`` (coarsening factory,
-    default Pgm), ``max_levels``, ``min_coarse_rows``, ``cycle`` in v/w/f,
+    default Pgm), ``max_levels``, ``min_coarse_rows``, ``cycle`` in
+    v/w/f/k (k = Krylov-accelerated coarse-grid correction, kcycle),
     ``smoother`` (factory or None for damped Jacobi), ``coarsest_solver``
     (factory or None for dense inverse), ``criteria``."""
 
@@ -216,6 +217,10 @@ class Multigrid:
                  min_coarse_rows: int = 16, cycle: str = "v",
                  smoother=None, coarsest_solver=None, criteria=None,
                  coarse_dtype=None):
+        if cycle not in ("v", "w", "f", "k"):
+            raise ValueError(
+                f"unknown multigrid cycle {cycle!r}; expected one of "
+                "'v', 'w', 'f', 'k'")
         self.mg_level = mg_level
         self.max_levels = max_levels
         self.min_coarse_rows = min_coarse_rows

@@ -136,6 +136,54 @@ class TestCsrMixins:
                                    np.asarray(A.to_dense()))
 
 
+class TestReviewRegressions:
+    def test_banded_add_scaled_identity_preserves_pattern(self):
+        # a shift that makes one stored entry exactly zero must not shrink
+        # the structural pattern (reference semantics: values change only)
+        d = _poisson_data(64)
+        A = Csr.from_data(d, strategy="banded")
+        assert A.strategy == "banded"
+        out = A.add_scaled_identity(-2.0, 1.0)   # diagonal 2.0 -> 0.0
+        assert out.nnz == A.nnz
+        # and it can be shifted again (diagonal still structurally present)
+        back = out.add_scaled_identity(2.0, 1.0)
+        np.testing.assert_allclose(np.asarray(back.to_dense()),
+                                   np.asarray(A.to_dense()), rtol=1e-14)
+
+    def test_add_scaled_identity_beta_zero_keeps_offdiagonals(self):
+        d = _poisson_data(32)
+        A = Csr.from_data(d, strategy="banded")
+        out = A.add_scaled_identity(1.0, 0.0)    # beta=0 zeroes off-diags
+        assert out.nnz == A.nnz
+        np.testing.assert_allclose(np.asarray(out.to_dense()), np.eye(32))
+
+    def test_banded_tracer_scalar_raises_cleanly(self):
+        A = Csr.from_data(_poisson_data(64), strategy="banded")
+        assert A.strategy == "banded"
+        with pytest.raises(ValueError, match="build-time"):
+            jax.jit(lambda mu: A.add_scaled_identity(mu, 1.0).values)(0.5)
+
+    def test_sort_by_column_index_pure_reorder(self):
+        # directly assembled arrays with an explicit zero and unsorted cols
+        rows = jnp.asarray([0, 0, 1], jnp.int32)
+        cols = jnp.asarray([1, 0, 1], jnp.int32)
+        vals = jnp.asarray([5.0, 0.0, 2.0])
+        A = Csr(row_ptr=jnp.asarray([0, 2, 3], jnp.int32), col_idx=cols,
+                values=vals, row_idx=rows, shape=(2, 2), nnz=3,
+                strategy="classical")
+        assert not A.is_sorted_by_column_index()
+        B = A.sort_by_column_index()
+        assert B.nnz == 3                       # explicit zero kept
+        assert B.is_sorted_by_column_index()
+        np.testing.assert_allclose(np.asarray(B.values), [0.0, 5.0, 2.0])
+
+    def test_composition_has_no_compute_absolute(self):
+        from ginkgo_tpu.base.composition import Composition
+        A = Csr.from_data(_poisson_data(4))
+        with pytest.raises(AttributeError):
+            Composition(ops=(A, A)).compute_absolute()
+
+
 class TestAbsoluteAndDiagonal:
     def test_generic_compute_absolute_all_formats(self):
         rng = np.random.default_rng(5)
