@@ -72,3 +72,19 @@ class IndexMap:
             raise ValueError(f"indices not in map: {gr[bad][:5]} ...")
         out[~owned] = (hi - lo) + pos
         return out
+
+    def map_to_global(self, local_idxs) -> np.ndarray:
+        """Inverse of map_to_local (``index_map.hpp`` map_to_global):
+        [0, local) -> owned global rows; local_size + ghost_id -> the
+        ghost's global index."""
+        li = np.asarray(local_idxs, np.int64)
+        lo, hi = (self.partition.ranges[self.rank],
+                  self.partition.ranges[self.rank + 1])
+        local_size = hi - lo
+        if (li < 0).any() or (li >= local_size + self.num_ghosts).any():
+            raise ValueError("local indices out of range for this map")
+        out = np.empty(li.shape, np.int64)
+        owned = li < local_size
+        out[owned] = li[owned] + lo
+        out[~owned] = self.remote_global[li[~owned] - local_size]
+        return out

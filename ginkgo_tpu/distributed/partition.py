@@ -76,6 +76,18 @@ class Partition:
     def part_sizes(self) -> np.ndarray:
         return np.diff(self.ranges)
 
+    def has_connected_parts(self) -> bool:
+        """True when every part's rows form one contiguous block
+        (``partition.hpp`` query).  Always true here: this Partition is
+        one-range-per-part by construction (general multi-range mappings
+        must be reordered first — see build_from_mapping)."""
+        return True
+
+    def has_ordered_parts(self) -> bool:
+        """True when part ids appear in ascending global-row order
+        (``partition.hpp`` query) — true by construction, as above."""
+        return True
+
     def owner_of(self, global_rows) -> np.ndarray:
         return np.searchsorted(self.ranges, np.asarray(global_rows),
                                side="right") - 1

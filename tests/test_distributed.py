@@ -58,6 +58,16 @@ def test_index_map():
         im.map_to_local([3])
 
 
+def test_index_map_to_global_roundtrip():
+    p = Partition.build_from_global_size_uniform(4, 16)
+    im = IndexMap.build(p, 1, np.array([2, 4, 5, 7, 9, 15]))
+    g = np.array([4, 7, 2, 15, 9])
+    np.testing.assert_array_equal(im.map_to_global(im.map_to_local(g)), g)
+    with pytest.raises(ValueError):
+        im.map_to_global([7 + 1])      # local_size 4 + 3 ghosts = 7 slots
+    assert p.has_connected_parts() and p.has_ordered_parts()
+
+
 # -- Distributed matrix -------------------------------------------------------
 
 @pytest.mark.parametrize("P", [2, 4, 8])
