@@ -10,8 +10,10 @@ examples).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
+from ..base.dtypes import complex_dtype, is_complex
 from ..matrix.dense import compute_norm2
 from ..stop.criterion import CheckArgs, default_criterion
 from .common import (SolverAPI, finish, prepare_rhs, resolve_precond,
@@ -38,8 +40,22 @@ def solve(A, b, x0=None, *, criteria=None, solver=None, preconditioner=None,
     b_norm = compute_norm2(b2)
     r0_norm = compute_norm2(r)
 
+    # Inner-solver working precision (the mixed-precision-IR hook).  Cast to
+    # the inner solver's storage precision only when it actually stores
+    # values (the default Identity has none — its LinOp.dtype fallback is
+    # f32, and casting a complex residual through it would silently drop
+    # the imaginary part), and keep the complex domain: a real-storage
+    # inner solver applied to a complex residual runs in the matching
+    # complex precision.
+    has_values = any(
+        hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.inexact)
+        for leaf in jax.tree_util.tree_leaves(S))
+    inner_dt = S.dtype if has_values else b2.dtype
+    if is_complex(b2.dtype) and not is_complex(inner_dt):
+        inner_dt = complex_dtype(inner_dt)
+
     def step(s):
-        d = S._apply(s["r"].astype(S.dtype)).astype(s["r"].dtype)
+        d = S._apply(s["r"].astype(inner_dt)).astype(s["r"].dtype)
         x = s["x"] + omega * d
         return dict(x=x, r=b2 - A._apply(x))
 
