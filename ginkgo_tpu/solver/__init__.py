@@ -16,3 +16,4 @@ from .gcr import Gcr  # noqa: F401
 from .idr import Idr  # noqa: F401
 from .triangular import LowerTrs, UpperTrs  # noqa: F401
 from .multigrid import Multigrid  # noqa: F401
+from .direct import Direct  # noqa: F401
