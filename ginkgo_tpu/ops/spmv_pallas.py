@@ -223,10 +223,16 @@ def dia_spmv_tpu(offsets, dvb, meta, b):
                 and jnp.dtype(dvb.dtype) in (jnp.dtype(jnp.bfloat16),
                                              jnp.dtype(jnp.float16),
                                              jnp.dtype(jnp.float32)))
-    if b.shape[1] > _MAX_RHS \
-            or jnp.issubdtype(b.dtype, jnp.complexfloating) \
+    if jnp.issubdtype(b.dtype, jnp.complexfloating) \
             or jnp.dtype(b.dtype).itemsize > 4 \
             or (b.dtype != dvb.dtype and not ok_mixed):
         from .spmv import dia_spmv
         return dia_spmv(offsets, dvb, meta, b)
+    if b.shape[1] > _MAX_RHS:
+        # chunk the columns so wide multi-RHS applies keep the Pallas path
+        # (each <=_MAX_RHS chunk re-streams dvb once; still far cheaper
+        # than the jnp tier's per-diagonal passes)
+        outs = [dia_spmv_pallas(offsets, dvb, meta, b[:, i:i + _MAX_RHS])
+                for i in range(0, b.shape[1], _MAX_RHS)]
+        return jnp.concatenate(outs, axis=1)
     return dia_spmv_pallas(offsets, dvb, meta, b)

@@ -80,6 +80,32 @@ def test_dia_pallas_multi_rhs(k):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("k", [9, 16, 19])
+def test_dia_wide_rhs_chunks_stay_on_kernel_path(k):
+    """k > _MAX_RHS goes through the column-chunked Pallas dispatch
+    (dia_spmv_tpu), not the jnp fallback; results match the reference."""
+    from ginkgo_tpu.ops import spmv_pallas
+
+    n, offsets = 1500, (-40, -1, 0, 1, 40)
+    diag_values, meta, dvb, _ = _banded_setup(n, offsets, seed=6)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((n, k)).astype(np.float32))
+    ref = dia_spmv(tuple(offsets), dvb, meta, x)
+    calls = []
+    orig = spmv_pallas.dia_spmv_pallas
+    try:
+        def spy(offs, d, m, b, **kw):
+            calls.append(b.shape[1])
+            return orig(offs, d, m, b, interpret=True)
+        spmv_pallas.dia_spmv_pallas = spy
+        got = spmv_pallas.dia_spmv_tpu(tuple(offsets), dvb, meta, x)
+    finally:
+        spmv_pallas.dia_spmv_pallas = orig
+    assert sum(calls) == k and max(calls) <= spmv_pallas._MAX_RHS
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
 @pytest.mark.parametrize("sdtype", [jnp.bfloat16, jnp.float16], ids=str)
 def test_dia_pallas_reduced_storage(sdtype):
     """Mixed-precision kernel: bf16/f16 diagonal storage, f32 vectors/math."""
