@@ -270,6 +270,16 @@ class Csr(LinOp):
         return Csr.from_data(permute_data(self.to_matrix_data(),
                                           np.asarray(perm), mode), **kwargs)
 
+    def scale_permute(self, row_sp, mode=None, col_sp=None,
+                      invert: bool = False, **kwargs):
+        """Scaled permutation (``csr.hpp`` scale_permute): one
+        ScaledPermutation + permute_mode, or row/col pair with ``invert``.
+        Host-side (build-time), like permute."""
+        from .permutation import scale_permute_data
+        return Csr.from_data(
+            scale_permute_data(self.to_matrix_data(), row_sp, mode=mode,
+                               col_sp=col_sp, invert=invert), **kwargs)
+
     def create_submatrix(self, rows: slice, cols: slice, **kwargs):
         """Extract the [rows, cols] block (csr.cpp submatrix kernels)."""
         d = self.to_matrix_data()

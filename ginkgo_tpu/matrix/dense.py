@@ -124,6 +124,16 @@ class Dense(LinOp):
             d = d[:, perm]
         return Dense(data=d)
 
+    def scale_permute(self, row_sp, mode=None, col_sp=None,
+                      invert: bool = False):
+        """Scaled permutation (``dense.hpp:505-560``): one ScaledPermutation
+        + permute_mode, or a row/col pair with ``invert``."""
+        from .permutation import scale_permute_data
+        return Dense.from_data(
+            scale_permute_data(self.to_matrix_data(), row_sp, mode=mode,
+                               col_sp=col_sp, invert=invert),
+            dtype=self.data.dtype)
+
     def create_submatrix(self, rows: slice, cols: slice):
         return Dense(data=self.data[rows, cols])
 

@@ -94,6 +94,69 @@ class ScaledPermutation(LinOp):
                    scale=jnp.asarray(scale))
 
 
+def scale_permute_data(data, row_sp, mode: permute_mode = None,
+                       col_sp=None, invert: bool = False):
+    """Host-side scaled permutation of a matrix (``dense.hpp:505-560``,
+    ``csr.hpp`` scale_permute).  ``row_sp``/``col_sp``: ScaledPermutation
+    operators or (perm, scale) tuples.
+
+    One-permutation form (``col_sp=None``): applies ``mode`` with
+    S = diag(scale)·P — rows: A' = S A; columns: A' = A Sᵀ; symmetric:
+    A' = S A Sᵀ; with ``permute_mode.inverse`` the inverse S⁻¹ is used.
+    Two-permutation form: A' = S_r A S_cᵀ (or their inverses when
+    ``invert``)."""
+    from ..base.matrix_data import MatrixData
+
+    def _unpack(sp):
+        if sp is None:
+            return None, None
+        if isinstance(sp, tuple):
+            p, s = sp
+        else:
+            p, s = sp.perm, sp.scale
+        return np.asarray(p), np.asarray(s)
+
+    rp, rs = _unpack(row_sp)
+    if col_sp is not None:
+        cp, cs = _unpack(col_sp)
+        do_rows = do_cols = True
+        inv_flag = invert
+    else:
+        cp, cs = rp, rs
+        if mode is None:
+            mode = permute_mode.symmetric
+        do_rows = bool(mode & permute_mode.rows)
+        do_cols = bool(mode & permute_mode.columns)
+        inv_flag = bool(mode & permute_mode.inverse)
+
+    r = data.row_idx.copy()
+    c = data.col_idx.copy()
+    v = data.values.copy()
+    if do_rows:
+        inv = np.zeros_like(rp)
+        inv[rp] = np.arange(rp.shape[0])
+        if inv_flag:
+            # A' = S⁻¹ A: row j of A lands on row p[j], scaled by 1/s[j]
+            v = v / rs[r]
+            r = rp[r]
+        else:
+            # A'(i, :) = s[i] * A(p[i], :): row r lands on inv[r]
+            r = inv[r]
+            v = v * rs[r]
+    if do_cols:
+        inv = np.zeros_like(cp)
+        inv[cp] = np.arange(cp.shape[0])
+        if inv_flag:
+            # A' = A S⁻ᵀ: column k of A lands on column p[k], scaled 1/s[k]
+            v = v / cs[c]
+            c = cp[c]
+        else:
+            # A' = A Sᵀ: A'(:, j) = A(:, p[j]) * s[j]
+            c = inv[c]
+            v = v * cs[c]
+    return MatrixData(data.shape, r, c, v).sort_row_major()
+
+
 def permute_data(data, perm: np.ndarray, mode: permute_mode):
     """Host-side matrix permutation (Ginkgo's Csr::permute): returns new
     MatrixData with rows/cols remapped.  ``perm`` as in Permutation: output

@@ -212,6 +212,64 @@ class TestAbsoluteAndDiagonal:
             np.asarray(d.compute_absolute().values), [1.0, 2.0, 4.0])
 
 
+class TestScalePermute:
+    def _setup(self, n=7, seed=11):
+        rng = np.random.default_rng(seed)
+        dense = rng.standard_normal((n, n))
+        dense[np.abs(dense) < 0.5] = 0.0
+        np.fill_diagonal(dense, 2.0)
+        from ginkgo_tpu.matrix.permutation import ScaledPermutation
+        perm = rng.permutation(n)
+        scale = rng.uniform(0.5, 2.0, n)
+        sp = ScaledPermutation.from_indices(perm, scale)
+        return dense, sp, np.asarray(sp.to_dense())
+
+    @pytest.mark.parametrize("mode_name", ["rows", "columns", "symmetric",
+                                           "inverse_symmetric"])
+    def test_csr_scale_permute_modes(self, mode_name):
+        from ginkgo_tpu.matrix.permutation import permute_mode
+        dense, sp, S = self._setup()
+        mode = {"rows": permute_mode.rows, "columns": permute_mode.columns,
+                "symmetric": permute_mode.symmetric,
+                "inverse_symmetric": (permute_mode.symmetric
+                                      | permute_mode.inverse)}[mode_name]
+        A = Csr.from_dense(dense)
+        got = np.asarray(A.scale_permute(sp, mode=mode).to_dense())
+        Sinv = np.linalg.inv(S)
+        want = {"rows": S @ dense, "columns": dense @ S.T,
+                "symmetric": S @ dense @ S.T,
+                "inverse_symmetric": Sinv @ dense @ Sinv.T}[mode_name]
+        np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+    def test_nonsymmetric_pair_and_invert(self):
+        dense, rsp, Sr = self._setup(seed=21)
+        _, csp, Sc = self._setup(seed=22)
+        A = Csr.from_dense(dense)
+        got = np.asarray(A.scale_permute(rsp, col_sp=csp).to_dense())
+        np.testing.assert_allclose(got, Sr @ dense @ Sc.T, rtol=1e-12)
+        got = np.asarray(
+            A.scale_permute(rsp, col_sp=csp, invert=True).to_dense())
+        np.testing.assert_allclose(
+            got, np.linalg.inv(Sr) @ dense @ np.linalg.inv(Sc).T, rtol=1e-11)
+
+    def test_dense_scale_permute_matches_csr(self):
+        from ginkgo_tpu.matrix.permutation import permute_mode
+        dense, sp, S = self._setup(seed=31)
+        D = Dense.create(dense)
+        got = np.asarray(
+            D.scale_permute(sp, mode=permute_mode.symmetric).to_dense())
+        np.testing.assert_allclose(got, S @ dense @ S.T, rtol=1e-12)
+
+    def test_symmetric_roundtrip(self):
+        from ginkgo_tpu.matrix.permutation import permute_mode
+        dense, sp, S = self._setup(seed=41)
+        A = Csr.from_dense(dense)
+        back = A.scale_permute(sp, mode=permute_mode.symmetric).scale_permute(
+            sp, mode=permute_mode.symmetric | permute_mode.inverse)
+        np.testing.assert_allclose(np.asarray(back.to_dense()), dense,
+                                   rtol=1e-11, atol=1e-12)
+
+
 class TestBatchAddScaledIdentity:
     def _batch_data(self, nb, n, seed=0):
         rng = np.random.default_rng(seed)
