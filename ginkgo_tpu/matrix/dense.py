@@ -10,6 +10,7 @@ whose apply is an MXU matmul.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..base.linop import LinOp, linop_dataclass, static_field
 from ..base.matrix_data import MatrixData
@@ -114,25 +115,45 @@ class Dense(LinOp):
         return Dense(data=self.data[jnp.asarray(rows)])
 
     def permute(self, perm, mode=None):
-        from .permutation import permute_mode
+        from .permutation import _invert_perm, permute_mode
         perm = jnp.asarray(perm)
         mode = permute_mode.symmetric if mode is None else mode
+        # forward rows: A'(i,:) = A(p[i],:) = d[perm]; the inverse flag
+        # swaps in p⁻¹ (same convention as permute_data / Csr.permute)
+        idx = _invert_perm(perm) if (mode & permute_mode.inverse) else perm
         d = self.data
         if mode & permute_mode.rows:
-            d = d[perm]
+            d = d[idx]
         if mode & permute_mode.columns:
-            d = d[:, perm]
+            d = d[:, idx]
         return Dense(data=d)
 
     def scale_permute(self, row_sp, mode=None, col_sp=None,
                       invert: bool = False):
         """Scaled permutation (``dense.hpp:505-560``): one ScaledPermutation
-        + permute_mode, or a row/col pair with ``invert``."""
-        from .permutation import scale_permute_data
-        return Dense.from_data(
-            scale_permute_data(self.to_matrix_data(), row_sp, mode=mode,
-                               col_sp=col_sp, invert=invert),
-            dtype=self.data.dtype)
+        + permute_mode, or a row/col pair with ``invert``.  Direct array
+        ops (no triplet round-trip), so explicit zeros/NaNs pass through."""
+        from .permutation import (_invert_perm, _normalize_scale_permute)
+        (rp, rs), (cp, cs), do_rows, do_cols, inv_flag = \
+            _normalize_scale_permute(row_sp, mode, col_sp, invert)
+        d = self.data
+        if do_rows:
+            rs_ = jnp.asarray(rs, d.dtype)
+            if inv_flag:
+                # A' = S⁻¹A: A'(p[j], :) = A(j, :)/s[j]
+                d = (d / rs_[:, None])[_invert_perm(np.asarray(rp))]
+            else:
+                # A'(i, :) = s[i] A(p[i], :)
+                d = rs_[:, None] * d[np.asarray(rp)]
+        if do_cols:
+            cs_ = jnp.asarray(cs, d.dtype)
+            if inv_flag:
+                # A' = A S⁻ᵀ: A'(:, p[k]) = A(:, k)/s[k]
+                d = (d / cs_[None, :])[:, _invert_perm(np.asarray(cp))]
+            else:
+                # A' = A Sᵀ: A'(:, j) = A(:, p[j]) s[j]
+                d = d[:, np.asarray(cp)] * cs_[None, :]
+        return Dense(data=d)
 
     def create_submatrix(self, rows: slice, cols: slice):
         return Dense(data=self.data[rows, cols])

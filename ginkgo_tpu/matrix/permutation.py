@@ -27,6 +27,16 @@ class permute_mode(enum.Flag):
     inverse_symmetric = inverse | rows | columns
 
 
+def _invert_perm(perm):
+    """Inverse of a permutation vector; numpy and jax arrays both work."""
+    if isinstance(perm, jnp.ndarray):
+        return jnp.zeros_like(perm).at[perm].set(
+            jnp.arange(perm.shape[0], dtype=perm.dtype))
+    inv = np.zeros_like(perm)
+    inv[perm] = np.arange(perm.shape[0], dtype=perm.dtype)
+    return inv
+
+
 @linop_dataclass
 class Permutation(LinOp):
     """x = b[perm]: row-permutation as a LinOp."""
@@ -42,9 +52,7 @@ class Permutation(LinOp):
         return b[self.perm]
 
     def inverse(self):
-        inv = jnp.zeros_like(self.perm).at[self.perm].set(
-            jnp.arange(self.perm.shape[0], dtype=self.perm.dtype))
-        return Permutation(perm=inv)
+        return Permutation(perm=_invert_perm(self.perm))
 
     def transpose(self):
         return self.inverse()
@@ -77,9 +85,7 @@ class ScaledPermutation(LinOp):
         return self.scale[:, None].astype(b.dtype) * b[self.perm]
 
     def inverse(self):
-        n = self.perm.shape[0]
-        inv = jnp.zeros_like(self.perm).at[self.perm].set(
-            jnp.arange(n, dtype=self.perm.dtype))
+        inv = _invert_perm(self.perm)
         inv_scale = (1.0 / self.scale)[inv]
         return ScaledPermutation(perm=inv, scale=inv_scale)
 
@@ -107,54 +113,59 @@ def scale_permute_data(data, row_sp, mode: permute_mode = None,
     ``invert``)."""
     from ..base.matrix_data import MatrixData
 
-    def _unpack(sp):
-        if sp is None:
-            return None, None
-        if isinstance(sp, tuple):
-            p, s = sp
-        else:
-            p, s = sp.perm, sp.scale
-        return np.asarray(p), np.asarray(s)
-
-    rp, rs = _unpack(row_sp)
-    if col_sp is not None:
-        cp, cs = _unpack(col_sp)
-        do_rows = do_cols = True
-        inv_flag = invert
-    else:
-        cp, cs = rp, rs
-        if mode is None:
-            mode = permute_mode.symmetric
-        do_rows = bool(mode & permute_mode.rows)
-        do_cols = bool(mode & permute_mode.columns)
-        inv_flag = bool(mode & permute_mode.inverse)
+    (rp, rs), (cp, cs), do_rows, do_cols, inv_flag = \
+        _normalize_scale_permute(row_sp, mode, col_sp, invert)
 
     r = data.row_idx.copy()
     c = data.col_idx.copy()
     v = data.values.copy()
     if do_rows:
-        inv = np.zeros_like(rp)
-        inv[rp] = np.arange(rp.shape[0])
         if inv_flag:
             # A' = S⁻¹ A: row j of A lands on row p[j], scaled by 1/s[j]
             v = v / rs[r]
             r = rp[r]
         else:
             # A'(i, :) = s[i] * A(p[i], :): row r lands on inv[r]
-            r = inv[r]
+            r = _invert_perm(rp)[r]
             v = v * rs[r]
     if do_cols:
-        inv = np.zeros_like(cp)
-        inv[cp] = np.arange(cp.shape[0])
         if inv_flag:
             # A' = A S⁻ᵀ: column k of A lands on column p[k], scaled 1/s[k]
             v = v / cs[c]
             c = cp[c]
         else:
             # A' = A Sᵀ: A'(:, j) = A(:, p[j]) * s[j]
-            c = inv[c]
+            c = _invert_perm(cp)[c]
             v = v * cs[c]
     return MatrixData(data.shape, r, c, v).sort_row_major()
+
+
+def _normalize_scale_permute(row_sp, mode, col_sp, invert):
+    """Shared argument normalization for the scale_permute overloads.
+    Returns ((rp, rs), (cp, cs), do_rows, do_cols, inv_flag) as host
+    arrays.  ``mode`` belongs to the one-permutation form only — passing it
+    together with ``col_sp`` is a conflict and raises."""
+
+    def _unpack(sp):
+        if sp is None:
+            return None, None
+        p, s = sp if isinstance(sp, tuple) else (sp.perm, sp.scale)
+        return np.asarray(p), np.asarray(s)
+
+    rp, rs = _unpack(row_sp)
+    if col_sp is not None:
+        if mode is not None:
+            raise ValueError(
+                "scale_permute: pass either mode (one-permutation form) "
+                "or col_sp (row/col pair form), not both")
+        cp, cs = _unpack(col_sp)
+        return (rp, rs), (cp, cs), True, True, invert
+    if mode is None:
+        mode = permute_mode.symmetric
+    do_rows = bool(mode & permute_mode.rows)
+    do_cols = bool(mode & permute_mode.columns)
+    inv_flag = bool(mode & permute_mode.inverse) or invert
+    return (rp, rs), (rp, rs), do_rows, do_cols, inv_flag
 
 
 def permute_data(data, perm: np.ndarray, mode: permute_mode):
@@ -163,8 +174,7 @@ def permute_data(data, perm: np.ndarray, mode: permute_mode):
     row i = input row perm[i]."""
     from ..base.matrix_data import MatrixData
     perm = np.asarray(perm)
-    inv = np.zeros_like(perm)
-    inv[perm] = np.arange(perm.shape[0])
+    inv = _invert_perm(perm)
     r, c = data.row_idx.copy(), data.col_idx.copy()
     row_map = perm if (mode & permute_mode.inverse) else inv
     col_map = row_map

@@ -149,7 +149,9 @@ def _dia_kernel(xp_ref, dvb_ref, out_ref, dbuf, xbuf, obuf, dsem, xsem, osem,
         o_dma(G - NB + j, j).wait()
 
 
-_MAX_RHS = 8   # VMEM budget: columns beyond this fall back to the jnp tier
+_MAX_RHS = 8   # VMEM budget per kernel call: wider applies are processed
+               # in <=_MAX_RHS-column chunks (dia_spmv_tpu), each
+               # re-streaming dvb once
 
 
 @functools.lru_cache(maxsize=64)

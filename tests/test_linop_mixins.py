@@ -260,6 +260,49 @@ class TestScalePermute:
             D.scale_permute(sp, mode=permute_mode.symmetric).to_dense())
         np.testing.assert_allclose(got, S @ dense @ S.T, rtol=1e-12)
 
+    def test_invert_kwarg_one_permutation_form(self):
+        # invert=True without col_sp must invert (was silently ignored)
+        dense, sp, S = self._setup(seed=51)
+        A = Csr.from_dense(dense)
+        got = np.asarray(A.scale_permute(sp, invert=True).to_dense())
+        Sinv = np.linalg.inv(S)
+        np.testing.assert_allclose(got, Sinv @ dense @ Sinv.T, rtol=1e-11)
+
+    def test_mode_with_col_sp_raises(self):
+        from ginkgo_tpu.matrix.permutation import permute_mode
+        dense, rsp, _ = self._setup(seed=52)
+        _, csp, _ = self._setup(seed=53)
+        A = Csr.from_dense(dense)
+        with pytest.raises(ValueError, match="not both"):
+            A.scale_permute(rsp, mode=permute_mode.rows, col_sp=csp)
+
+    def test_dense_permute_honors_inverse(self):
+        from ginkgo_tpu.matrix.permutation import permute_mode
+        dense, sp, _ = self._setup(seed=54)
+        perm = np.asarray(sp.perm)
+        D = Dense.create(dense)
+        A = Csr.from_dense(dense)
+        for mode in (permute_mode.inverse_rows, permute_mode.inverse_columns,
+                     permute_mode.inverse_symmetric):
+            np.testing.assert_allclose(
+                np.asarray(D.permute(perm, mode).to_dense()),
+                np.asarray(A.permute(perm, mode).to_dense()),
+                rtol=1e-13, err_msg=str(mode))
+
+    def test_dense_scale_permute_preserves_nan(self):
+        from ginkgo_tpu.matrix.permutation import permute_mode
+        dense, sp, S = self._setup(seed=55)
+        dense = dense.copy()
+        dense[1, 2] = np.nan
+        got = np.asarray(Dense.create(dense).scale_permute(
+            sp, mode=permute_mode.rows).to_dense())
+        # gather-based oracle: s[i]*A(p[i], :) — a dense S @ A matmul would
+        # smear the NaN over the whole column via 0*NaN
+        want = np.asarray(sp.scale)[:, None] * dense[np.asarray(sp.perm)]
+        np.testing.assert_array_equal(np.isnan(got), np.isnan(want))
+        np.testing.assert_allclose(got[~np.isnan(want)], want[~np.isnan(want)],
+                                   rtol=1e-12)
+
     def test_symmetric_roundtrip(self):
         from ginkgo_tpu.matrix.permutation import permute_mode
         dense, sp, S = self._setup(seed=41)
