@@ -108,9 +108,15 @@ def run_iteration_loop(step_fn, make_check_args, state0, criterion: Criterion,
                   active=~stop0, converged=conv0,
                   iters=jnp.zeros((k,), jnp.int32))
 
+    # With a single RHS column there is nothing to freeze: the loop exits
+    # as soon as the one column stops, so the per-column select (which
+    # reads+writes every state buffer, incl. a GMRES basis) is pure waste.
+    single_col = b.shape[1] == 1
+
     def body(carry):
         new_state = step_fn(carry["state"])
-        state = mask_cols(carry["active"], new_state, carry["state"])
+        state = (new_state if single_col else
+                 mask_cols(carry["active"], new_state, carry["state"]))
         it = carry["it"] + 1
         args = make_check_args(state, it)
         stop, conv, crit = criterion.check(carry["crit"], args)
@@ -133,7 +139,8 @@ def run_iteration_loop(step_fn, make_check_args, state0, criterion: Criterion,
         @jax.jit
         def fused_step(active, state):
             new_state = step_fn(state)
-            return mask_cols(active, new_state, state)
+            return (new_state if single_col else
+                    mask_cols(active, new_state, state))
 
         carry = carry0
         while bool(np.any(np.asarray(carry["active"]))) and \

@@ -38,33 +38,59 @@ from .common import (SolverAPI, finish, prepare_rhs, resolve_precond,
 # ---------------------------------------------------------------------------
 
 class _Basis:
-    """keep: basis stored at full value-type precision."""
+    """keep: basis stored at full value-type precision.
 
-    def __init__(self, m, n, k, dtype):
-        self.shape = (m, n, k)
+    ``m`` is padded up to a multiple of the ortho block size so the blocked
+    orthogonalisation (see ``solve``) tiles the column axis exactly."""
+
+    def __init__(self, m, n, k, dtype, block=1):
+        m_pad = -(-m // block) * block
+        self.m = m
+        # k == 1 stores squeezed (m_pad, n): a trailing unit dim makes XLA
+        # pick degenerate (1, 128)-tiled layouts for the 30+ MB buffer and
+        # insert transpose-copies between the restart/arnoldi cond branches.
+        self.k1 = (k == 1)
+        self.shape = (m_pad, n) if self.k1 else (m_pad, n, k)
         self.dtype = dtype
+
+    def _pack(self, vec):
+        return vec[:, 0] if self.k1 else vec
+
+    def _unpack(self, arr):
+        return arr[..., None] if self.k1 else arr
 
     def empty(self):
         return jnp.zeros(self.shape, self.dtype)
 
     def write(self, store, i, vec):
-        return store.at[i].set(vec.astype(store.dtype))
+        # dynamic_update_slice (not .at[i].set): scatter with a traced index
+        # lowers to a full-buffer pad+select on TPU; DUS updates in place
+        # inside the solver while_loop.
+        return jax.lax.dynamic_update_slice_in_dim(
+            store, self._pack(vec).astype(store.dtype)[None], i, 0)
 
     def read_all(self, store, dtype):
-        return store.astype(dtype)
+        return self._unpack(store[:self.m].astype(dtype))
 
     def read_one(self, store, i, dtype):
-        return store[i].astype(dtype)
+        return self._unpack(jax.lax.dynamic_index_in_dim(
+            store, i, 0, keepdims=False).astype(dtype))
+
+    def read_block(self, store, start, size, dtype):
+        """(size, n, k) columns [start, start+size) — static size, traced
+        start; start*size stays in-bounds by construction (padded m)."""
+        return self._unpack(jax.lax.dynamic_slice_in_dim(
+            store, start, size, 0).astype(dtype))
 
 
 class _ReducedBasis(_Basis):
     """reduce1/reduce2: plain down-converted storage (f64->f32->bf16)."""
 
-    def __init__(self, m, n, k, dtype, steps):
+    def __init__(self, m, n, k, dtype, steps, block=1):
         store = dtype
         for _ in range(steps):
             store = reduce_precision(store)
-        super().__init__(m, n, k, store)
+        super().__init__(m, n, k, store, block=block)
 
 
 class _ScaledIntBasis:
@@ -73,47 +99,72 @@ class _ScaledIntBasis:
     maps to int16 (Ginkgo's wider int modes); 'int8' is the aggressive
     quarter-traffic variant."""
 
-    def __init__(self, m, n, k, dtype, int_dtype=jnp.int16):
+    def __init__(self, m, n, k, dtype, int_dtype=jnp.int16, block=1):
         self.m, self.n, self.k = m, n, k
+        self.m_pad = -(-m // block) * block
+        self.k1 = (k == 1)            # squeezed storage, as in _Basis
         self.value_dtype = dtype
         self.int_dtype = int_dtype
         self.qmax = float(jnp.iinfo(int_dtype).max - 1)
 
+    def _pack(self, vec):
+        return vec[:, 0] if self.k1 else vec
+
+    def _unpack(self, arr):
+        return arr[..., None] if self.k1 else arr
+
     def empty(self):
-        return dict(q=jnp.zeros((self.m, self.n, self.k), self.int_dtype),
-                    scale=jnp.ones((self.m, self.k), self.value_dtype))
+        qshape = ((self.m_pad, self.n) if self.k1
+                  else (self.m_pad, self.n, self.k))
+        return dict(q=jnp.zeros(qshape, self.int_dtype),
+                    scale=jnp.ones((self.m_pad, self.k), self.value_dtype))
 
     def write(self, store, i, vec):
         amax = jnp.max(jnp.abs(vec), axis=0)
         scale = jnp.where(amax == 0, jnp.ones_like(amax), amax / self.qmax)
         q = jnp.clip(jnp.round(vec / scale[None, :]),
                      -self.qmax, self.qmax).astype(self.int_dtype)
-        return dict(q=store["q"].at[i].set(q),
-                    scale=store["scale"].at[i].set(scale.astype(
-                        store["scale"].dtype)))
+        return dict(
+            q=jax.lax.dynamic_update_slice_in_dim(
+                store["q"], self._pack(q)[None], i, 0),
+            scale=jax.lax.dynamic_update_slice_in_dim(
+                store["scale"],
+                scale.astype(store["scale"].dtype)[None], i, 0))
+
+    def _scaled(self, q, s, dtype):
+        """q: (..., n[, k]) ints, s: (..., k) scales -> values (..., n, k)."""
+        v = self._unpack(q.astype(dtype))
+        return v * s[..., None, :].astype(dtype)
 
     def read_all(self, store, dtype):
-        return (store["q"].astype(dtype)
-                * store["scale"][:, None, :].astype(dtype))
+        return self._scaled(store["q"][:self.m], store["scale"][:self.m],
+                            dtype)
 
     def read_one(self, store, i, dtype):
-        return store["q"][i].astype(dtype) * store["scale"][i][None].astype(
-            dtype)
+        q = jax.lax.dynamic_index_in_dim(store["q"], i, 0, keepdims=False)
+        s = jax.lax.dynamic_index_in_dim(store["scale"], i, 0,
+                                         keepdims=False)
+        return self._unpack(q.astype(dtype)) * s[None].astype(dtype)
+
+    def read_block(self, store, start, size, dtype):
+        q = jax.lax.dynamic_slice_in_dim(store["q"], start, size, 0)
+        s = jax.lax.dynamic_slice_in_dim(store["scale"], start, size, 0)
+        return self._scaled(q, s, dtype)
 
 
-def _make_basis(storage, m, n, k, dtype):
+def _make_basis(storage, m, n, k, dtype, block=1):
     if storage in (None, "keep"):
-        return _Basis(m, n, k, dtype)
+        return _Basis(m, n, k, dtype, block=block)
     if storage == "reduce1":
-        return _ReducedBasis(m, n, k, dtype, 1)
+        return _ReducedBasis(m, n, k, dtype, 1, block=block)
     if storage == "reduce2":
-        return _ReducedBasis(m, n, k, dtype, 2)
+        return _ReducedBasis(m, n, k, dtype, 2, block=block)
     if storage == "integer":
-        return _ScaledIntBasis(m, n, k, dtype, jnp.int16)
+        return _ScaledIntBasis(m, n, k, dtype, jnp.int16, block=block)
     if storage == "int8":
-        return _ScaledIntBasis(m, n, k, dtype, jnp.int8)
+        return _ScaledIntBasis(m, n, k, dtype, jnp.int8, block=block)
     # an explicit dtype
-    return _Basis(m, n, k, jnp.dtype(storage))
+    return _Basis(m, n, k, jnp.dtype(storage), block=block)
 
 
 # ---------------------------------------------------------------------------
@@ -136,7 +187,12 @@ def solve(A, b, x0=None, *, criteria=None, preconditioner=None,
     n, k = b2.shape
     m = int(krylov_dim)
     dtype = b2.dtype
-    basis = _make_basis(storage_precision, m + 1, n, k, dtype)
+    # Ortho processes the basis in blocks of OB columns inside a fori_loop
+    # whose trip count follows j, so per-iteration HBM traffic scales with
+    # the number of vectors actually in the subspace, not with krylov_dim
+    # (measured 7-10x on TPU for m=30; see BENCHMARKS.md).
+    OB = min(8, m + 1)
+    basis = _make_basis(storage_precision, m + 1, n, k, dtype, block=OB)
 
     b_norm = compute_norm2(b2)
 
@@ -157,30 +213,47 @@ def solve(A, b, x0=None, *, criteria=None, preconditioner=None,
     state0 = restart_fields(x)
     r0_norm = state0["resnorm_est"]
 
-    def project(V_all, w, j):
-        """CGS projection of w onto span(V[0..j]) — masked MXU matmuls."""
-        mask = (jnp.arange(m + 1) <= j)[:, None].astype(w.dtype)
-        h = jnp.einsum("inr,nr->ir", jnp.conj(V_all), w,
-                       preferred_element_type=w.dtype) * mask
-        w = w - jnp.einsum("ir,inr->nr", h, V_all,
-                           preferred_element_type=w.dtype)
-        return h, w
+    m_pad = basis.shape[0] if hasattr(basis, "shape") else basis.m_pad
+
+    def project(V_store, w, j):
+        """One orthogonalisation pass of w against span(V[0..j]), processed
+        in OB-column blocks inside a fori_loop whose trip count is
+        ceil((j+1)/OB) — HBM traffic follows j, not krylov_dim.  Within a
+        block the projection is classical (one batched dot + one batched
+        update); across blocks it is modified Gram-Schmidt, which is at
+        least as stable as plain CGS."""
+        nblocks = (j + 1 + OB - 1) // OB        # traced upper bound
+
+        def body(i, carry):
+            h_acc, w = carry
+            start = i * OB
+            blk = basis.read_block(V_store, start, OB, dtype)   # (OB, n, k)
+            col = start + jnp.arange(OB)
+            mask = (col <= j)[:, None].astype(w.real.dtype)
+            hb = jnp.einsum("inr,nr->ir", jnp.conj(blk), w,
+                            preferred_element_type=w.dtype) * mask
+            w = w - jnp.einsum("ir,inr->nr", hb, blk,
+                               preferred_element_type=w.dtype)
+            h_acc = jax.lax.dynamic_update_slice_in_dim(h_acc, hb, start, 0)
+            return h_acc, w
+
+        h0 = jnp.zeros((m_pad, k), dtype)
+        h, w = jax.lax.fori_loop(0, nblocks, body, (h0, w))
+        return h[:m + 1], w
 
     def orthogonalize(V_store, w, j):
-        V_all = basis.read_all(V_store, dtype)
         if ortho == "mgs":
             def body(i, carry):
                 h, w = carry
-                vi = V_all[i]
+                vi = basis.read_one(V_store, i, dtype)
                 hi = jnp.sum(jnp.conj(vi) * w, axis=0)
-                hi = jnp.where(i <= j, hi, jnp.zeros_like(hi))
                 return h.at[i].set(hi), w - hi[None, :] * vi
 
             h0 = jnp.zeros((m + 1, k), dtype)
-            return jax.lax.fori_loop(0, m + 1, body, (h0, w))
-        h, w = project(V_all, w, j)
+            return jax.lax.fori_loop(0, j + 1, body, (h0, w))
+        h, w = project(V_store, w, j)
         if ortho == "cgs2":
-            h2, w = project(V_all, w, j)
+            h2, w = project(V_store, w, j)
             h = h + h2
         elif ortho != "cgs":
             raise ValueError(f"unknown ortho method {ortho!r}")
