@@ -177,6 +177,68 @@ def run_iteration_loop(step_fn, make_check_args, state0, criterion: Criterion,
     return final, history
 
 
+def run_restarted_loop(inner_step, cycle_done, restart_fn, make_check_args,
+                       state0, criterion: Criterion, b, r0_norm, b_norm,
+                       trip_cap: int | None = None):
+    """Two-level while_loop driver for restarted solvers (GMRES-style).
+
+    The hot inner loop runs ONLY ``inner_step`` + the criterion check — no
+    lax.cond — so XLA keeps the big cycle buffers (Krylov basis) aliased in
+    place.  A per-iteration cond(restart, step) instead forces the buffers
+    through branch-merge copies every trip (measured ~3x on TPU for
+    GMRES(30), worse for larger krylov_dim).  ``restart_fn`` runs in the
+    outer loop, once per cycle, guarded by a cond that executes at most
+    once every ``m`` iterations.
+
+    Iteration counts tick per inner step only (restarts are free), which
+    matches the reference's counting.
+    """
+    criterion = as_criterion(criterion)
+    crit_state = criterion.init(b, r0_norm, b_norm)
+    cap = trip_cap if trip_cap is not None else (
+        criterion.max_trip_count() or DEFAULT_TRIP_CAP)
+    k = b.shape[1]
+    single_col = k == 1
+
+    args0 = make_check_args(state0, jnp.int32(0))
+    stop0, conv0, crit_state = criterion.check(crit_state, args0)
+    carry0 = dict(state=state0, crit=crit_state, it=jnp.int32(0),
+                  active=~stop0, converged=conv0,
+                  iters=jnp.zeros((k,), jnp.int32))
+
+    def inner_body(carry):
+        new_state = inner_step(carry["state"])
+        state = (new_state if single_col else
+                 mask_cols(carry["active"], new_state, carry["state"]))
+        it = carry["it"] + 1
+        args = make_check_args(state, it)
+        stop, conv, crit = criterion.check(carry["crit"], args)
+        newly = carry["active"] & stop
+        return dict(
+            state=state, crit=crit, it=it,
+            active=carry["active"] & ~stop,
+            converged=carry["converged"] | (newly & conv),
+            iters=carry["iters"] + carry["active"].astype(jnp.int32))
+
+    def inner_cond(carry):
+        return (jnp.any(carry["active"]) & (carry["it"] < cap)
+                & ~cycle_done(carry["state"]))
+
+    def outer_body(carry):
+        carry = jax.lax.while_loop(inner_cond, inner_body, carry)
+        cont = jnp.any(carry["active"]) & (carry["it"] < cap)
+        state = jax.lax.cond(cont, restart_fn, lambda s: s, carry["state"])
+        if not single_col:
+            state = mask_cols(carry["active"], state, carry["state"])
+        return dict(carry, state=state)
+
+    def outer_cond(carry):
+        return jnp.any(carry["active"]) & (carry["it"] < cap)
+
+    final = jax.lax.while_loop(outer_cond, outer_body, carry0)
+    return final, None
+
+
 def finish(final, history, x, r, squeeze):
     """Assemble a SolveResult from loop carry + extracted x, r."""
     resnorm = compute_norm2(r)

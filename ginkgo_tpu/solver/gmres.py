@@ -30,7 +30,7 @@ from ..base.dtypes import is_complex, reduce_precision
 from ..matrix.dense import compute_norm2
 from ..stop.criterion import CheckArgs, default_criterion
 from .common import (SolverAPI, finish, prepare_rhs, resolve_precond,
-                     run_iteration_loop, safe_div)
+                     run_iteration_loop, run_restarted_loop, safe_div)
 
 
 # ---------------------------------------------------------------------------
@@ -199,18 +199,23 @@ def solve(A, b, x0=None, *, criteria=None, preconditioner=None,
     eye_R = jnp.broadcast_to(jnp.eye(m + 1, m, dtype=dtype)[..., None],
                              (m + 1, m, k))
 
-    def restart_fields(x):
+    def restart_fields(x, V_store):
+        """(Re)initialize the cycle, writing v0 into the EXISTING basis
+        buffer: allocating a fresh one in the restart branch would make the
+        two cond branches carry different buffers (copies + layout merges).
+        Stale columns above j are never read — ortho is j-bounded and
+        solution_update's y is masked to j_inner."""
         r = b2 - A._apply(x)
         beta = compute_norm2(r).astype(dtype)
         v0 = r * safe_div(jnp.ones_like(beta), beta)[None, :]
-        V = basis.write(basis.empty(), 0, v0)
+        V = basis.write(V_store, 0, v0)
         g = jnp.zeros((m + 1, k), dtype).at[0].set(beta)
         return dict(x=x, V=V, R=eye_R, g=g,
                     cs=jnp.zeros((m, k), dtype), sn=jnp.zeros((m, k), dtype),
                     j_inner=jnp.zeros((k,), jnp.int32),
                     resnorm_est=jnp.abs(beta), j=jnp.zeros((), jnp.int32))
 
-    state0 = restart_fields(x)
+    state0 = restart_fields(x, basis.empty())
     r0_norm = state0["resnorm_est"]
 
     m_pad = basis.shape[0] if hasattr(basis, "shape") else basis.m_pad
@@ -311,17 +316,27 @@ def solve(A, b, x0=None, *, criteria=None, preconditioner=None,
         return s["x"] + M._apply(u)
 
     def restart(s):
-        return restart_fields(solution_update(s))
-
-    def step(s):
-        return jax.lax.cond(s["j"] >= m, restart, arnoldi_step, s)
+        return restart_fields(solution_update(s), s["V"])
 
     def make_check_args(s, it):
         return CheckArgs(iteration=it, residual_norm=s["resnorm_est"])
 
-    final, history = run_iteration_loop(
-        step, make_check_args, state0, criteria, b2, r0_norm, b_norm,
-        trace=trace)
+    from ..stop.criterion import as_criterion, has_host_side
+    if trace or has_host_side(as_criterion(criteria)):
+        # history / wall-clock paths: single-level loop with the restart
+        # as a per-iteration cond (slower but supports scan/host driving)
+        def step(s):
+            return jax.lax.cond(s["j"] >= m, restart, arnoldi_step, s)
+
+        final, history = run_iteration_loop(
+            step, make_check_args, state0, criteria, b2, r0_norm, b_norm,
+            trace=trace)
+    else:
+        # hot path: inner while runs pure arnoldi steps (no cond touching
+        # the basis), restart once per cycle in the outer loop
+        final, history = run_restarted_loop(
+            arnoldi_step, lambda s: s["j"] >= m, restart, make_check_args,
+            state0, criteria, b2, r0_norm, b_norm)
     xf = solution_update(final["state"])
     rf = b2 - A._apply(xf)
     return finish(final, history, xf, rf, squeeze)
