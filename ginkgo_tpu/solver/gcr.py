@@ -1,10 +1,14 @@
 """GCR (generalized conjugate residual, restarted).
 
 Analog of ``core/solver/gcr.cpp`` (``include/ginkgo/core/solver/gcr.hpp:48``).
-Search directions P and their images Q = A P live in static ``(m, n, k)``
-buffers; orthogonalisation of each new q against previous Q is one masked
-MXU matmul pair (CGS-style), and restart is a zero-cost index wrap (GCR
-updates x every step, so nothing needs reconstructing at the boundary).
+Search directions P and their images Q = A P live in static buffers
+(the GMRES ``_Basis`` store: k=1 squeezed 2-D, padded to the ortho block);
+orthogonalisation of each new q against previous Q walks the buffers in
+blocks inside a fori_loop whose trip count follows the direction count, so
+HBM traffic scales with the live subspace, not krylov_dim (same measured
+fixes as GMRES — see BENCHMARKS.md).  Restart is a zero-cost index wrap
+(GCR updates x every step, so nothing needs reconstructing at the
+boundary).
 """
 
 from __future__ import annotations
@@ -16,6 +20,7 @@ from ..matrix.dense import compute_conj_dot, compute_norm2
 from ..stop.criterion import CheckArgs, default_criterion
 from .common import (SolverAPI, finish, prepare_rhs, resolve_precond,
                      run_iteration_loop, safe_div)
+from .gmres import _Basis
 
 
 def solve(A, b, x0=None, *, criteria=None, preconditioner=None,
@@ -28,10 +33,11 @@ def solve(A, b, x0=None, *, criteria=None, preconditioner=None,
     n, k = b2.shape
     m = int(krylov_dim)
     dtype = b2.dtype
+    OB = min(8, m)
+    buf = _Basis(m, n, k, dtype, block=OB)
 
     r = b2 - A._apply(x)
-    state = dict(x=x, r=r,
-                 P=jnp.zeros((m, n, k), dtype), Q=jnp.zeros((m, n, k), dtype),
+    state = dict(x=x, r=r, P=buf.empty(), Q=buf.empty(),
                  j=jnp.zeros((), jnp.int32))
     b_norm = compute_norm2(b2)
     r0_norm = compute_norm2(r)
@@ -40,13 +46,24 @@ def solve(A, b, x0=None, *, criteria=None, preconditioner=None,
         jm = jnp.mod(s["j"], m)          # restart = index wrap
         p = M._apply(s["r"])
         q = A._apply(p)
-        mask = (jnp.arange(m) < jm)[:, None].astype(dtype)
-        beta = jnp.einsum("inr,nr->ir", jnp.conj(s["Q"]), q,
-                          preferred_element_type=dtype) * mask
-        q = q - jnp.einsum("ir,inr->nr", beta, s["Q"],
-                           preferred_element_type=dtype)
-        p = p - jnp.einsum("ir,inr->nr", beta, s["P"],
-                           preferred_element_type=dtype)
+        nblocks = (jm + OB - 1) // OB    # blocks covering slots < jm
+
+        def body(i, carry):
+            q, p = carry
+            start = i * OB
+            Qb = buf.read_block(s["Q"], start, OB, dtype)
+            Pb = buf.read_block(s["P"], start, OB, dtype)
+            col = start + jnp.arange(OB)
+            mask = (col < jm)[:, None].astype(q.real.dtype)
+            bb = jnp.einsum("inr,nr->ir", jnp.conj(Qb), q,
+                            preferred_element_type=dtype) * mask
+            q = q - jnp.einsum("ir,inr->nr", bb, Qb,
+                               preferred_element_type=dtype)
+            p = p - jnp.einsum("ir,inr->nr", bb, Pb,
+                               preferred_element_type=dtype)
+            return q, p
+
+        q, p = jax.lax.fori_loop(0, nblocks, body, (q, p))
         nq = compute_norm2(q).astype(dtype)
         inv = safe_div(jnp.ones_like(nq), nq)[None, :]
         q = q * inv
@@ -54,8 +71,7 @@ def solve(A, b, x0=None, *, criteria=None, preconditioner=None,
         alpha = compute_conj_dot(q, s["r"])[None, :]
         return dict(x=s["x"] + alpha * p, r=s["r"] - alpha * q,
                     # in-place slot write (XLA donates the while_loop carry)
-                    P=jax.lax.dynamic_update_index_in_dim(s["P"], p, jm, 0),
-                    Q=jax.lax.dynamic_update_index_in_dim(s["Q"], q, jm, 0),
+                    P=buf.write(s["P"], jm, p), Q=buf.write(s["Q"], jm, q),
                     j=s["j"] + 1)
 
     def make_check_args(s, it):
