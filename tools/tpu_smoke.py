@@ -6,6 +6,13 @@ banded Pallas SpMV inside solvers, level-scan trisolves, ILU/IC/SSOR/AMG
 preconditioned CG, vmapped batch solves, implicit autodiff — in f32.
 """
 
+import os
+import sys
+
+# runnable as a plain script: `python tools/tpu_smoke.py` puts tools/ on
+# sys.path, not the repo root where the package lives
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import jax
 import jax.numpy as jnp
