@@ -230,7 +230,18 @@ def run_restarted_loop(inner_step, cycle_done, restart_fn, make_check_args,
         state = jax.lax.cond(cont, restart_fn, lambda s: s, carry["state"])
         if not single_col:
             state = mask_cols(carry["active"], state, carry["state"])
-        return dict(carry, state=state)
+        # re-check on the restart's TRUE residual (restart_fields computes
+        # it): a column already below tolerance stops here instead of
+        # paying one extra inner step; does not tick `it` (restarts are
+        # free in the iteration count)
+        args = make_check_args(state, carry["it"])
+        stop, conv, crit = criterion.check(carry["crit"], args)
+        newly = carry["active"] & stop
+        return dict(
+            state=state, crit=crit, it=carry["it"],
+            active=carry["active"] & ~stop,
+            converged=carry["converged"] | (newly & conv),
+            iters=carry["iters"])
 
     def outer_cond(carry):
         return jnp.any(carry["active"]) & (carry["it"] < cap)

@@ -2,7 +2,7 @@
 
 Analog of ``core/solver/gcr.cpp`` (``include/ginkgo/core/solver/gcr.hpp:48``).
 Search directions P and their images Q = A P live in static buffers
-(the GMRES ``_Basis`` store: k=1 squeezed 2-D, padded to the ortho block);
+(the shared ``KrylovBasis`` store: k=1 squeezed 2-D, padded to the ortho block);
 orthogonalisation of each new q against previous Q walks the buffers in
 blocks inside a fori_loop whose trip count follows the direction count, so
 HBM traffic scales with the live subspace, not krylov_dim (same measured
@@ -20,7 +20,7 @@ from ..matrix.dense import compute_conj_dot, compute_norm2
 from ..stop.criterion import CheckArgs, default_criterion
 from .common import (SolverAPI, finish, prepare_rhs, resolve_precond,
                      run_iteration_loop, safe_div)
-from .gmres import _Basis
+from .krylov_basis import KrylovBasis
 
 
 def solve(A, b, x0=None, *, criteria=None, preconditioner=None,
@@ -32,9 +32,11 @@ def solve(A, b, x0=None, *, criteria=None, preconditioner=None,
         criteria = default_criterion(b2.dtype)
     n, k = b2.shape
     m = int(krylov_dim)
+    if m < 1:
+        raise ValueError(f"krylov_dim must be >= 1, got {krylov_dim}")
     dtype = b2.dtype
     OB = min(8, m)
-    buf = _Basis(m, n, k, dtype, block=OB)
+    buf = KrylovBasis(m, n, k, dtype, block=OB)
 
     r = b2 - A._apply(x)
     state = dict(x=x, r=r, P=buf.empty(), Q=buf.empty(),

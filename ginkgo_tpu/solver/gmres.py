@@ -26,145 +26,19 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..base.dtypes import is_complex, reduce_precision
+from ..base.dtypes import is_complex
 from ..matrix.dense import compute_norm2
 from ..stop.criterion import CheckArgs, default_criterion
 from .common import (SolverAPI, finish, prepare_rhs, resolve_precond,
                      run_iteration_loop, run_restarted_loop, safe_div)
 
 
-# ---------------------------------------------------------------------------
-# Basis storage accessors (cb_gmres_accessor.hpp analog)
-# ---------------------------------------------------------------------------
-
-class _Basis:
-    """keep: basis stored at full value-type precision.
-
-    ``m`` is padded up to a multiple of the ortho block size so the blocked
-    orthogonalisation (see ``solve``) tiles the column axis exactly."""
-
-    def __init__(self, m, n, k, dtype, block=1):
-        m_pad = -(-m // block) * block
-        self.m = m
-        # k == 1 stores squeezed (m_pad, n): a trailing unit dim makes XLA
-        # pick degenerate (1, 128)-tiled layouts for the 30+ MB buffer and
-        # insert transpose-copies between the restart/arnoldi cond branches.
-        self.k1 = (k == 1)
-        self.shape = (m_pad, n) if self.k1 else (m_pad, n, k)
-        self.dtype = dtype
-
-    def _pack(self, vec):
-        return vec[:, 0] if self.k1 else vec
-
-    def _unpack(self, arr):
-        return arr[..., None] if self.k1 else arr
-
-    def empty(self):
-        return jnp.zeros(self.shape, self.dtype)
-
-    def write(self, store, i, vec):
-        # dynamic_update_slice (not .at[i].set): scatter with a traced index
-        # lowers to a full-buffer pad+select on TPU; DUS updates in place
-        # inside the solver while_loop.
-        return jax.lax.dynamic_update_slice_in_dim(
-            store, self._pack(vec).astype(store.dtype)[None], i, 0)
-
-    def read_all(self, store, dtype):
-        return self._unpack(store[:self.m].astype(dtype))
-
-    def read_one(self, store, i, dtype):
-        return self._unpack(jax.lax.dynamic_index_in_dim(
-            store, i, 0, keepdims=False).astype(dtype))
-
-    def read_block(self, store, start, size, dtype):
-        """(size, n, k) columns [start, start+size) — static size, traced
-        start; start*size stays in-bounds by construction (padded m)."""
-        return self._unpack(jax.lax.dynamic_slice_in_dim(
-            store, start, size, 0).astype(dtype))
-
-
-class _ReducedBasis(_Basis):
-    """reduce1/reduce2: plain down-converted storage (f64->f32->bf16)."""
-
-    def __init__(self, m, n, k, dtype, steps, block=1):
-        store = dtype
-        for _ in range(steps):
-            store = reduce_precision(store)
-        super().__init__(m, n, k, store, block=block)
-
-
-class _ScaledIntBasis:
-    """integer: per-vector-scaled integer storage (Ginkgo's scaled
-    ``reduced_row_major`` with integer storage, mask 0b101).  'integer'
-    maps to int16 (Ginkgo's wider int modes); 'int8' is the aggressive
-    quarter-traffic variant."""
-
-    def __init__(self, m, n, k, dtype, int_dtype=jnp.int16, block=1):
-        self.m, self.n, self.k = m, n, k
-        self.m_pad = -(-m // block) * block
-        self.k1 = (k == 1)            # squeezed storage, as in _Basis
-        self.value_dtype = dtype
-        self.int_dtype = int_dtype
-        self.qmax = float(jnp.iinfo(int_dtype).max - 1)
-
-    def _pack(self, vec):
-        return vec[:, 0] if self.k1 else vec
-
-    def _unpack(self, arr):
-        return arr[..., None] if self.k1 else arr
-
-    def empty(self):
-        qshape = ((self.m_pad, self.n) if self.k1
-                  else (self.m_pad, self.n, self.k))
-        return dict(q=jnp.zeros(qshape, self.int_dtype),
-                    scale=jnp.ones((self.m_pad, self.k), self.value_dtype))
-
-    def write(self, store, i, vec):
-        amax = jnp.max(jnp.abs(vec), axis=0)
-        scale = jnp.where(amax == 0, jnp.ones_like(amax), amax / self.qmax)
-        q = jnp.clip(jnp.round(vec / scale[None, :]),
-                     -self.qmax, self.qmax).astype(self.int_dtype)
-        return dict(
-            q=jax.lax.dynamic_update_slice_in_dim(
-                store["q"], self._pack(q)[None], i, 0),
-            scale=jax.lax.dynamic_update_slice_in_dim(
-                store["scale"],
-                scale.astype(store["scale"].dtype)[None], i, 0))
-
-    def _scaled(self, q, s, dtype):
-        """q: (..., n[, k]) ints, s: (..., k) scales -> values (..., n, k)."""
-        v = self._unpack(q.astype(dtype))
-        return v * s[..., None, :].astype(dtype)
-
-    def read_all(self, store, dtype):
-        return self._scaled(store["q"][:self.m], store["scale"][:self.m],
-                            dtype)
-
-    def read_one(self, store, i, dtype):
-        q = jax.lax.dynamic_index_in_dim(store["q"], i, 0, keepdims=False)
-        s = jax.lax.dynamic_index_in_dim(store["scale"], i, 0,
-                                         keepdims=False)
-        return self._unpack(q.astype(dtype)) * s[None].astype(dtype)
-
-    def read_block(self, store, start, size, dtype):
-        q = jax.lax.dynamic_slice_in_dim(store["q"], start, size, 0)
-        s = jax.lax.dynamic_slice_in_dim(store["scale"], start, size, 0)
-        return self._scaled(q, s, dtype)
-
-
-def _make_basis(storage, m, n, k, dtype, block=1):
-    if storage in (None, "keep"):
-        return _Basis(m, n, k, dtype, block=block)
-    if storage == "reduce1":
-        return _ReducedBasis(m, n, k, dtype, 1, block=block)
-    if storage == "reduce2":
-        return _ReducedBasis(m, n, k, dtype, 2, block=block)
-    if storage == "integer":
-        return _ScaledIntBasis(m, n, k, dtype, jnp.int16, block=block)
-    if storage == "int8":
-        return _ScaledIntBasis(m, n, k, dtype, jnp.int8, block=block)
-    # an explicit dtype
-    return _Basis(m, n, k, jnp.dtype(storage), block=block)
+# Basis storage accessors live in krylov_basis.py (shared with GCR);
+# underscore aliases kept for compatibility.
+from .krylov_basis import (KrylovBasis as _Basis,            # noqa: F401
+                           ReducedBasis as _ReducedBasis,    # noqa: F401
+                           ScaledIntBasis as _ScaledIntBasis,  # noqa: F401
+                           make_basis as _make_basis)
 
 
 # ---------------------------------------------------------------------------
@@ -186,6 +60,8 @@ def solve(A, b, x0=None, *, criteria=None, preconditioner=None,
         criteria = default_criterion(b2.dtype)
     n, k = b2.shape
     m = int(krylov_dim)
+    if m < 1:
+        raise ValueError(f"krylov_dim must be >= 1, got {krylov_dim}")
     dtype = b2.dtype
     # Ortho processes the basis in blocks of OB columns inside a fori_loop
     # whose trip count follows j, so per-iteration HBM traffic scales with
@@ -218,7 +94,7 @@ def solve(A, b, x0=None, *, criteria=None, preconditioner=None,
     state0 = restart_fields(x, basis.empty())
     r0_norm = state0["resnorm_est"]
 
-    m_pad = basis.shape[0] if hasattr(basis, "shape") else basis.m_pad
+    m_pad = basis.shape[0]
 
     def project(V_store, w, j):
         """One orthogonalisation pass of w against span(V[0..j]), processed
@@ -324,9 +200,13 @@ def solve(A, b, x0=None, *, criteria=None, preconditioner=None,
     from ..stop.criterion import as_criterion, has_host_side
     if trace or has_host_side(as_criterion(criteria)):
         # history / wall-clock paths: single-level loop with the restart
-        # as a per-iteration cond (slower but supports scan/host driving)
+        # as a per-iteration cond (slower but supports scan/host driving).
+        # The restart folds into the same trip as the following arnoldi
+        # step so iteration counts match the hot two-level path (restarts
+        # are free, as in the reference's counting).
         def step(s):
-            return jax.lax.cond(s["j"] >= m, restart, arnoldi_step, s)
+            s = jax.lax.cond(s["j"] >= m, restart, lambda s: s, s)
+            return arnoldi_step(s)
 
         final, history = run_iteration_loop(
             step, make_check_args, state0, criteria, b2, r0_norm, b_norm,

@@ -1,0 +1,145 @@
+"""Krylov basis / direction-buffer storage accessors.
+
+Shared by GMRES (Krylov basis, incl. the CB-GMRES compressed-storage
+variants — ``core/solver/cb_gmres_accessor.hpp:56-115``) and GCR (P/Q
+direction buffers).  Design rules measured on TPU (see BENCHMARKS.md and
+docs/DESIGN.md §5):
+
+* k == 1 state is stored squeezed 2-D — a trailing unit dim makes XLA
+  pick degenerate (1, 128)-tiled layouts for the 30+ MB buffer and insert
+  full-buffer transpose-copies at control-flow joins;
+* writes use ``dynamic_update_slice`` — a traced-index ``.at[i].set``
+  scatter lowers to a full-buffer pad+select;
+* the column axis is padded to a multiple of the caller's orthogonalisation
+  block so j-bounded blocked loops tile it exactly.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..base.dtypes import reduce_precision
+
+
+def _ceil_to(m: int, block: int) -> int:
+    return -(-m // block) * block
+
+
+class _SqueezeK1:
+    """k == 1 pack/unpack between the solver's (n, k) vectors and the
+    squeezed 2-D storage."""
+
+    def _pack(self, vec):
+        return vec[:, 0] if self.k1 else vec
+
+    def _unpack(self, arr):
+        return arr[..., None] if self.k1 else arr
+
+
+class KrylovBasis(_SqueezeK1):
+    """'keep': basis stored at full value-type precision."""
+
+    def __init__(self, m, n, k, dtype, block=1):
+        self.m = m
+        self.k1 = (k == 1)
+        m_pad = _ceil_to(m, block)
+        self.shape = (m_pad, n) if self.k1 else (m_pad, n, k)
+        self.dtype = dtype
+
+    def empty(self):
+        return jnp.zeros(self.shape, self.dtype)
+
+    def write(self, store, i, vec):
+        return jax.lax.dynamic_update_slice_in_dim(
+            store, self._pack(vec).astype(store.dtype)[None], i, 0)
+
+    def read_all(self, store, dtype):
+        return self._unpack(store[:self.m].astype(dtype))
+
+    def read_one(self, store, i, dtype):
+        return self._unpack(jax.lax.dynamic_index_in_dim(
+            store, i, 0, keepdims=False).astype(dtype))
+
+    def read_block(self, store, start, size, dtype):
+        """(size, n, k) columns [start, start+size) — static size, traced
+        start; start+size stays in-bounds by construction (padded m)."""
+        return self._unpack(jax.lax.dynamic_slice_in_dim(
+            store, start, size, 0).astype(dtype))
+
+
+class ReducedBasis(KrylovBasis):
+    """reduce1/reduce2: plain down-converted storage (f64->f32->bf16)."""
+
+    def __init__(self, m, n, k, dtype, steps, block=1):
+        store = dtype
+        for _ in range(steps):
+            store = reduce_precision(store)
+        super().__init__(m, n, k, store, block=block)
+
+
+class ScaledIntBasis(_SqueezeK1):
+    """integer: per-vector-scaled integer storage (Ginkgo's scaled
+    ``reduced_row_major`` with integer storage, mask 0b101).  'integer'
+    maps to int16 (Ginkgo's wider int modes); 'int8' is the aggressive
+    quarter-traffic variant."""
+
+    def __init__(self, m, n, k, dtype, int_dtype=jnp.int16, block=1):
+        self.m, self.n, self.k = m, n, k
+        self.k1 = (k == 1)
+        m_pad = _ceil_to(m, block)
+        self.shape = (m_pad, n) if self.k1 else (m_pad, n, k)
+        self.value_dtype = dtype
+        self.int_dtype = int_dtype
+        self.qmax = float(jnp.iinfo(int_dtype).max - 1)
+
+    def empty(self):
+        return dict(q=jnp.zeros(self.shape, self.int_dtype),
+                    scale=jnp.ones((self.shape[0], self.k),
+                                   self.value_dtype))
+
+    def write(self, store, i, vec):
+        amax = jnp.max(jnp.abs(vec), axis=0)
+        scale = jnp.where(amax == 0, jnp.ones_like(amax), amax / self.qmax)
+        q = jnp.clip(jnp.round(vec / scale[None, :]),
+                     -self.qmax, self.qmax).astype(self.int_dtype)
+        return dict(
+            q=jax.lax.dynamic_update_slice_in_dim(
+                store["q"], self._pack(q)[None], i, 0),
+            scale=jax.lax.dynamic_update_slice_in_dim(
+                store["scale"],
+                scale.astype(store["scale"].dtype)[None], i, 0))
+
+    def _scaled(self, q, s, dtype):
+        """q: (..., n[, k]) ints, s: (..., k) scales -> values (..., n, k)."""
+        return self._unpack(q.astype(dtype)) * s[..., None, :].astype(dtype)
+
+    def read_all(self, store, dtype):
+        return self._scaled(store["q"][:self.m], store["scale"][:self.m],
+                            dtype)
+
+    def read_one(self, store, i, dtype):
+        q = jax.lax.dynamic_index_in_dim(store["q"], i, 0, keepdims=False)
+        s = jax.lax.dynamic_index_in_dim(store["scale"], i, 0,
+                                         keepdims=False)
+        return self._unpack(q.astype(dtype)) * s[None].astype(dtype)
+
+    def read_block(self, store, start, size, dtype):
+        q = jax.lax.dynamic_slice_in_dim(store["q"], start, size, 0)
+        s = jax.lax.dynamic_slice_in_dim(store["scale"], start, size, 0)
+        return self._scaled(q, s, dtype)
+
+
+def make_basis(storage, m, n, k, dtype, block=1):
+    if storage in (None, "keep"):
+        return KrylovBasis(m, n, k, dtype, block=block)
+    if storage == "reduce1":
+        return ReducedBasis(m, n, k, dtype, 1, block=block)
+    if storage == "reduce2":
+        return ReducedBasis(m, n, k, dtype, 2, block=block)
+    if storage == "integer":
+        return ScaledIntBasis(m, n, k, dtype, jnp.int16, block=block)
+    if storage == "int8":
+        return ScaledIntBasis(m, n, k, dtype, jnp.int8, block=block)
+    # an explicit dtype
+    return KrylovBasis(m, n, k, jnp.dtype(storage), block=block)

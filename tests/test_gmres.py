@@ -150,3 +150,29 @@ def test_gmres_multi_rhs_freeze_across_restarts():
     for k in range(2):
         resid = np.linalg.norm(b[:, k] - dense @ x[:, k])
         assert resid <= 1e-8 * np.linalg.norm(b[:, k]), k
+
+
+def test_gmres_iteration_counts_match_across_paths():
+    """Restarts are free in the iteration count on BOTH loop paths (the hot
+    two-level loop and the trace/host fallback fold the restart into the
+    same trip as the next arnoldi step)."""
+    data = make_spd(generate_random_matrix(60, 60, nonzeros_per_row=(2, 4),
+                                           seed=3), shift=2.0)
+    A = Csr.from_data(data)
+    b = jnp.ones(60)
+    crit = Iteration(500) | ResidualNorm(1e-10)
+    fast = Gmres.solve(A, b, criteria=crit, krylov_dim=5)
+    traced = Gmres.solve(A, b, criteria=crit, krylov_dim=5, trace=True)
+    assert np.array_equal(np.asarray(fast.iterations),
+                          np.asarray(traced.iterations))
+
+
+def test_krylov_dim_zero_raises():
+    data = make_spd(generate_random_matrix(16, 16, nonzeros_per_row=(1, 3),
+                                           seed=4), shift=2.0)
+    A = Csr.from_data(data)
+    b = jnp.ones(16)
+    with pytest.raises(ValueError, match="krylov_dim"):
+        Gmres.solve(A, b, krylov_dim=0)
+    with pytest.raises(ValueError, match="krylov_dim"):
+        Gcr.solve(A, b, krylov_dim=0)
