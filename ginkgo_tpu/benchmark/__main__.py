@@ -8,7 +8,8 @@ matrix_statistics.
 import sys
 
 SUITES = ("spmv", "solver", "preconditioner", "blas", "sparse_blas",
-          "conversion", "matrix_statistics", "distributed")
+          "conversion", "matrix_statistics", "distributed",
+          "matrix_generator")
 
 
 def main():

@@ -79,3 +79,26 @@ def test_preconditioner_cli(capsys):
         assert e["completed"], (name, e)
         assert e["generate"]["time"] > 0
         assert e["apply"]["time"] > 0
+
+
+def test_matrix_generator(tmp_path, capsys):
+    """matrix_generator analog (benchmark/matrix_generator): block-diagonal
+    schema matches the reference; output is valid MatrixMarket."""
+    import numpy as np
+
+    from ginkgo_tpu.benchmark import matrix_generator
+
+    out = tmp_path / "bd.mtx"
+    cfg = json.dumps([{"filename": str(out),
+                       "problem": {"type": "block-diagonal",
+                                   "num_blocks": 3, "block_size": 4}}])
+    matrix_generator.main(["-input", cfg])
+    rep = json.loads(capsys.readouterr().out)
+    assert rep[0]["problem"]["rows"] == 12
+    assert rep[0]["problem"]["nonzeros"] == 3 * 16
+
+    from ginkgo_tpu.base.mtx_io import read_mtx
+    dense = read_mtx(str(out)).to_dense()
+    assert dense.shape == (12, 12)
+    # off-block entries identically zero
+    assert np.all(dense[:4, 4:] == 0) and np.all(dense[4:8, 8:] == 0)
