@@ -17,6 +17,22 @@ from jax.sharding import Mesh
 from .runner import base_parser, chain_k_for_backend, emit, time_chained
 
 
+def _device_pool(want: int):
+    """Devices for the mesh; like __graft_entry__.dryrun_multichip, fall
+    back to the CPU backend's virtual devices
+    (--xla_force_host_platform_device_count) when the default platform —
+    possibly pinned to one real TPU by the environment — is too small."""
+    devs = jax.devices()
+    if len(devs) < want:
+        try:
+            cpu = jax.devices("cpu")
+            if len(cpu) > len(devs):
+                devs = cpu
+        except RuntimeError:
+            pass
+    return devs
+
+
 def run_weak_scaling(base_edge: int, parts_list, comm, args):
     from ..distributed import (Partition, distribute_vector,
                                read_distributed)
@@ -24,8 +40,9 @@ def run_weak_scaling(base_edge: int, parts_list, comm, args):
     k1, k2 = chain_k_for_backend()
     results = []
     base_nnz_per_s = None
+    pool = _device_pool(max(parts_list))
     for P in parts_list:
-        if P > len(jax.devices()):
+        if P > len(pool):
             results.append({"devices": P, "skipped": "not enough devices"})
             continue
         # weak scaling: rows grow with P (z-extent scales)
@@ -33,7 +50,7 @@ def run_weak_scaling(base_edge: int, parts_list, comm, args):
         n = data.shape[0]
         nnz = data.canonical().nnz
         part = Partition.build_from_global_size_uniform(P, n)
-        mesh = Mesh(np.array(jax.devices()[:P]), ("rows",))
+        mesh = Mesh(np.array(pool[:P]), ("rows",))
         A = read_distributed(data, part, mesh, comm=comm)
         x = distribute_vector(np.ones((n, 1), np.float32), part, mesh)
         nrm = float(jnp.abs(A._apply(x)).max())
