@@ -7,6 +7,9 @@ solvers), designed TPU-first: static shapes, fused jitted iteration bodies,
 Pallas kernels on the hot paths and `jax.sharding` meshes for multi-chip.
 """
 
+from .base.exceptions import (GinkgoError, DimensionMismatch, BadDimension,
+                              ValueMismatch, UnsupportedMatrixProperty,
+                              NotSupportedError, OutOfBoundsError)
 from .base.matrix_data import MatrixData
 from .base.mtx_io import read_mtx, write_mtx, read_binary, write_binary
 from .base.linop import LinOp, linop_dataclass, static_field

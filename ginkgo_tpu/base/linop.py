@@ -122,13 +122,18 @@ def as_multivector(b):
         return b[:, None], True
     if b.ndim == 2:
         return b, False
-    raise ValueError(f"expected rank-1/2 multivector, got shape {b.shape}")
+    from .exceptions import BadDimension
+    raise BadDimension(
+        f"expected rank-1/2 multivector, got shape {b.shape}")
 
 
 def check_apply_dims(op_shape, b, x=None):
     """Ginkgo's GKO_ASSERT_CONFORMANT analog (trace-time, static shapes)."""
+    from .exceptions import DimensionMismatch
     n, m = op_shape
     if b.shape[0] != m:
-        raise ValueError(f"dimension mismatch: op {op_shape} @ b {b.shape}")
+        raise DimensionMismatch(
+            f"dimension mismatch: op {op_shape} @ b {b.shape}")
     if x is not None and x.shape[0] != n:
-        raise ValueError(f"dimension mismatch: op {op_shape} -> x {x.shape}")
+        raise DimensionMismatch(
+            f"dimension mismatch: op {op_shape} -> x {x.shape}")

@@ -129,7 +129,8 @@ class BatchCsr:
             rows = np.asarray(self.row_idx)[:self.nnz]
             cols = np.asarray(self.col_idx)[:self.nnz]
             if np.count_nonzero(rows == cols) < min(self.shape):
-                raise ValueError(
+                from .base.exceptions import UnsupportedMatrixProperty
+                raise UnsupportedMatrixProperty(
                     "add_scaled_identity: matrix has structurally zero "
                     "diagonal entries")
         a = _batch_scalar(alpha, self.num_batch_items)[:, None]
@@ -215,7 +216,8 @@ class BatchEll:
         on = on & valid
         if not isinstance(self.col_idx, jax.core.Tracer):
             if int(jnp.count_nonzero(jnp.any(on, axis=1))) < min(self.shape):
-                raise ValueError(
+                from .base.exceptions import UnsupportedMatrixProperty
+                raise UnsupportedMatrixProperty(
                     "add_scaled_identity: matrix has structurally zero "
                     "diagonal entries")
         a = _batch_scalar(alpha, self.num_batch_items)[:, None, None]

@@ -126,7 +126,8 @@ def parse(config, context: registry = None, td: type_descriptor = None):
     table = _type_table()
     tname = config["type"]
     if tname not in table:
-        raise ValueError(f"unknown config type {tname!r}; known: "
+        from ..base.exceptions import NotSupportedError
+        raise NotSupportedError(f"unknown config type {tname!r}; known: "
                          f"{sorted(table)[:8]}...")
     builder = table[tname]
     kwargs = {}

@@ -69,7 +69,9 @@ class IndexMap:
             pos_c = np.minimum(pos, self.num_ghosts - 1)
             bad = (pos >= self.num_ghosts) | (self.remote_global[pos_c] != gr)
         if bad.any():
-            raise ValueError(f"indices not in map: {gr[bad][:5]} ...")
+            from ..base.exceptions import OutOfBoundsError
+            raise OutOfBoundsError(
+                f"indices not in map: {gr[bad][:5]} ...")
         out[~owned] = (hi - lo) + pos
         return out
 
@@ -82,7 +84,9 @@ class IndexMap:
                   self.partition.ranges[self.rank + 1])
         local_size = hi - lo
         if (li < 0).any() or (li >= local_size + self.num_ghosts).any():
-            raise ValueError("local indices out of range for this map")
+            from ..base.exceptions import OutOfBoundsError
+            raise OutOfBoundsError(
+                "local indices out of range for this map")
         out = np.empty(li.shape, np.int64)
         owned = li < local_size
         out[owned] = li[owned] + lo

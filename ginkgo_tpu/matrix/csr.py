@@ -224,7 +224,8 @@ class Csr(LinOp):
             rows = np.asarray(self.row_idx)[:self.nnz]
             cols = np.asarray(self.col_idx)[:self.nnz]
             if np.count_nonzero(rows == cols) < min(self.shape):
-                raise ValueError(
+                from ..base.exceptions import UnsupportedMatrixProperty
+                raise UnsupportedMatrixProperty(
                     "add_scaled_identity: matrix has structurally zero "
                     "diagonal entries")
         if self.strategy == "banded":

@@ -112,3 +112,36 @@ def test_fbcsr_non_multiple_block_size():
     b = np.random.default_rng(0).standard_normal(5)
     np.testing.assert_allclose(A.apply(jnp.asarray(b)),
                                data.to_dense() @ b, rtol=1e-12)
+
+
+def test_typed_exception_hierarchy():
+    """Typed exceptions (exception.hpp analog) surface from the matching
+    check sites and stay catchable as their builtin bases."""
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    import ginkgo_tpu as gt
+    from ginkgo_tpu.base.matrix_data import MatrixData
+
+    d = MatrixData((3, 3), np.array([0, 1, 2]), np.array([0, 1, 2]),
+                   np.array([1.0, 2.0, 3.0]))
+    A = gt.Csr.from_data(d)
+    with pytest.raises(gt.DimensionMismatch):
+        A.apply(jnp.ones(5))
+    assert issubclass(gt.DimensionMismatch, ValueError)
+    with pytest.raises(gt.BadDimension):
+        A.apply(jnp.ones((3, 1, 1)))
+    nodiag = MatrixData((3, 3), np.array([0, 1, 2]), np.array([1, 1, 2]),
+                        np.array([1.0, 2.0, 3.0]))
+    with pytest.raises(gt.UnsupportedMatrixProperty):
+        gt.Csr.from_data(nodiag).add_scaled_identity(1.0, 1.0)
+    from ginkgo_tpu.config import parse
+    with pytest.raises(gt.NotSupportedError):
+        parse({"type": "solver::Bogus"})
+    from ginkgo_tpu.distributed import IndexMap, Partition
+    p = Partition.build_from_global_size_uniform(2, 8)
+    im = IndexMap.build(p, 0, np.array([6]))
+    with pytest.raises(gt.OutOfBoundsError):
+        im.map_to_local([5])          # owned by part 1, not in map
+    assert issubclass(gt.OutOfBoundsError, IndexError)
