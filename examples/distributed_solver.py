@@ -5,6 +5,12 @@ Run with XLA_FLAGS=--xla_force_host_platform_device_count=8 for a virtual
 8-device mesh on CPU, or on a real multi-chip TPU slice.
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))  # runnable as a plain script
+import jax as _jax
+_jax.config.update("jax_enable_x64", True)  # reference-parity f64
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -31,6 +37,24 @@ def main():
     print(f"{P}-device solve: iters={int(res.iterations[0])}, "
           f"converged={bool(res.converged.all())}")
     assert bool(res.converged.all())
+
+    # -- beyond parity: the 2-D (rows x cols) block decomposition ----------
+    # (distributed/matrix2d.py) — one psum over the mesh columns per apply,
+    # halo-free; solvers run through it unchanged
+    if P >= 4 and P % 2 == 0:
+        from ginkgo_tpu.distributed import (distribute_vector_2d,
+                                            read_distributed_2d)
+        pr, pc = P // 2, 2
+        mesh2 = Mesh(np.array(jax.devices()[:P]).reshape(pr, pc),
+                     ("rows", "cols"))
+        rp = Partition.build_from_global_size_uniform(pr, n)
+        cp = Partition.build_from_global_size_uniform(pc, n)
+        A2 = read_distributed_2d(data, rp, mesh2, col_partition=cp)
+        b2 = distribute_vector_2d(np.ones(n), cp, mesh2, axis="cols")
+        res2 = Cg.solve(A2, b2, criteria=Iteration(500) | ResidualNorm(1e-10))
+        print(f"{pr}x{pc}-grid 2-D solve: iters={int(res2.iterations[0])}, "
+              f"converged={bool(res2.converged.all())}")
+        assert bool(res2.converged.all())
 
 
 if __name__ == "__main__":

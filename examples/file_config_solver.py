@@ -1,6 +1,12 @@
 """file-config-solver example: build the whole solver stack from a JSON
 config (extensions/config json front end analog)."""
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))  # runnable as a plain script
+import jax as _jax
+_jax.config.update("jax_enable_x64", True)  # reference-parity f64
+
 import json
 import tempfile
 

@@ -1,6 +1,12 @@
 """heat-equation example: implicit-Euler time stepping of the 2D heat
 equation, one CG solve per step, all inside one jitted scan."""
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))  # runnable as a plain script
+import jax as _jax
+_jax.config.update("jax_enable_x64", True)  # reference-parity f64
+
 import jax
 import jax.numpy as jnp
 

@@ -1,6 +1,12 @@
 """inverse-iteration example: smallest eigenpair of an SPD operator via
 shifted inverse iteration with an inner CG solve."""
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))  # runnable as a plain script
+import jax as _jax
+_jax.config.update("jax_enable_x64", True)  # reference-parity f64
+
 import jax.numpy as jnp
 import numpy as np
 

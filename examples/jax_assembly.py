@@ -1,6 +1,12 @@
 """kokkos-assembly analog: assemble matrix entries with device (jnp) code —
 zero-copy interop between user device arrays and the library's formats."""
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))  # runnable as a plain script
+import jax as _jax
+_jax.config.update("jax_enable_x64", True)  # reference-parity f64
+
 import jax
 import jax.numpy as jnp
 import numpy as np

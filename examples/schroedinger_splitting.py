@@ -1,6 +1,12 @@
 """schroedinger-splitting example: Strang splitting for the free/potential
 Schroedinger equation using the Fft2 LinOp (fft.hpp capability)."""
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))  # runnable as a plain script
+import jax as _jax
+_jax.config.update("jax_enable_x64", True)  # reference-parity f64
+
 import jax.numpy as jnp
 import numpy as np
 

@@ -1,6 +1,12 @@
 """three-pt-stencil-solver + nine-pt-stencil-solver examples: assemble the
 classic 1D/2D stencils and solve, verifying second-order convergence."""
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))  # runnable as a plain script
+import jax as _jax
+_jax.config.update("jax_enable_x64", True)  # reference-parity f64
+
 import jax.numpy as jnp
 import numpy as np
 
