@@ -2,10 +2,9 @@
 the inner solver running in f32 (precision_dispatch analog)."""
 
 import os as _os, sys as _sys
-_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
-    _os.path.abspath(__file__))))  # runnable as a plain script
-import jax as _jax
-_jax.config.update("jax_enable_x64", True)  # reference-parity f64
+_sys.path[:0] = [_d := _os.path.dirname(_os.path.abspath(__file__)),
+                 _os.path.dirname(_d)]  # examples dir + repo root
+import _example_setup  # noqa: F401  (x64 + shared policy)
 
 import jax.numpy as jnp
 import numpy as np

@@ -37,10 +37,12 @@ def run_weak_scaling(base_edge: int, parts_list, comm, args):
     from ..distributed import (Partition, distribute_vector,
                                read_distributed)
     from ..utils.generators import stencil_3d
-    k1, k2 = chain_k_for_backend()
     results = []
     base_nnz_per_s = None
     pool = _device_pool(max(parts_list))
+    # chain depths must match the pool that actually runs (the fallback
+    # may pick CPU virtual devices while the default backend is the TPU)
+    k1, k2 = chain_k_for_backend(pool[0].platform)
     for P in parts_list:
         if P > len(pool):
             results.append({"devices": P, "skipped": "not enough devices"})
@@ -67,7 +69,8 @@ def run_weak_scaling(base_edge: int, parts_list, comm, args):
                          reps=max(args.repetitions // 2, 2))
         nnz_per_s = nnz / t
         entry = {"devices": P, "rows": n, "nonzeros": nnz,
-                 "time": t, "nnz_per_s": nnz_per_s, "comm": comm}
+                 "time": t, "nnz_per_s": nnz_per_s, "comm": comm,
+                 "device_pool": pool[0].platform}
         if P == 1:
             base_nnz_per_s = nnz_per_s      # the documented 1-device base
         if base_nnz_per_s is not None:

@@ -46,10 +46,12 @@ def _generate(problem, rng):
         return stencil_3d(size, points=int(st[:-2]))
     if kind == "random":
         from ..utils.generators import generate_random_matrix
+        # per-problem seed wins; else derive from the CLI -seed stream
+        seed = int(problem.get("seed", rng.integers(2**31 - 1)))
         return generate_random_matrix(
             int(problem.get("rows", 100)), int(problem.get("cols", 100)),
             nonzeros_per_row=tuple(problem.get("nonzeros_per_row", (1, 5))),
-            seed=int(problem.get("seed", 0)))
+            seed=seed)
     raise ValueError(f"unknown matrix type {kind!r}; supported: "
                      "block-diagonal, stencil, random")
 

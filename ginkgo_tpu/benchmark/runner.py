@@ -130,6 +130,10 @@ def emit(results, args):
         print(out)
 
 
-def chain_k_for_backend():
-    on_tpu = jax.default_backend() in ("tpu", "axon")
+def chain_k_for_backend(platform: str = None):
+    """Chain depths for the differencing timer; ``platform`` overrides the
+    default backend (benchmarks that fall back to another device pool must
+    pass the pool's platform, not the default)."""
+    plat = platform or jax.default_backend()
+    on_tpu = plat in ("tpu", "axon")
     return (8, 32) if on_tpu else (2, 8)

@@ -43,7 +43,11 @@ class DistributedMatrix2D(LinOp):
     blk_rows: jnp.ndarray    # (Pr, Pc, cap) int32 local row indices
     blk_cols: jnp.ndarray    # (Pr, Pc, cap) int32 local col indices
     blk_vals: jnp.ndarray    # (Pr, Pc, cap)
-    shape: tuple = static_field()          # global (n, m)
+    # like the 1-D DistributedMatrix, ``shape`` is the PADDED shape the
+    # sharded vectors actually have (Pr*local_nr, Pc*local_nc); the
+    # original matrix dimensions live in ``global_shape``
+    shape: tuple = static_field()
+    global_shape: tuple = static_field()
     local_nr: int = static_field()
     local_nc: int = static_field()
     mesh: object = static_field(default=None)
@@ -73,9 +77,11 @@ class DistributedMatrix2D(LinOp):
             self.blk_rows, self.blk_cols, self.blk_vals, b)
 
     def to_dense(self):
-        """Gather to one dense array (testing)."""
+        """Gather to one dense (n, m) array in NATURAL (unpadded) row/col
+        order — pad slots sit at the end of each part, so the natural rows
+        are selected through the partitions' padded_slot maps."""
         Pr, Pc = self.grid
-        n, m = self.shape
+        n, m = self.global_shape
         out = np.zeros((Pr * self.local_nr, Pc * self.local_nc),
                        np.asarray(self.blk_vals).dtype)
         br = np.asarray(self.blk_rows)
@@ -86,7 +92,9 @@ class DistributedMatrix2D(LinOp):
                 keep = br[i, j] < self.local_nr
                 out[i * self.local_nr + br[i, j][keep],
                     j * self.local_nc + bc[i, j][keep]] += bv[i, j][keep]
-        return jnp.asarray(out[:n, :m])
+        rs = self.row_partition.padded_slot(np.arange(n))
+        cs = self.col_partition.padded_slot(np.arange(m))
+        return jnp.asarray(out[np.ix_(rs, cs)])
 
     @classmethod
     def from_data(cls, data: MatrixData, row_partition: Partition,
@@ -101,11 +109,19 @@ class DistributedMatrix2D(LinOp):
         d = data.canonical()
         Pr = row_partition.num_parts
         Pc = col_partition.num_parts
+        from ..base.exceptions import ValueMismatch
         if dict(zip(mesh.axis_names, mesh.devices.shape)) != {
                 "rows": Pr, "cols": Pc}:
-            raise ValueError(
+            raise ValueMismatch(
                 f"mesh axes {dict(zip(mesh.axis_names, mesh.devices.shape))}"
                 f" must be {{'rows': {Pr}, 'cols': {Pc}}}")
+        if (d.shape[0] == d.shape[1]
+                and row_partition.padded_size != col_partition.padded_size):
+            raise ValueMismatch(
+                "square operator needs matching padded sizes for the row "
+                f"and column partitions (got {row_partition.padded_size} vs "
+                f"{col_partition.padded_size}); pick Pr/Pc so that "
+                "ceil(n/Pr)*Pr == ceil(n/Pc)*Pc, e.g. powers of two")
         vals = d.values if dtype is None else d.values.astype(dtype)
         local_nr = row_partition.local_size
         local_nc = col_partition.local_size
@@ -136,7 +152,8 @@ class DistributedMatrix2D(LinOp):
             blk_cols=jax.device_put(
                 jnp.asarray(BC.reshape(Pr, Pc, cap), jnp.int32), sh),
             blk_vals=jax.device_put(jnp.asarray(BV.reshape(Pr, Pc, cap)), sh),
-            shape=d.shape, local_nr=local_nr, local_nc=local_nc, mesh=mesh,
+            shape=(Pr * local_nr, Pc * local_nc), global_shape=d.shape,
+            local_nr=local_nr, local_nc=local_nc, mesh=mesh,
             row_partition=row_partition, col_partition=col_partition)
 
 

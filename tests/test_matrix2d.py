@@ -83,6 +83,39 @@ def test_bicgstab_nonsymmetric_2d():
                                atol=1e-7)
 
 
+def test_padded_sizes_work_when_they_agree():
+    """n=7 on a 2x4 grid: both partitions pad to 8; the operator's shape is
+    the padded one so vectors conform, and to_dense maps interleaved pad
+    slots back to natural order."""
+    rng = np.random.default_rng(3)
+    dense = rng.standard_normal((7, 7))
+    dense[np.abs(dense) < 0.5] = 0.0
+    dense = 0.5 * (dense + dense.T)       # CG needs SPD
+    np.fill_diagonal(dense, 4.0)
+    from ginkgo_tpu.base.matrix_data import MatrixData
+    data = MatrixData.from_dense(dense)
+    mesh = _mesh(2, 4)
+    rp = Partition.build_from_global_size_uniform(2, 7)   # padded 8
+    cp = Partition.build_from_global_size_uniform(4, 7)   # padded 8
+    A = read_distributed_2d(data, rp, mesh, col_partition=cp)
+    assert A.shape == (8, 8) and A.global_shape == (7, 7)
+    np.testing.assert_allclose(np.asarray(A.to_dense()), dense, rtol=1e-14)
+    b = distribute_vector_2d(np.ones(7), cp, mesh, axis="cols")
+    res = Cg.solve(A, b, criteria=Iteration(200) | ResidualNorm(1e-12))
+    x = rp.from_padded(np.asarray(res.x))
+    np.testing.assert_allclose(dense @ x.ravel(), np.ones(7), rtol=1e-9)
+
+
+def test_mismatched_padded_sizes_raise():
+    import ginkgo_tpu as gt
+    data = stencil_3d(7, points=7)                            # n=343
+    rp = Partition.build_from_contiguous([0, 115, 230, 343])  # padded 345
+    cp = Partition.build_from_global_size_uniform(2, 343)     # padded 344
+    mesh = Mesh(np.array(jax.devices()[:6]).reshape(3, 2), ("rows", "cols"))
+    with pytest.raises(gt.ValueMismatch, match="padded"):
+        read_distributed_2d(data, rp, mesh, col_partition=cp)
+
+
 def test_mesh_shape_validation():
     data = stencil_3d(4, points=7)
     mesh = _mesh(2, 4)
