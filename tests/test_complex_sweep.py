@@ -4,6 +4,7 @@ stack (GKO_INSTANTIATE_FOR_EACH_VALUE_TYPE complex coverage analog,
 and the factorization generate paths on complex128 systems.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -109,6 +110,49 @@ def test_preconditioner_complex(precond):
         "sor": (Sor(), GEN, Gmres),
     }[precond]
     _solve_and_check(S, M, preconditioner=P)
+
+
+@pytest.mark.parametrize("tier", ["1d", "2d"])
+def test_distributed_complex(tier):
+    """Complex systems through the distributed operators: halo exchange /
+    block psum and the solver's psum dots all handle complex dtypes."""
+    from jax.sharding import Mesh
+
+    from ginkgo_tpu.base.matrix_data import MatrixData
+    from ginkgo_tpu.distributed import (Partition, distribute_vector,
+                                        distribute_vector_2d,
+                                        read_distributed,
+                                        read_distributed_2d)
+    from ginkgo_tpu.solver import Gmres
+    n = 64
+    rng = np.random.default_rng(0)
+    base = make_spd(generate_random_matrix(n, n, nonzeros_per_row=(2, 4),
+                                           seed=0), shift=3.0)
+    skew = generate_random_matrix(n, n, nonzeros_per_row=(1, 2),
+                                  seed=1).to_dense() * 0.2
+    dense = base.to_dense().astype(complex) + 1j * (skew - skew.T)
+    data = MatrixData.from_dense(dense)
+    x_true = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    b = dense @ x_true
+    crit = Iteration(500) | ResidualNorm(1e-12)
+    if tier == "1d":
+        part = Partition.build_from_global_size_uniform(4, n)
+        mesh = Mesh(np.array(jax.devices()[:4]), ("rows",))
+        A = read_distributed(data, part, mesh)
+        bd = distribute_vector(b, part, mesh)
+        out_part = part
+    else:
+        mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4),
+                    ("rows", "cols"))
+        rp = Partition.build_from_global_size_uniform(2, n)
+        cp = Partition.build_from_global_size_uniform(4, n)
+        A = read_distributed_2d(data, rp, mesh, col_partition=cp)
+        bd = distribute_vector_2d(b, cp, mesh, axis="cols")
+        out_part = rp
+    res = Gmres.solve(A, bd, criteria=crit)
+    assert bool(res.converged.all())
+    x = out_part.from_padded(np.asarray(res.x))
+    np.testing.assert_allclose(x.ravel(), x_true, rtol=1e-8, atol=1e-8)
 
 
 @pytest.mark.parametrize("fac", ["par_ilu", "ilu0", "par_ilut", "lu",
