@@ -135,17 +135,76 @@ def write_mtx(dest, data) -> None:
             dest.close()
 
 
-def write_binary(path: str, data: MatrixData) -> None:
-    """Binary serialization (``write_binary_raw`` capability analog).
-    Writes exactly ``path`` (np.savez would append '.npz' to a bare name,
-    breaking write/read round-trips)."""
+# Ginkgo's binary format (core/base/mtx_io.cpp:762-905): 32-byte header of
+# four little-endian u64s — a magic whose bytes are b"GINKGO" + value-type
+# char + index-type char, then num_rows, num_cols, num_entries — followed
+# by num_entries packed (row, column, value) records.  Byte-compatible, so
+# files move between the reference and this framework unmodified.
+_BIN_VALUE_CHARS = {"float64": b"D", "float32": b"S", "complex128": b"Z",
+                    "complex64": b"C", "float16": b"H", "bfloat16": b"B"}
+_BIN_VALUE_DTYPES = {v: k for k, v in _BIN_VALUE_CHARS.items()}
+_BIN_INDEX_CHARS = {"int32": b"I", "int64": b"L"}
+_BIN_INDEX_DTYPES = {v: k for k, v in _BIN_INDEX_CHARS.items()}
+
+
+def _bin_value_dtype(name):
+    if name == "bfloat16":
+        import ml_dtypes
+        return np.dtype(ml_dtypes.bfloat16)
+    return np.dtype(name)
+
+
+def write_binary(path: str, data: MatrixData, index_dtype="int64") -> None:
+    """Binary serialization in the reference's own format
+    (``write_binary_raw``, ``core/base/mtx_io.cpp:762+``) — files round-trip
+    with ``gko::read_binary_raw`` byte-for-byte."""
+    vname = np.dtype(data.values.dtype).name
+    if vname not in _BIN_VALUE_CHARS:
+        raise ValueError(f"unsupported binary value type {vname}; one of "
+                         f"{sorted(_BIN_VALUE_CHARS)}")
+    iname = np.dtype(index_dtype).name
+    if iname not in _BIN_INDEX_CHARS:
+        raise ValueError(f"unsupported binary index type {iname}")
+    magic = (b"GINKGO" + _BIN_VALUE_CHARS[vname] + _BIN_INDEX_CHARS[iname])
+    rec = np.dtype([("r", iname), ("c", iname),
+                    ("v", _bin_value_dtype(vname))])
+    entries = np.empty(data.nnz, rec)
+    entries["r"] = data.row_idx
+    entries["c"] = data.col_idx
+    entries["v"] = data.values
     with open(path, "wb") as f:
-        np.savez(f, shape=np.asarray(data.shape, np.int64),
-                 row_idx=data.row_idx, col_idx=data.col_idx,
-                 values=data.values)
+        f.write(magic)
+        f.write(np.asarray([data.shape[0], data.shape[1], data.nnz],
+                           "<u8").tobytes())
+        f.write(entries.tobytes())
 
 
 def read_binary(path: str) -> MatrixData:
+    """Reads both the reference's binary format (``read_binary_raw``) and
+    this framework's legacy npz files."""
+    with open(path, "rb") as f:
+        head = f.read(8)
+        if head[:6] != b"GINKGO":
+            pass                      # fall through to the npz reader
+        else:
+            vchar, ichar = head[6:7], head[7:8]
+            if vchar not in _BIN_VALUE_DTYPES or \
+                    ichar not in _BIN_INDEX_DTYPES:
+                raise ValueError(
+                    f"unknown binary type tag {head[6:8]!r}")
+            dims = np.frombuffer(f.read(24), "<u8")
+            n, m, nnz = (int(x) for x in dims)
+            iname = _BIN_INDEX_DTYPES[ichar]
+            rec = np.dtype([("r", iname), ("c", iname),
+                            ("v", _bin_value_dtype(_BIN_VALUE_DTYPES[vchar]))])
+            buf = f.read(nnz * rec.itemsize)
+            if len(buf) != nnz * rec.itemsize:
+                raise ValueError("truncated binary matrix file")
+            entries = np.frombuffer(buf, rec)
+            return MatrixData(
+                (n, m), entries["r"].astype(np.int64),
+                entries["c"].astype(np.int64),
+                np.ascontiguousarray(entries["v"])).sort_row_major()
     with np.load(path) as z:
         return MatrixData((int(z["shape"][0]), int(z["shape"][1])),
                           z["row_idx"], z["col_idx"], z["values"])

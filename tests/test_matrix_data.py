@@ -130,3 +130,72 @@ def test_write_mtx_accepts_operators_and_arrays(tmp_path):
     p2 = str(tmp_path / "arr.mtx")
     write_mtx(p2, dense)
     np.testing.assert_allclose(read_mtx(p2).to_dense(), dense)
+
+
+def test_ginkgo_binary_format_bytes():
+    """write_binary emits the reference's exact byte layout
+    (core/base/mtx_io.cpp:762-905): verify the magic against the
+    independently-computed formula and the packed record layout."""
+    import struct
+
+    from ginkgo_tpu.base.mtx_io import read_binary, write_binary
+    d = MatrixData((3, 4), np.array([0, 1, 2]), np.array([1, 0, 3]),
+                   np.array([1.5, -2.0, 0.25]))
+    import tempfile
+    with tempfile.TemporaryDirectory() as tmp:
+        path = tmp + "/m.bin"
+        write_binary(path, d)
+        raw = open(path, "rb").read()
+    # magic: 'G' + 256*('I' + 256*('N' + 256*('K' + 256*('G' + 256*('O' +
+    # 256*(index*256 + value)))))) with value 'D' (f64), index 'L' (i64)
+    shift = 256
+    type_bits = ord("L") * shift + ord("D")
+    magic = ord("G") + shift * (ord("I") + shift * (ord("N") + shift * (
+        ord("K") + shift * (ord("G") + shift * (ord("O") + shift
+                                                * type_bits)))))
+    assert raw[:8] == struct.pack("<Q", magic)
+    assert struct.unpack("<QQQ", raw[8:32]) == (3, 4, 3)
+    r0, c0, v0 = struct.unpack("<qqd", raw[32:56])
+    assert (r0, c0, v0) == (0, 1, 1.5)
+
+
+@pytest.mark.parametrize("vdtype,idx", [(np.float64, "int64"),
+                                        (np.float32, "int32"),
+                                        (np.complex128, "int64"),
+                                        (np.complex64, "int32"),
+                                        (np.float16, "int32")])
+def test_binary_roundtrip_types(vdtype, idx, tmp_path):
+    from ginkgo_tpu.base.mtx_io import read_binary, write_binary
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal(5).astype(vdtype)
+    if np.issubdtype(vdtype, np.complexfloating):
+        v = v + 1j * rng.standard_normal(5).astype(v.real.dtype)
+    d = MatrixData((5, 5), np.arange(5), np.arange(5)[::-1].copy(), v)
+    p = str(tmp_path / "m.bin")
+    write_binary(p, d, index_dtype=idx)
+    back = read_binary(p)
+    assert back.shape == (5, 5) and back.nnz == 5
+    got = back.to_dense()
+    np.testing.assert_allclose(got, d.to_dense(), rtol=1e-3
+                               if vdtype == np.float16 else 1e-12)
+
+
+def test_binary_bf16_and_legacy_npz(tmp_path):
+    import ml_dtypes
+
+    from ginkgo_tpu.base.mtx_io import read_binary, write_binary
+    d = MatrixData((2, 2), np.array([0, 1]), np.array([0, 1]),
+                   np.array([1.5, -0.5], ml_dtypes.bfloat16))
+    p = str(tmp_path / "m16.bin")
+    write_binary(p, d)
+    back = read_binary(p)
+    np.testing.assert_allclose(np.asarray(back.values, np.float32),
+                               [1.5, -0.5])
+    # legacy npz files written by older versions still read
+    pz = str(tmp_path / "legacy.bin")
+    with open(pz, "wb") as f:
+        np.savez(f, shape=np.asarray([2, 2], np.int64),
+                 row_idx=np.array([0, 1]), col_idx=np.array([1, 0]),
+                 values=np.array([3.0, 4.0]))
+    back = read_binary(pz)
+    np.testing.assert_allclose(back.to_dense(), [[0, 3], [4, 0]])
