@@ -2,9 +2,10 @@
 
 Analog of Ginkgo's ``include/ginkgo/core/base/mtx_io.hpp`` (``read_raw:33``,
 ``read_binary_raw:68``, ``write_raw:120``).  Parses on the host into
-:class:`~ginkgo_tpu.base.matrix_data.MatrixData`; the binary format is a
-little-endian numpy container (not Ginkgo's on-disk layout — the capability,
-not the bytes, is the parity target).
+:class:`~ginkgo_tpu.base.matrix_data.MatrixData`; the binary format IS the
+reference's on-disk layout (``core/base/mtx_io.cpp:762-905``), so files
+interop with ``gko::read_binary_raw``/``write_binary_raw`` unmodified
+(legacy npz files from older versions of this package still read).
 """
 
 from __future__ import annotations
@@ -165,9 +166,17 @@ def write_binary(path: str, data: MatrixData, index_dtype="int64") -> None:
     iname = np.dtype(index_dtype).name
     if iname not in _BIN_INDEX_CHARS:
         raise ValueError(f"unsupported binary index type {iname}")
+    imax = np.iinfo(iname).max
+    if data.nnz and (int(np.max(data.row_idx)) > imax
+                     or int(np.max(data.col_idx)) > imax):
+        raise ValueError(
+            f"indices exceed the {iname} range; use index_dtype='int64'")
     magic = (b"GINKGO" + _BIN_VALUE_CHARS[vname] + _BIN_INDEX_CHARS[iname])
-    rec = np.dtype([("r", iname), ("c", iname),
-                    ("v", _bin_value_dtype(vname))])
+    # '<'-prefixed: the format is unconditionally little-endian like the
+    # header, regardless of host byte order
+    rec = np.dtype([("r", np.dtype(iname).newbyteorder("<")),
+                    ("c", np.dtype(iname).newbyteorder("<")),
+                    ("v", _bin_value_dtype(vname).newbyteorder("<"))])
     entries = np.empty(data.nnz, rec)
     entries["r"] = data.row_idx
     entries["c"] = data.col_idx
@@ -195,8 +204,11 @@ def read_binary(path: str) -> MatrixData:
             dims = np.frombuffer(f.read(24), "<u8")
             n, m, nnz = (int(x) for x in dims)
             iname = _BIN_INDEX_DTYPES[ichar]
-            rec = np.dtype([("r", iname), ("c", iname),
-                            ("v", _bin_value_dtype(_BIN_VALUE_DTYPES[vchar]))])
+            rec = np.dtype([
+                ("r", np.dtype(iname).newbyteorder("<")),
+                ("c", np.dtype(iname).newbyteorder("<")),
+                ("v", _bin_value_dtype(
+                    _BIN_VALUE_DTYPES[vchar]).newbyteorder("<"))])
             buf = f.read(nnz * rec.itemsize)
             if len(buf) != nnz * rec.itemsize:
                 raise ValueError("truncated binary matrix file")

@@ -132,20 +132,19 @@ def test_write_mtx_accepts_operators_and_arrays(tmp_path):
     np.testing.assert_allclose(read_mtx(p2).to_dense(), dense)
 
 
-def test_ginkgo_binary_format_bytes():
+def test_ginkgo_binary_format_bytes(tmp_path):
     """write_binary emits the reference's exact byte layout
     (core/base/mtx_io.cpp:762-905): verify the magic against the
     independently-computed formula and the packed record layout."""
     import struct
 
-    from ginkgo_tpu.base.mtx_io import read_binary, write_binary
+    from ginkgo_tpu.base.mtx_io import write_binary
     d = MatrixData((3, 4), np.array([0, 1, 2]), np.array([1, 0, 3]),
                    np.array([1.5, -2.0, 0.25]))
-    import tempfile
-    with tempfile.TemporaryDirectory() as tmp:
-        path = tmp + "/m.bin"
-        write_binary(path, d)
-        raw = open(path, "rb").read()
+    path = str(tmp_path / "m.bin")
+    write_binary(path, d)
+    with open(path, "rb") as f:
+        raw = f.read()
     # magic: 'G' + 256*('I' + 256*('N' + 256*('K' + 256*('G' + 256*('O' +
     # 256*(index*256 + value)))))) with value 'D' (f64), index 'L' (i64)
     shift = 256
