@@ -106,9 +106,13 @@ def solve(A, b, x0=None, *, criteria=None, preconditioner=None,
         nblocks = (j + 1 + OB - 1) // OB        # traced upper bound
 
         def body(i, carry):
-            h_acc, w = carry
+            # V_store travels in the carry (unchanged) rather than as a
+            # closure constant: a captured operand stays live across the
+            # whole inner loop and blocks XLA from aliasing the basis
+            # buffer into the subsequent dynamic-update-slice write
+            h_acc, w, V = carry
             start = i * OB
-            blk = basis.read_block(V_store, start, OB, dtype)   # (OB, n, k)
+            blk = basis.read_block(V, start, OB, dtype)         # (OB, n, k)
             col = start + jnp.arange(OB)
             mask = (col <= j)[:, None].astype(w.real.dtype)
             hb = jnp.einsum("inr,nr->ir", jnp.conj(blk), w,
@@ -116,10 +120,10 @@ def solve(A, b, x0=None, *, criteria=None, preconditioner=None,
             w = w - jnp.einsum("ir,inr->nr", hb, blk,
                                preferred_element_type=w.dtype)
             h_acc = jax.lax.dynamic_update_slice_in_dim(h_acc, hb, start, 0)
-            return h_acc, w
+            return h_acc, w, V
 
         h0 = jnp.zeros((m_pad, k), dtype)
-        h, w = jax.lax.fori_loop(0, nblocks, body, (h0, w))
+        h, w, _ = jax.lax.fori_loop(0, nblocks, body, (h0, w, V_store))
         return h[:m + 1], w
 
     def orthogonalize(V_store, w, j):
