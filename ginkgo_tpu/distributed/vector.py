@@ -63,6 +63,12 @@ class Vector:
         return Vector(array=self.array + alpha * other.array,
                       partition=self.partition)
 
+    def create_subvector(self, cols):
+        """Column-subset view (the reference v1.11's non-owning distributed
+        sub-vector): rows stay sharded, columns are replicated so slicing
+        preserves the sharding."""
+        return Vector(array=self._2d()[:, cols], partition=self.partition)
+
     def local_view(self, rank: int):
         """This rank's rows (host-side convenience)."""
         local = self.partition.local_size

@@ -58,6 +58,21 @@ def test_index_map():
         im.map_to_local([3])
 
 
+def test_distributed_vector_subvector():
+    from jax.sharding import Mesh
+
+    from ginkgo_tpu.distributed.vector import Vector
+    p = Partition.build_from_global_size_uniform(4, 16)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("rows",))
+    x = np.arange(48.0).reshape(16, 3)
+    v = Vector.from_global(x, p, mesh)
+    sub = v.create_subvector(slice(1, 3))
+    assert sub.shape[1] == 2
+    np.testing.assert_allclose(sub.to_global(), x[:, 1:3])
+    np.testing.assert_allclose(np.asarray(sub.compute_norm2()),
+                               np.linalg.norm(x[:, 1:3], axis=0))
+
+
 def test_index_map_to_global_roundtrip():
     p = Partition.build_from_global_size_uniform(4, 16)
     im = IndexMap.build(p, 1, np.array([2, 4, 5, 7, 9, 15]))
