@@ -85,50 +85,76 @@ def pgm_aggregate(data: MatrixData, max_iterations: int = 15,
                        (d.row_idx[off], d.col_idx[off])), shape=(n, n))
     w = (w + w.T) * 0.5
     w = w.tocsr()
+    wc = w.tocoo()
+    e_rows = wc.row.astype(np.int64)
+    e_cols = wc.col.astype(np.int64)
+    e_vals = wc.data
+
+    def _strongest(rows, cols, vals, row_ok, col_ok, tiebreak):
+        """Per-row argmax over edges with row_ok[row] & col_ok[col]:
+        vectorized segment-argmax via one lexsort (row asc, value desc,
+        tiebreak asc).  Replaces the former per-row Python loop — the old
+        ~7ns/element gather loop made AMG generate minutes-long at n=262k."""
+        keep = row_ok[rows] & col_ok[cols]
+        r, c, v = rows[keep], cols[keep], vals[keep]
+        out = np.full(n, -1, np.int64)
+        if r.size == 0:
+            return out
+        order = np.lexsort((tiebreak(c), -v, r))
+        r_s, c_s = r[order], c[order]
+        first = np.ones(r_s.size, bool)
+        first[1:] = r_s[1:] != r_s[:-1]
+        out[r_s[first]] = c_s[first]
+        return out
+
     agg = np.full(n, -1, np.int64)
     next_id = 0
     rng = np.random.default_rng(seed)
+    det_tb = (lambda c: c) if deterministic else (
+        lambda c: rng.random(c.size))
+    # live edges = both endpoints still unassigned; compacted every round
+    # so each lexsort only pays for the shrinking frontier
+    lr, lc, lv = e_rows, e_cols, e_vals
+    ones = np.ones(n, bool)
     for _ in range(max_iterations):
-        unassigned = np.nonzero(agg < 0)[0]
-        if unassigned.size <= max_unassigned_ratio * n:
+        free = agg < 0
+        if free.sum() <= max_unassigned_ratio * n:
             break
-        # strongest unassigned neighbor of each unassigned vertex
-        strongest = np.full(n, -1, np.int64)
-        for i in unassigned:
-            lo, hi = w.indptr[i], w.indptr[i + 1]
-            cols = w.indices[lo:hi]
-            vals = w.data[lo:hi]
-            mask = agg[cols] < 0
-            if mask.any():
-                cand_vals = vals[mask]
-                cand_cols = cols[mask]
-                if deterministic:
-                    best = np.lexsort((cand_cols, -cand_vals))[0]
-                else:
-                    best = int(rng.choice(np.nonzero(
-                        cand_vals == cand_vals.max())[0]))
-                strongest[i] = cand_cols[best]
-        # match mutual strongest edges
-        progress = False
-        for i in unassigned:
-            j = strongest[i]
-            if j >= 0 and strongest[j] == i and agg[i] < 0 and agg[j] < 0:
-                agg[i] = agg[j] = next_id
-                next_id += 1
-                progress = True
-        if not progress:
+        # strongest unassigned neighbor of each unassigned vertex, then
+        # match mutual-strongest pairs (pgm.cpp find_strongest_neighbor /
+        # match_edge) — ids assigned in ascending-i order like the
+        # reference's sequential sweep
+        strongest = _strongest(lr, lc, lv, ones, ones, det_tb)
+        i_arr = np.nonzero(strongest >= 0)[0]
+        j_arr = strongest[i_arr]
+        mutual = (strongest[j_arr] == i_arr) & (i_arr < j_arr)
+        pi, pj = i_arr[mutual], j_arr[mutual]
+        if pi.size == 0:
             break
-    # assign leftovers to the strongest aggregated neighbor (or singleton)
-    for i in np.nonzero(agg < 0)[0]:
-        lo, hi = w.indptr[i], w.indptr[i + 1]
-        cols = w.indices[lo:hi]
-        vals = w.data[lo:hi]
-        mask = agg[cols] >= 0
-        if mask.any():
-            agg[i] = agg[cols[mask][np.argmax(vals[mask])]]
-        else:
-            agg[i] = next_id
-            next_id += 1
+        ids = next_id + np.arange(pi.size)
+        agg[pi] = ids
+        agg[pj] = ids
+        next_id += pi.size
+        live = (agg[lr] < 0) & (agg[lc] < 0)
+        lr, lc, lv = lr[live], lc[live], lv[live]
+    # assign leftovers to their strongest aggregated neighbor; iterate so
+    # chains (leftover -> freshly attached leftover) resolve like the
+    # sequential sweep did
+    while True:
+        free = agg < 0
+        if not free.any():
+            break
+        strongest = _strongest(e_rows, e_cols, e_vals, free, ~free,
+                               lambda c: c)
+        attach = np.nonzero(strongest >= 0)[0]
+        if attach.size == 0:
+            break
+        agg[attach] = agg[strongest[attach]]
+        # edges from still-free rows only
+        keep = agg[e_rows] < 0
+        e_rows, e_cols, e_vals = e_rows[keep], e_cols[keep], e_vals[keep]
+    rest = np.nonzero(agg < 0)[0]
+    agg[rest] = next_id + np.arange(rest.size)
     # renumber densely
     uniq, agg = np.unique(agg, return_inverse=True)
     return agg.astype(np.int64)
