@@ -113,17 +113,18 @@ class ParIlu:
         n = d.shape[0]
         pl, pu, po = _pair_lists(lr, lc, ur, uc, n)
 
-        # initial values: a_ij on pattern (0 where U diag was filled)
-        aval = {(i, j): v for i, j, v in zip(d.row_idx, d.col_idx, d.values)}
-        lv = np.array([aval.get((i, j), 0.0) for i, j in zip(lr, lc)],
-                      d.values.dtype)
-        uv = np.array([aval.get((i, j), 0.0) for i, j in zip(ur, uc)],
-                      d.values.dtype)
+        # initial values: a_ij on pattern (0 where U diag was filled);
+        # canonical order means akey is a sorted unique map
+        akey = d.row_idx.astype(np.int64) * n + d.col_idx
+        from .par_ilut import _sorted_lookup
+        lv = _sorted_lookup(akey, d.values,
+                            lr * n + lc).astype(d.values.dtype)
+        uv = _sorted_lookup(akey, d.values,
+                            ur * n + uc).astype(d.values.dtype)
         # diag positions in U for the division
         udiag_pos = np.full(n, -1, np.int64)
-        for idx, (i, j) in enumerate(zip(ur, uc)):
-            if i == j:
-                udiag_pos[i] = idx
+        on_diag = ur == uc
+        udiag_pos[ur[on_diag]] = np.flatnonzero(on_diag)
 
         lv, uv = _run_sweeps(
             jnp.asarray(lv), jnp.asarray(uv),

@@ -3,88 +3,179 @@
 Analog of ``core/factorization/par_ilut.cpp:262-350`` (SURVEY.md A.3) and
 ``par_ict.hpp:69``.  Each outer iteration:
 
-1. LU = spgemm(L, U)                     (host symbolic + device numeric)
-2. add_candidates: pattern(A) ∪ pattern(LU), new entries seeded with the
-   residual (A - LU)_ij (scaled by u_jj for the L part)
-3. one Chow-Patel sweep on the enlarged pattern (device: the par_ilu
-   pair-list gather/segment-sum kernel)
-4. threshold_select: k-th smallest |value| so nnz shrinks back to
-   ``fill_in_limit * nnz(ILU0 pattern)`` — ``jax.lax.top_k`` territory;
-   host numpy partition here since patterns are host-resident anyway
-5. threshold_filter: drop below-threshold entries (diagonal always kept)
-6. second sweep on the filtered pattern
+1. LU = spgemm(L, U)                              (host, scipy SMMP)
+2. add_candidates ∪ sweep, fused: the candidate seed (residual
+   (A - LU)_ij, L part scaled by u_jj) applied to ALL entries of
+   pattern(A) ∪ pattern(LU) is exactly one Jacobi Chow-Patel sweep
+   evaluated at the current iterate — see ``_sweep``'s identity
+3. threshold_select: k-th smallest |value| so nnz shrinks back to
+   ``fill_in_limit * nnz(ILU0 pattern)`` (numpy partition)
+4. threshold_filter: drop below-threshold entries (diagonal always kept)
+5. second sweep on the filtered pattern (one more product)
 
-Pattern evolution is inherently dynamic-shape, so the outer loop is
-host-driven (generate-time, like Ginkgo's); every numeric phase runs as the
-jitted static-shape sweep kernel.
+Pattern evolution is inherently dynamic-shape, so generation is
+host-driven (like Ginkgo's, which re-allocates per iteration); every
+step is a vectorized sorted-key merge or a scipy C-level product — no
+per-entry Python.  The produced factors solve on device as usual.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-import jax.numpy as jnp
-
 from ..base.matrix_data import MatrixData
-from ..ops.spgemm import spgemm_data
 from .container import Factorization
-from .par_ilu import _build_factors, _pair_lists, _run_sweeps
+from .par_ilu import _build_factors
 
 
-def _entry_dict(r, c, v):
-    return {(int(i), int(j)): val for i, j, val in zip(r, c, v)}
+def _sorted_lookup(keys_sorted, vals, query, default=0.0):
+    """Vectorized map lookup: keys_sorted ascending unique int64."""
+    if keys_sorted.size == 0:
+        return np.full(query.shape, default,
+                       vals.dtype if vals.size else np.float64)
+    pos = np.searchsorted(keys_sorted, query)
+    pos_c = np.minimum(pos, keys_sorted.size - 1)
+    hit = keys_sorted[pos_c] == query
+    out = np.where(hit, vals[pos_c], default)
+    return out
 
 
-def _pow2(x: int) -> int:
-    return 1 << max(int(x) - 1, 0).bit_length()
+def _lu_product(n, lr, lc, lv, ur, uc, uv, dtype):
+    """(sorted keys, values) of (L + I) @ U, all in scipy C routines —
+    no COO round-trip, no O(nnz log nnz) host argsort."""
+    import scipy.sparse as sp
+    diag = np.arange(n)
+    L = sp.csr_matrix(
+        (np.concatenate([lv, np.ones(n, dtype)]),
+         (np.concatenate([lr, diag]), np.concatenate([lc, diag]))),
+        shape=(n, n))
+    U = sp.csr_matrix((uv, (ur, uc)), shape=(n, n))
+    C = L @ U
+    C.sum_duplicates()          # sorts indices -> globally ascending keys
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(C.indptr))
+    return rows * n + C.indices, C.data
 
 
-def _sweep(n, lr, lc, lv, ur, uc, uv, la, ua, iterations):
+def _sweep_jacobi(n, lr, lc, lv, ur, uc, uv, la, ua, iterations):
+    """Synchronous (Jacobi) Chow-Patel sweeps via the residual-
+    correction identity: with unit-lower L and upper U, one sweep is
+
+        l_ij <- l_ij + (A - L@U)_ij / u_jj      (i > j)
+        u_ij <- u_ij + (A - L@U)_ij             (i <= j)
+
+    because (L@U)_ij already contains the k = min(i, j) term
+    (l_ij * u_jj resp. 1 * u_ij).  Each sweep costs one sparse product
+    (host SMMP, O(flops)) + two sorted-key lookups.  Fallback only:
+    the synchronous form can diverge where the reference's in-place
+    (asynchronous) sweeps converge."""
+    dtype = lv.dtype
+    lkey = lr * n + lc          # queries need not be sorted
+    ukey = ur * n + uc
+    on_diag = ur == uc
+    for _ in range(int(iterations)):
+        lukey, luval = _lu_product(n, lr, lc, lv, ur, uc, uv, dtype)
+        udiag = np.ones(n, dtype)
+        udiag[ur[on_diag]] = uv[on_diag]
+        udiag[udiag == 0] = 1.0
+        r_l = la - _sorted_lookup(lukey, luval, lkey).astype(dtype)
+        r_u = ua - _sorted_lookup(lukey, luval, ukey).astype(dtype)
+        lv = lv + r_l / udiag[lc]
+        uv = uv + r_u
+    return lv, uv
+
+
+def _csr_ptr(rows, n):
+    return np.searchsorted(rows, np.arange(n + 1)).astype(np.int64)
+
+
+def _sweep(n, lr, lc, lv, ur, uc, uv, la, ua, iterations,
+           a_csr=None):
     """Run Chow-Patel sweeps on the given split pattern; returns values.
 
-    All device arrays are padded to power-of-two buckets so the jitted
-    sweep kernel's compile cache hits across ParILUT's pattern-evolving
-    outer iterations (padded entries carry zero values / dropped pair
-    segments and cannot affect real outputs)."""
-    pl, pu, po = _pair_lists(lr, lc, ur, uc, n)
-    udiag_pos = np.full(n, -1, np.int64)
-    for idx, (i, j) in enumerate(zip(ur, uc)):
-        if i == j:
-            udiag_pos[i] = idx
+    Primary path: the native C++ in-place Gauss-Seidel sweep — exact
+    semantics of the reference's ``compute_l_u_factors``
+    (``reference/factorization/par_ilut_kernels.cpp:239``), row-major
+    sequential updates, which converge robustly.  ``a_csr`` is
+    (a_ptr, a_cols, a_vals) of A; when None, it is reconstructed from
+    ``la``/``ua`` (the A-values on the pattern, zeros where A has no
+    entry — equivalent lookups).  Falls back to the Jacobi form when
+    the native tier is unavailable."""
+    from ..native import parilut_sweep_native
+    if int(iterations) <= 0 or len(lr) + len(ur) == 0:
+        return lv, uv
+    work_dtype = (np.complex128 if np.iscomplexobj(lv) else np.float64)
 
-    nl, nu, np_ = len(lr), len(ur), len(pl)
-    cl, cu, cp = _pow2(max(nl, 1)), _pow2(max(nu, 1)), _pow2(max(np_, 1))
-    nout_pad = cl + cu
+    def rowmajor_order(r, c):
+        # patterns here are usually already row-major: O(nnz) check
+        # beats an unconditional O(nnz log nnz) lexsort
+        key = r * n + c
+        if key.size < 2 or (np.diff(key) > 0).all():
+            return np.arange(key.size)
+        return np.lexsort((c, r))
 
-    def pad(a, cap, fill, dtype=None):
-        out = np.full(cap, fill, a.dtype if dtype is None else dtype)
-        out[:len(a)] = a
-        return out
+    # sort L and U row-major; U^T (by column) for the column walks
+    lo = rowmajor_order(lr, lc)
+    lrs, lcs = lr[lo], lc[lo]
+    lvs = np.ascontiguousarray(lv[lo].astype(work_dtype))
+    uo = rowmajor_order(ur, uc)
+    urs, ucs = ur[uo], uc[uo]
+    uvs = uv[uo].astype(work_dtype)
+    ot = np.lexsort((urs, ucs))          # U^T order (col, row)
+    ut_rows = np.ascontiguousarray(urs[ot])
+    ut_vals = np.ascontiguousarray(uvs[ot])
+    u2ut = np.empty(len(ot), np.int64)
+    u2ut[ot] = np.arange(len(ot))
+    ut_ptr = _csr_ptr(ucs[ot], n)
 
-    lv2, uv2 = _run_sweeps(
-        jnp.asarray(pad(lv, cl, 0)), jnp.asarray(pad(uv, cu, 0)),
-        jnp.asarray(pad(la, cl, 0)), jnp.asarray(pad(ua, cu, 0)),
-        jnp.asarray(pad(np.asarray(pl), cp, 0)),
-        jnp.asarray(pad(np.asarray(pu), cp, 0)),
-        # padded pairs scatter into the dropped segment
-        jnp.asarray(pad(np.asarray(po)
-                        + np.where(np.asarray(po) >= nl, cl - nl, 0)
-                        if np_ else np.zeros(0, np.int64),
-                        cp, nout_pad)),
-        jnp.asarray(pad(lc, cl, 0)), jnp.asarray(udiag_pos), iterations)
-    return np.asarray(lv2)[:nl], np.asarray(uv2)[:nu]
+    if a_csr is None:
+        # A-on-pattern proxy: exact for the lookups the sweep performs
+        ar = np.concatenate([lrs, urs])
+        ac = np.concatenate([lcs, ucs])
+        av = np.concatenate([la[lo], ua[uo]]).astype(work_dtype)
+        ao = np.lexsort((ac, ar))
+        ar, ac, av = ar[ao], ac[ao], av[ao]
+        a_ptr = _csr_ptr(ar, n)
+        a_cols = np.ascontiguousarray(ac)
+        a_vals = np.ascontiguousarray(av)
+    else:
+        a_ptr, a_cols, a_vals = a_csr
+        a_vals = np.ascontiguousarray(a_vals.astype(work_dtype))
+        a_ptr = np.ascontiguousarray(a_ptr, dtype=np.int64)
+        a_cols = np.ascontiguousarray(a_cols, dtype=np.int64)
+
+    ok = parilut_sweep_native(
+        n, a_ptr, a_cols, a_vals, _csr_ptr(lrs, n),
+        np.ascontiguousarray(lcs), lvs, _csr_ptr(urs, n),
+        np.ascontiguousarray(ucs), u2ut, ut_ptr, ut_rows, ut_vals,
+        iterations)
+    if ok is None:
+        return _sweep_jacobi(n, lr, lc, lv, ur, uc, uv, la, ua,
+                             iterations)
+    dtype = lv.dtype
+    lv_out = np.empty_like(lv)
+    lv_out[lo] = lvs.astype(dtype)
+    uv_out = np.empty_like(uv)
+    uv_out[uo[ot]] = ut_vals.astype(dtype)
+    return lv_out, uv_out
+
+
+def _threshold_select(r, c, v, keep_count, keep_diag=True):
+    """Ascending indices of the ``keep_count`` largest-|v| entries
+    (+ the diagonal) — threshold_select + threshold_filter analog."""
+    if v.shape[0] <= keep_count:
+        return np.arange(v.shape[0])
+    mag = np.abs(v).astype(np.float64, copy=False)
+    if keep_diag:
+        mag = mag.copy()
+        mag[r == c] = np.inf
+    # k-th largest threshold (threshold_select analog)
+    order = np.argpartition(-mag, keep_count - 1)[:keep_count]
+    return np.sort(order)
 
 
 def _threshold_filter(r, c, v, keep_count, keep_diag=True):
     """Keep the ``keep_count`` largest-|v| entries (+ the diagonal)."""
-    if v.shape[0] <= keep_count:
-        return r, c, v
-    mag = np.abs(v).astype(np.float64)
-    if keep_diag:
-        mag[r == c] = np.inf
-    # k-th largest threshold (threshold_select analog)
-    order = np.argpartition(-mag, keep_count - 1)[:keep_count]
-    order = np.sort(order)
+    order = _threshold_select(r, c, v, keep_count, keep_diag)
     return r[order], c[order], v[order]
 
 
@@ -105,83 +196,78 @@ class ParIlut:
         data = A.to_matrix_data() if hasattr(A, "to_matrix_data") else A
         d = data.canonical()
         n = d.shape[0]
-        aval = _entry_dict(d.row_idx, d.col_idx, d.values)
         dtype = d.values.dtype
+        # canonical order == ascending (row, col) keys: a sorted map
+        akey = d.row_idx.astype(np.int64) * n + d.col_idx
+        aval = d.values
+
+        def a_at(r, c):
+            return _sorted_lookup(akey, aval, r * n + c).astype(dtype)
+
+        a_csr = (_csr_ptr(d.row_idx.astype(np.int64), n),
+                 d.col_idx.astype(np.int64), d.values)
 
         # initial split on A's pattern (ILU0 pattern), ParILU init values
         from .par_ilu import _split_pattern
         _, (lr, lc), (ur, uc) = _split_pattern(d)
-        lv = np.array([aval.get((int(i), int(j)), 0.0)
-                       for i, j in zip(lr, lc)], dtype)
-        uv = np.array([aval.get((int(i), int(j)), 0.0)
-                       for i, j in zip(ur, uc)], dtype)
-        lv, uv = _sweep(n, lr, lc, lv, ur, uc, uv, lv.copy(), uv.copy(), 3)
+        lv = a_at(lr, lc)
+        uv = a_at(ur, uc)
+        lv, uv = _sweep(n, lr, lc, lv, ur, uc, uv, lv.copy(),
+                        uv.copy(), 3, a_csr=a_csr)
         nnz_l0, nnz_u0 = len(lr), len(ur)
         keep_l = int(np.ceil(self.fill_in_limit * nnz_l0))
         keep_u = int(np.ceil(self.fill_in_limit * nnz_u0))
 
         for _ in range(self.iterations):
             # 1. LU product (unit diag L)
-            diag = np.arange(n)
-            l_full = MatrixData((n, n), np.concatenate([lr, diag]),
-                                np.concatenate([lc, diag]),
-                                np.concatenate([lv, np.ones(n, dtype)]))
-            u_data = MatrixData((n, n), ur, uc, uv)
-            lu = spgemm_data(l_full, u_data)
-            lu_map = _entry_dict(lu.row_idx, lu.col_idx, lu.values)
+            lukey, luval = _lu_product(n, lr, lc, lv, ur, uc, uv, dtype)
 
-            # 2. add_candidates: union pattern, residual-seeded new entries
-            lcur = _entry_dict(lr, lc, lv)
-            ucur = _entry_dict(ur, uc, uv)
-            cand = set(zip(d.row_idx.tolist(), d.col_idx.tolist()))
-            cand |= set(lu_map.keys())
-            new_lr, new_lc, new_lv = [], [], []
-            new_ur, new_uc, new_uv = [], [], []
-            udiag = {int(i): uv[k] for k, (i, j) in enumerate(zip(ur, uc))
-                     if i == j}
-            for (i, j) in sorted(cand):
-                r_ij = aval.get((i, j), 0.0) - lu_map.get((i, j), 0.0)
-                if i > j:
-                    if (i, j) in lcur:
-                        val = lcur[(i, j)]
-                    else:
-                        dj = udiag.get(j, 1.0) or 1.0
-                        val = r_ij / dj
-                    new_lr.append(i)
-                    new_lc.append(j)
-                    new_lv.append(val)
-                else:
-                    val = ucur.get((i, j), r_ij)
-                    new_ur.append(i)
-                    new_uc.append(j)
-                    new_uv.append(val)
-            lr2 = np.asarray(new_lr, np.int64)
-            lc2 = np.asarray(new_lc, np.int64)
-            lv2 = np.asarray(new_lv, dtype)
-            ur2 = np.asarray(new_ur, np.int64)
-            uc2 = np.asarray(new_uc, np.int64)
-            uv2 = np.asarray(new_uv, dtype)
-            la2 = np.array([aval.get((int(i), int(j)), 0.0)
-                            for i, j in zip(lr2, lc2)], dtype)
-            ua2 = np.array([aval.get((int(i), int(j)), 0.0)
-                            for i, j in zip(ur2, uc2)], dtype)
+            # 2. add_candidates (par_ilut.cpp:262): pattern(A) ∪
+            #    pattern(LU); all sorted-key numpy merges, no per-entry
+            #    host loops.  Lookups scatter from the SMALL side
+            #    (existing pattern into the candidate set) — cheaper
+            #    than querying every candidate.
+            cand = np.union1d(akey, lukey)
+            ci = cand // n
+            cj = cand % n
+            a_c = np.zeros(cand.size, dtype)
+            a_c[np.searchsorted(cand, akey)] = aval
+            r_c = a_c - _sorted_lookup(lukey, luval,
+                                       cand).astype(dtype, copy=False)
+            udiag = np.ones(n, dtype)
+            on_diag = ur == uc
+            udiag[ur[on_diag]] = uv[on_diag]
+            udiag[udiag == 0] = 1.0
 
-            # 3. sweep on the enlarged pattern
-            lv2, uv2 = _sweep(n, lr2, lc2, lv2, ur2, uc2, uv2, la2, ua2,
-                              self.sweeps)
+            # The seed IS one Jacobi Chow-Patel sweep over the enlarged
+            # pattern evaluated at the current iterate (new entries have
+            # old value 0): l + (A - LU)_ij/u_jj resp. u + (A - LU)_ij.
+            # Fusing seed+sweep reuses the step-1 product and saves the
+            # enlarged-pattern spgemm — the largest product of the
+            # iteration (its fill is ~2.5x nnz(A)).
+            old_c = np.zeros(cand.size, dtype)
+            old_c[np.searchsorted(cand, lr * n + lc)] = lv
+            old_c[np.searchsorted(cand, ur * n + uc)] = uv
+            low = ci > cj
+            lr2, lc2 = ci[low], cj[low]
+            lv2 = old_c[low] + r_c[low] / udiag[cj[low]]
+            ur2, uc2 = ci[~low], cj[~low]
+            uv2 = old_c[~low] + r_c[~low]
 
             # 4+5. select + filter back to the fill budget
-            lr, lc, lv = _threshold_filter(lr2, lc2, lv2, keep_l,
-                                           keep_diag=False)
-            ur, uc, uv = _threshold_filter(ur2, uc2, uv2, keep_u,
-                                           keep_diag=True)
+            lkeep = _threshold_select(lr2, lc2, lv2, keep_l,
+                                      keep_diag=False)
+            ukeep = _threshold_select(ur2, uc2, uv2, keep_u,
+                                      keep_diag=True)
+            lr, lc, lv = lr2[lkeep], lc2[lkeep], lv2[lkeep]
+            ur, uc, uv = ur2[ukeep], uc2[ukeep], uv2[ukeep]
 
-            # 6. second sweep on the filtered pattern
-            la = np.array([aval.get((int(i), int(j)), 0.0)
-                           for i, j in zip(lr, lc)], dtype)
-            ua = np.array([aval.get((int(i), int(j)), 0.0)
-                           for i, j in zip(ur, uc)], dtype)
-            lv, uv = _sweep(n, lr, lc, lv, ur, uc, uv, la, ua, self.sweeps)
+            # 6. second sweep on the filtered pattern (A values ride
+            # along from the candidate array — no fresh lookups)
+            a_low = a_c[low]
+            a_up = a_c[~low]
+            lv, uv = _sweep(n, lr, lc, lv, ur, uc, uv, a_low[lkeep],
+                            a_up[ukeep], self.sweeps, a_csr=a_csr)
 
         return _build_factors(n, lr, lc, lv, ur, uc, uv, dtype)
 

@@ -73,6 +73,11 @@ def _bind(lib):
     lib.gt_coo_canonicalize.restype = ctypes.c_int64
     lib.gt_coo_canonicalize.argtypes = [ctypes.c_int64, i64p, i64p, f64p,
                                         ctypes.c_int32]
+    lib.gt_parilut_sweep.restype = ctypes.c_int
+    lib.gt_parilut_sweep.argtypes = [ctypes.c_int64, i64p, i64p, f64p,
+                                     i64p, i64p, f64p, i64p, i64p, i64p,
+                                     i64p, i64p, f64p, ctypes.c_int64,
+                                     ctypes.c_int32]
     return lib
 
 
@@ -187,6 +192,33 @@ def ilu_pairs_native(n, lr, lc, ur, uc):
         _ptr(out_l, ctypes.c_int64), _ptr(out_u, ctypes.c_int64),
         _ptr(out_o, ctypes.c_int64))
     return out_l, out_u, out_o
+
+
+def parilut_sweep_native(n, a_ptr, a_cols, a_vals, l_ptr, l_cols, l_vals,
+                         u_ptr, u_cols, u2ut, ut_ptr, ut_rows, ut_vals,
+                         iterations):
+    """In-place Gauss-Seidel ParILU(T) sweeps (the reference's
+    compute_l_u_factors semantics).  l_vals and ut_vals are modified in
+    place (float64 or complex128 contiguous).  Returns True, or None
+    when the native library is unavailable."""
+    L = lib()
+    if L is None:
+        return None
+    is_cpx = np.iscomplexobj(l_vals)
+
+    def fp(a):
+        assert a.flags.c_contiguous
+        return _ptr(a.view(np.float64), ctypes.c_double)
+
+    def ip(a):
+        assert a.dtype == np.int64 and a.flags.c_contiguous
+        return _ptr(a, ctypes.c_int64)
+
+    L.gt_parilut_sweep(n, ip(a_ptr), ip(a_cols), fp(a_vals), ip(l_ptr),
+                       ip(l_cols), fp(l_vals), ip(u_ptr), ip(u_cols),
+                       ip(u2ut), ip(ut_ptr), ip(ut_rows), fp(ut_vals),
+                       int(iterations), int(is_cpx))
+    return True
 
 
 def coo_canonicalize_native(rows, cols, vals):

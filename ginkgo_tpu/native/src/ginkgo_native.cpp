@@ -17,11 +17,14 @@
 
 #include <algorithm>
 #include <cctype>
+#include <cmath>
+#include <complex>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <numeric>
+#include <type_traits>
 #include <vector>
 
 extern "C" {
@@ -314,3 +317,101 @@ int64_t gt_coo_canonicalize(int64_t nnz, int64_t* rows, int64_t* cols,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// ParILU(T) Gauss-Seidel sweep — the reference's compute_l_u_factors
+// (reference/factorization/par_ilut_kernels.cpp:239): row-major in-place
+// updates (sequential asynchronous Chow-Patel, which converges where the
+// synchronous Jacobi form diverges).
+//   L: strict-lower CSR (unit diagonal implicit), values updated in place
+//   U: stored ONCE as U^T CSR (per column, rows ascending, diag last);
+//      iteration follows U's row-major order via the u2ut position map
+//   A: CSR for the a(row, col) lookups (pattern may exceed A's)
+// ---------------------------------------------------------------------------
+namespace {
+
+template <class V>
+void parilut_sweep_impl(int64_t n, const int64_t* a_ptr,
+                        const int64_t* a_cols, const V* a_vals,
+                        const int64_t* l_ptr, const int64_t* l_cols,
+                        V* l_vals, const int64_t* u_ptr,
+                        const int64_t* u_cols, const int64_t* u2ut,
+                        const int64_t* ut_ptr, const int64_t* ut_rows,
+                        V* ut_vals, int64_t iterations) {
+    auto a_at = [&](int64_t row, int64_t col) -> V {
+        const int64_t* b = a_cols + a_ptr[row];
+        const int64_t* e = a_cols + a_ptr[row + 1];
+        const int64_t* it = std::lower_bound(b, e, col);
+        if (it != e && *it == col) return a_vals[it - a_cols];
+        return V(0);
+    };
+    auto dot = [&](int64_t row, int64_t col) -> V {
+        // sum_{k < min(row, col)} l(row, k) * u(k, col), merge walk
+        V sum(0);
+        int64_t lim = row < col ? row : col;
+        int64_t s = l_ptr[row], se = l_ptr[row + 1];
+        int64_t t = ut_ptr[col], te = ut_ptr[col + 1];
+        while (s < se && t < te) {
+            int64_t k = l_cols[s], k2 = ut_rows[t];
+            if (k == k2) {
+                if (k < lim) sum += l_vals[s] * ut_vals[t];
+                ++s;
+                ++t;
+            } else if (k < k2) {
+                ++s;
+            } else {
+                ++t;
+            }
+        }
+        return sum;
+    };
+    auto finite = [](V v) {
+        double re, im = 0;
+        if constexpr (std::is_same_v<V, std::complex<double>>) {
+            re = v.real();
+            im = v.imag();
+        } else {
+            re = v;
+        }
+        return std::isfinite(re) && std::isfinite(im);
+    };
+    for (int64_t it = 0; it < iterations; ++it) {
+        for (int64_t row = 0; row < n; ++row) {
+            for (int64_t p = l_ptr[row]; p < l_ptr[row + 1]; ++p) {
+                int64_t col = l_cols[p];
+                V u_diag = ut_vals[ut_ptr[col + 1] - 1];
+                V nv = (a_at(row, col) - dot(row, col)) / u_diag;
+                if (finite(nv)) l_vals[p] = nv;
+            }
+            for (int64_t p = u_ptr[row]; p < u_ptr[row + 1]; ++p) {
+                int64_t col = u_cols[p];
+                V nv = a_at(row, col) - dot(row, col);
+                if (finite(nv)) ut_vals[u2ut[p]] = nv;
+            }
+        }
+    }
+}
+
+}  // namespace
+
+extern "C" int gt_parilut_sweep(int64_t n, const int64_t* a_ptr, const int64_t* a_cols,
+                     const double* a_vals, const int64_t* l_ptr,
+                     const int64_t* l_cols, double* l_vals,
+                     const int64_t* u_ptr, const int64_t* u_cols,
+                     const int64_t* u2ut, const int64_t* ut_ptr,
+                     const int64_t* ut_rows, double* ut_vals,
+                     int64_t iterations, int32_t is_complex) {
+    if (is_complex) {
+        parilut_sweep_impl<std::complex<double>>(
+            n, a_ptr, a_cols,
+            reinterpret_cast<const std::complex<double>*>(a_vals), l_ptr,
+            l_cols, reinterpret_cast<std::complex<double>*>(l_vals), u_ptr,
+            u_cols, u2ut, ut_ptr, ut_rows,
+            reinterpret_cast<std::complex<double>*>(ut_vals), iterations);
+    } else {
+        parilut_sweep_impl<double>(n, a_ptr, a_cols, a_vals, l_ptr, l_cols,
+                                   l_vals, u_ptr, u_cols, u2ut, ut_ptr,
+                                   ut_rows, ut_vals, iterations);
+    }
+    return 0;
+}
