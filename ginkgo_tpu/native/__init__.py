@@ -78,6 +78,9 @@ def _bind(lib):
                                      i64p, i64p, f64p, i64p, i64p, i64p,
                                      i64p, i64p, f64p, ctypes.c_int64,
                                      ctypes.c_int32]
+    lib.gt_mc64_match.restype = ctypes.c_int
+    lib.gt_mc64_match.argtypes = [ctypes.c_int64, i64p, i64p, f64p, f64p,
+                                  i64p, i64p, i64p, ctypes.c_double]
     return lib
 
 
@@ -219,6 +222,30 @@ def parilut_sweep_native(n, a_ptr, a_cols, a_vals, l_ptr, l_cols, l_vals,
                        ip(u2ut), ip(ut_ptr), ip(ut_rows), fp(ut_vals),
                        int(iterations), int(is_cpx))
     return True
+
+
+def mc64_match_native(n, ptr, cols, c, u, tol):
+    """Sparse shortest-augmenting-path assignment (MC64 core).
+    Returns (ok, p, ip, midx, u) or None when unavailable.  ``u`` is
+    updated to the final column dual potentials."""
+    L = lib()
+    if L is None:
+        return None
+    ptr = np.ascontiguousarray(ptr, np.int64)
+    cols = np.ascontiguousarray(cols, np.int64)
+    c = np.ascontiguousarray(c, np.float64)
+    u = np.ascontiguousarray(u, np.float64)
+    p = np.empty(n, np.int64)
+    ip = np.empty(n, np.int64)
+    midx = np.empty(n, np.int64)
+    rc = L.gt_mc64_match(n, _ptr(ptr, ctypes.c_int64),
+                         _ptr(cols, ctypes.c_int64),
+                         _ptr(c, ctypes.c_double),
+                         _ptr(u, ctypes.c_double),
+                         _ptr(p, ctypes.c_int64),
+                         _ptr(ip, ctypes.c_int64),
+                         _ptr(midx, ctypes.c_int64), float(tol))
+    return rc == 0, p, ip, midx, u
 
 
 def coo_canonicalize_native(rows, cols, vals):

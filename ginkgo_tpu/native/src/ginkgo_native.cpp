@@ -415,3 +415,110 @@ extern "C" int gt_parilut_sweep(int64_t n, const int64_t* a_ptr, const int64_t* 
     }
     return 0;
 }
+
+// ---------------------------------------------------------------------------
+// MC64 maximum-weight bipartite matching (core/reorder/mc64.cpp analog):
+// sparse shortest-augmenting-path assignment (Duff-Koster / sparse
+// Jonker-Volgenant) with column dual potentials.
+//   c:        nonnegative minimization weights (row_max - log2|a|),
+//             +inf marks a structural hole (zero entry)
+//   dual_u:   in: initial column duals (min over rows of c), out: final
+//   p/ip:     row->col and col->row matching (-1 while unmatched)
+//   midx:     matched CSR edge index per row (for the scaling recovery)
+// Returns 0, or -1 when the matrix is structurally singular.
+// ---------------------------------------------------------------------------
+#include <limits>
+#include <queue>
+
+extern "C" int gt_mc64_match(int64_t n, const int64_t* ptr,
+                             const int64_t* cols, const double* c,
+                             double* dual_u, int64_t* p, int64_t* ip,
+                             int64_t* midx, double tol) {
+    const double inf = std::numeric_limits<double>::infinity();
+    for (int64_t i = 0; i < n; ++i) p[i] = ip[i] = midx[i] = -1;
+
+    // initial matching: greedy on zero reduced cost (v implicit 0)
+    for (int64_t r = 0; r < n; ++r) {
+        for (int64_t e = ptr[r]; e < ptr[r + 1]; ++e) {
+            int64_t j = cols[e];
+            if (ip[j] < 0 && std::abs(c[e] - dual_u[j]) < tol) {
+                p[r] = j;
+                ip[j] = r;
+                midx[r] = e;
+                break;
+            }
+        }
+    }
+
+    std::vector<double> dist(n);
+    std::vector<int64_t> pred_row(n), pred_edge(n);
+    std::vector<uint8_t> done(n);
+    std::vector<int64_t> touched;
+    using QE = std::pair<double, int64_t>;
+    std::priority_queue<QE, std::vector<QE>, std::greater<QE>> pq;
+
+    for (int64_t r0 = 0; r0 < n; ++r0) {
+        if (p[r0] >= 0) continue;
+        // Dijkstra over alternating paths from the free row r0.  The
+        // implicit row dual of a matched row i is c(i, p(i)) - u(p(i));
+        // the root's is 0, so edge (r0, j) relaxes to c - u directly.
+        touched.clear();
+        while (!pq.empty()) pq.pop();
+        double lsap = inf;
+        int64_t sink = -1;
+        auto relax = [&](int64_t i, double base, double vi) {
+            for (int64_t e = ptr[i]; e < ptr[i + 1]; ++e) {
+                int64_t j = cols[e];
+                if (done[j]) continue;
+                double w = c[e];
+                if (w == inf) continue;
+                double nd = base + (w - dual_u[j]) - vi;
+                if (nd < dist[j]) {
+                    dist[j] = nd;
+                    pred_row[j] = i;
+                    pred_edge[j] = e;
+                    pq.emplace(nd, j);
+                }
+            }
+        };
+        std::vector<int64_t>& tl = touched;
+        for (int64_t j = 0; j < n; ++j) {
+            dist[j] = inf;
+            done[j] = 0;
+        }
+        relax(r0, 0.0, 0.0);
+        while (!pq.empty()) {
+            auto [dj, j] = pq.top();
+            pq.pop();
+            if (done[j] || dj > dist[j]) continue;
+            if (dj >= lsap) break;
+            done[j] = 1;
+            tl.push_back(j);
+            if (ip[j] < 0) {
+                lsap = dj;
+                sink = j;
+                break;
+            }
+            int64_t i = ip[j];
+            double vi = c[midx[i]] - dual_u[p[i]];
+            relax(i, dj, vi);
+        }
+        if (sink < 0) return -1;       // structurally singular
+        // dual update on finalized columns
+        for (int64_t j : tl)
+            if (j != sink) dual_u[j] += dist[j] - lsap;
+        // augment along the predecessor chain
+        int64_t j = sink;
+        while (true) {
+            int64_t i = pred_row[j];
+            int64_t e = pred_edge[j];
+            int64_t jprev = p[i];      // -1 when i == r0
+            p[i] = j;
+            ip[j] = i;
+            midx[i] = e;
+            if (i == r0) break;
+            j = jprev;
+        }
+    }
+    return 0;
+}

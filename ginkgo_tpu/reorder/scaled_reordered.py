@@ -49,7 +49,27 @@ class ScaledReordered:
         P = reorder.generate(A) if hasattr(reorder, "generate") else reorder
         perm_idx = np.asarray(P.perm)
         scale = np.asarray(getattr(P, "scale", np.ones(len(perm_idx))))
-        # build A' = S P A Pᵀ (row scaling S after symmetric permutation)
+        col_scale = getattr(P, "col_scale", None)
+        if col_scale is not None:
+            # two-sided result (Mc64): A' = S_r P A C_s — rows permuted
+            # and scaled, columns scaled in place.  Solve A x = b as
+            # A' y = S_r P b with x = C_s y (scaled_reordered.hpp's
+            # Composition branch).
+            from ..matrix.permutation import ScaledPermutation
+            cs = np.asarray(col_scale)
+            d = permute_data(data, perm_idx, permute_mode.rows)
+            d.values = d.values * scale[d.row_idx] * cs[d.col_idx]
+            A_prime = Csr.from_data(d)
+            inner = self.inner_operator
+            if hasattr(inner, "generate"):
+                inner = inner.generate(A_prime)
+            return ScaledReorderedOp(
+                inner=inner,
+                perm=ScaledPermutation.from_indices(perm_idx, scale),
+                perm_inv=ScaledPermutation.from_indices(
+                    np.arange(len(cs)), cs),
+                shape=(data.shape[0], data.shape[1]))
+        # symmetric permutation + row scaling: A' = S P A Pᵀ
         d = permute_data(data, perm_idx, permute_mode.symmetric)
         d.values = d.values * scale[d.row_idx]
         A_prime = Csr.from_data(d)
