@@ -81,6 +81,8 @@ def _bind(lib):
     lib.gt_mc64_match.restype = ctypes.c_int
     lib.gt_mc64_match.argtypes = [ctypes.c_int64, i64p, i64p, f64p, f64p,
                                   i64p, i64p, i64p, ctypes.c_double]
+    lib.gt_amd_order.restype = ctypes.c_int
+    lib.gt_amd_order.argtypes = [ctypes.c_int64, i64p, i64p, i64p]
     return lib
 
 
@@ -246,6 +248,23 @@ def mc64_match_native(n, ptr, cols, c, u, tol):
                          _ptr(ip, ctypes.c_int64),
                          _ptr(midx, ctypes.c_int64), float(tol))
     return rc == 0, p, ip, midx, u
+
+
+def amd_order_native(n, ptr, adj):
+    """Approximate minimum degree ordering (quotient graph), or None.
+    ``ptr``/``adj`` describe the symmetrized pattern without diagonal."""
+    L = lib()
+    if L is None:
+        return None
+    ptr = np.ascontiguousarray(ptr, np.int64)
+    adj = np.ascontiguousarray(adj, np.int64)
+    perm = np.empty(n, np.int64)
+    rc = L.gt_amd_order(n, _ptr(ptr, ctypes.c_int64),
+                        _ptr(adj, ctypes.c_int64),
+                        _ptr(perm, ctypes.c_int64))
+    if rc != 0:
+        return None
+    return perm
 
 
 def coo_canonicalize_native(rows, cols, vals):

@@ -522,3 +522,247 @@ extern "C" int gt_mc64_match(int64_t n, const int64_t* ptr,
     }
     return 0;
 }
+
+// ---------------------------------------------------------------------------
+// AMD — approximate minimum degree ordering (core/reorder/amd.cpp goal;
+// clean-room implementation of the Amestoy-Davis-Duff algorithm):
+// quotient graph where eliminated pivots become elements, approximate
+// external degrees via the one-pass |Le \ Lp| w-trick, supervariable
+// merging by adjacency hashing, and aggressive element absorption.
+// Input: symmetric pattern CSR (diagonal ignored).  Output: perm such
+// that perm[k] = k-th eliminated original index.
+// ---------------------------------------------------------------------------
+#include <unordered_map>
+
+extern "C" int gt_amd_order(int64_t n, const int64_t* ptr,
+                            const int64_t* adj, int64_t* perm) {
+    if (n == 0) return 0;
+    std::vector<std::vector<int32_t>> vadj(n), eadj(n), evars(n);
+    std::vector<int64_t> nv(n, 1), degree(n), esize(n, 0);
+    std::vector<uint8_t> is_elem(n, 0), dead_elem(n, 0);
+    std::vector<int32_t> child_head(n, -1), child_next(n, -1);
+    std::vector<int64_t> mark(n, -1), wtag(n, -1), w(n, 0);
+
+    for (int64_t i = 0; i < n; ++i) {
+        auto& a = vadj[i];
+        for (int64_t e = ptr[i]; e < ptr[i + 1]; ++e) {
+            int32_t j = (int32_t)adj[e];
+            if (j != i) a.push_back(j);
+        }
+        degree[i] = (int64_t)a.size();
+    }
+
+    // degree buckets (doubly linked, FIFO: append at tail — the
+    // tie-break order measurably affects fill quality)
+    std::vector<int32_t> dhead(n + 1, -1), dtail(n + 1, -1), dnext(n, -1),
+        dprev(n, -1);
+    auto deg_insert = [&](int32_t i) {
+        int64_t d = degree[i] < n ? degree[i] : n;
+        dnext[i] = -1;
+        dprev[i] = dtail[d];
+        if (dtail[d] >= 0)
+            dnext[dtail[d]] = i;
+        else
+            dhead[d] = (int32_t)i;
+        dtail[d] = (int32_t)i;
+    };
+    auto deg_remove = [&](int32_t i) {
+        int64_t d = degree[i] < n ? degree[i] : n;
+        if (dprev[i] >= 0)
+            dnext[dprev[i]] = dnext[i];
+        else if (dhead[d] == i)
+            dhead[d] = dnext[i];
+        if (dnext[i] >= 0)
+            dprev[dnext[i]] = dprev[i];
+        else if (dtail[d] == i)
+            dtail[d] = dprev[i];
+        dnext[i] = dprev[i] = -1;
+    };
+    for (int64_t i = 0; i < n; ++i) deg_insert((int32_t)i);
+
+    std::vector<int32_t> Lp;
+    std::vector<int32_t> touched_elems;
+    int64_t gen = 0;
+    int64_t out = 0;
+    int64_t mindeg = 0;
+
+    auto emit = [&](int32_t p, auto&& self) -> void {
+        perm[out++] = p;
+        for (int32_t c = child_head[p]; c >= 0; c = child_next[c])
+            self(c, self);
+    };
+
+    while (out < n) {
+        // pivot: lowest-degree live principal variable
+        int32_t p = -1;
+        while (mindeg <= n) {
+            p = dhead[mindeg];
+            if (p >= 0) break;
+            ++mindeg;
+        }
+        if (p < 0) break;   // defensive; should not happen
+        deg_remove(p);
+
+        // ---- build Lp = union of pivot's vars + element vars
+        ++gen;
+        Lp.clear();
+        mark[p] = gen;
+        for (int32_t j : vadj[p])
+            if (nv[j] > 0 && mark[j] != gen) {
+                mark[j] = gen;
+                Lp.push_back(j);
+            }
+        for (int32_t e : eadj[p]) {
+            if (dead_elem[e] || !is_elem[e]) continue;
+            for (int32_t j : evars[e])
+                if (nv[j] > 0 && mark[j] != gen) {
+                    mark[j] = gen;
+                    Lp.push_back(j);
+                }
+            dead_elem[e] = 1;            // absorbed into p
+            evars[e].clear();
+            evars[e].shrink_to_fit();
+        }
+        int64_t lpw = 0;
+        for (int32_t j : Lp) lpw += nv[j];
+
+        int64_t pweight = nv[p];
+        nv[p] = 0;                        // p leaves the variable set
+        is_elem[p] = 1;
+        evars[p] = Lp;
+        esize[p] = lpw;
+        vadj[p].clear();
+        vadj[p].shrink_to_fit();
+
+        // ---- one-pass w computation: w[e] = |Le \ Lp| (by weight)
+        touched_elems.clear();
+        for (int32_t i : Lp)
+            for (int32_t e : eadj[i]) {
+                if (dead_elem[e] || !is_elem[e] || e == p) continue;
+                if (wtag[e] != gen) {
+                    wtag[e] = gen;
+                    w[e] = esize[e];
+                    touched_elems.push_back(e);
+                }
+                w[e] -= nv[i];
+            }
+
+        // ---- per-variable update
+        for (int32_t i : Lp) {
+            deg_remove(i);
+            // prune vadj: keep live vars outside Lp (inside-Lp ones are
+            // represented by the new element p)
+            auto& va = vadj[i];
+            size_t kept = 0;
+            int64_t dv = 0;
+            for (int32_t j : va)
+                if (nv[j] > 0 && mark[j] != gen) {
+                    va[kept++] = j;
+                    dv += nv[j];
+                }
+            va.resize(kept);
+            // prune eadj: live, unabsorbed elements; aggressive
+            // absorption of w[e] == 0 elements (Le subset of Lp)
+            auto& ea = eadj[i];
+            kept = 0;
+            int64_t de = 0;
+            for (int32_t e : ea) {
+                if (dead_elem[e] || !is_elem[e] || e == p) continue;
+                if (wtag[e] == gen && w[e] == 0) {
+                    dead_elem[e] = 1;
+                    evars[e].clear();
+                    evars[e].shrink_to_fit();
+                    continue;
+                }
+                ea[kept++] = e;
+                de += (wtag[e] == gen) ? w[e] : esize[e];
+            }
+            ea.resize(kept);
+            // mass elimination: adjacency entirely inside the new
+            // element -> eliminating i with p causes zero extra fill
+            if (kept == 0 && va.empty()) {
+                esize[p] -= nv[i];
+                lpw -= nv[i];
+                nv[i] = 0;
+                child_next[i] = child_head[p];
+                child_head[p] = i;
+                continue;
+            }
+            ea.push_back(p);
+            int64_t d = dv + de + (lpw - nv[i]);
+            // AMD's approximate-degree bound: also no worse than the
+            // previous degree grown by the new element's contribution
+            int64_t dalt = degree[i] + (lpw - nv[i]);
+            if (dalt < d) d = dalt;
+            int64_t cap = n - out;
+            degree[i] = d < 1 ? 1 : (d > cap ? cap : d);
+            deg_insert(i);
+            if (degree[i] < mindeg) mindeg = degree[i];
+        }
+
+        // ---- supervariable detection within Lp (hash + exact compare)
+        if (Lp.size() > 1) {
+            std::unordered_map<uint64_t, std::vector<int32_t>> buckets;
+            buckets.reserve(Lp.size());
+            for (int32_t i : Lp) {
+                if (nv[i] <= 0) continue;
+                // commutative hash: adjacency list ORDER differs
+                // between otherwise-identical nodes
+                uint64_t h = 0;
+                for (int32_t e : eadj[i])
+                    h += (uint64_t)(e + 1) * 1099511628211ull;
+                for (int32_t j : vadj[i])
+                    h += (uint64_t)(j + 1) * 14695981039ull;
+                buckets[h].push_back(i);
+            }
+            std::vector<int32_t> sa, sb;
+            for (auto& kv : buckets) {
+                auto& grp = kv.second;
+                for (size_t a = 0; a < grp.size(); ++a) {
+                    int32_t i = grp[a];
+                    if (nv[i] <= 0) continue;
+                    for (size_t b = a + 1; b < grp.size(); ++b) {
+                        int32_t j = grp[b];
+                        if (nv[j] <= 0) continue;
+                        if (eadj[i].size() != eadj[j].size() ||
+                            vadj[i].size() != vadj[j].size())
+                            continue;
+                        sa = eadj[i]; sb = eadj[j];
+                        std::sort(sa.begin(), sa.end());
+                        std::sort(sb.begin(), sb.end());
+                        if (sa != sb) continue;
+                        sa = vadj[i]; sb = vadj[j];
+                        std::sort(sa.begin(), sa.end());
+                        std::sort(sb.begin(), sb.end());
+                        // adjacency may contain each other (i~j edge)
+                        bool eq = true;
+                        size_t xa = 0, xb = 0;
+                        while (xa < sa.size() && xb < sb.size()) {
+                            int32_t va_ = sa[xa], vb_ = sb[xb];
+                            if (va_ == j) { ++xa; continue; }
+                            if (vb_ == i) { ++xb; continue; }
+                            if (va_ != vb_) { eq = false; break; }
+                            ++xa; ++xb;
+                        }
+                        while (xa < sa.size() && sa[xa] == j) ++xa;
+                        while (xb < sb.size() && sb[xb] == i) ++xb;
+                        if (!eq || xa != sa.size() || xb != sb.size())
+                            continue;
+                        // merge j into i
+                        deg_remove(j);
+                        nv[i] += nv[j];
+                        nv[j] = 0;
+                        child_next[j] = child_head[i];
+                        child_head[i] = j;
+                        vadj[j].clear(); vadj[j].shrink_to_fit();
+                        eadj[j].clear(); eadj[j].shrink_to_fit();
+                    }
+                }
+            }
+        }
+
+        (void)pweight;
+        emit(p, emit);
+    }
+    return out == n ? 0 : -1;
+}

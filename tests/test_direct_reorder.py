@@ -151,3 +151,18 @@ def test_nested_dissection_valid_permutation():
     perm = np.asarray(
         NestedDissection(min_size=8).generate(Csr.from_data(data)).perm)
     assert sorted(perm.tolist()) == list(range(64))
+
+
+def test_amd_scales_to_100k():
+    """Quotient-graph AMD (gt_amd_order) orders ~100k nodes in seconds
+    (the exact-MD fallback needed hours at this size)."""
+    import time
+    from ginkgo_tpu.reorder.amd import amd_ordering
+    from ginkgo_tpu.utils.generators import stencil_3d
+    d = stencil_3d(46, points=7)      # n = 97336
+    t0 = time.time()
+    perm = amd_ordering(d)
+    elapsed = time.time() - t0
+    n = d.shape[0]
+    assert np.array_equal(np.sort(perm), np.arange(n))
+    assert elapsed < 60, f"AMD too slow: {elapsed:.1f}s"

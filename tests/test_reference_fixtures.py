@@ -144,12 +144,16 @@ def test_amd_fill_reduction(mtx, reduction):
     assert fill1 <= fill0 - reduction
 
 
-def test_amd_quality_vs_reference_ordering():
+@pytest.mark.parametrize("mtx,ref_mtx", [
+    ("ani1.mtx", "ani1_amd.mtx"),
+    ("ani4.mtx", "ani4_amd.mtx"),
+])
+def test_amd_quality_vs_reference_ordering(mtx, ref_mtx):
     """Our AMD's fill is within 10% of the reference's recorded AMD
-    ordering (ani1_amd.mtx is ani1 permuted by Ginkgo's AMD)."""
+    ordering (aniX_amd.mtx is aniX permuted by Ginkgo's AMD)."""
     from ginkgo_tpu.reorder import Amd
-    d = _read("ani1.mtx")
-    d_ref = _read("ani1_amd.mtx")
+    d = _read(mtx)
+    d_ref = _read(ref_mtx)
     perm = np.asarray(Amd.build().generate(d).perm)
     ours = _chol_fill(d, perm)
     theirs = _chol_fill(d_ref)
