@@ -29,11 +29,12 @@ SOLVE_COMPLETED = "solve_completed"
 ITERATION_COMPLETE = "iteration_complete"   # chunked/host-loop mode only
 IO_READ = "io_read"
 IO_WRITE = "io_write"
+PERFORMANCE_FALLBACK = "performance_fallback"   # kernel left its fast tier
 
 ALL_EVENTS = frozenset({
     LINOP_APPLY_STARTED, LINOP_APPLY_COMPLETED, FACTORY_GENERATE_STARTED,
     FACTORY_GENERATE_COMPLETED, SOLVE_STARTED, SOLVE_COMPLETED,
-    ITERATION_COMPLETE, IO_READ, IO_WRITE,
+    ITERATION_COMPLETE, IO_READ, IO_WRITE, PERFORMANCE_FALLBACK,
 })
 
 
@@ -171,13 +172,21 @@ class PerformanceHint(Logger):
     repeated non-jitted applies of the same operator, tiny-solve overhead."""
 
     def __init__(self, stream=None, threshold: int = 10):
-        super().__init__({LINOP_APPLY_COMPLETED})
+        super().__init__({LINOP_APPLY_COMPLETED, PERFORMANCE_FALLBACK})
         self.stream = stream if stream is not None else sys.stderr
         self.threshold = threshold
         self._counts: dict[int, int] = {}
         self._warned: set[int] = set()
 
     def on(self, event, **data):
+        if event == PERFORMANCE_FALLBACK:
+            key = ("fallback", data.get("kernel"), data.get("reason"))
+            if key not in self._warned:
+                self._warned.add(key)
+                self.stream.write(
+                    f"[ginkgo_tpu hint] {data.get('kernel')} fell back to "
+                    f"the slow reference tier: {data.get('reason')}\n")
+            return
         key = data.get("op_id")
         if key is None:
             return

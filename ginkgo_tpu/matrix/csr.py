@@ -157,25 +157,63 @@ class Csr(LinOp):
         from .sparsity_csr import SparsityCsr
         return SparsityCsr.from_data(self.to_matrix_data(), **kw)
 
+    def _banded_transposed(self, conj: bool):
+        """Banded stays banded THROUGH jit: negate the (static) offsets
+        and shift each diagonal's value row by its offset — static
+        slices only, so the Pallas fast path survives transposition
+        inside a trace (previously a silent ~500x classical cliff)."""
+        from ..ops.spmv_pallas import plan_banded_layout, \
+            unblock_diag_values
+        meta = dict(self.band_meta)
+        n = meta["n"]
+        dv = unblock_diag_values(self.diag_values, meta)
+        if conj:
+            dv = jnp.conj(dv)
+        offsets = self.diag_offsets
+        pairs = sorted((-int(k), d) for d, k in enumerate(offsets))
+        new_offsets = tuple(k for k, _ in pairs)
+        rows = []
+        for _, d in pairs:
+            k = int(offsets[d])
+            row = dv[d]
+            # A[i, i+k] = dv[d, i]  =>  Aᵀ[i, i-k] = dv[d, i-k]
+            if k > 0:
+                row = jnp.concatenate(
+                    [jnp.zeros((k,), row.dtype), row[:-k]])
+            elif k < 0:
+                row = jnp.concatenate(
+                    [row[-k:], jnp.zeros((-k,), row.dtype)])
+            rows.append(row)
+        dvt = jnp.stack(rows)
+        meta2 = plan_banded_layout(new_offsets, n)
+        NSp, S, G = meta2["NSp"], meta2["S"], meta2["G"]
+        D = dvt.shape[0]
+        dvp = jnp.pad(dvt, ((0, 0), (0, NSp * 128 - n)))
+        dvb2 = jnp.transpose(dvp.reshape(D, G, S, 128), (1, 0, 2, 3))
+        # classical arrays via the COO re-sort (dead-code-eliminated by
+        # XLA when only the banded path is consumed)
+        coo_t = (self.to_coo().conj_transpose() if conj
+                 else self.to_coo().transpose())
+        base = coo_t.to_csr()
+        tail_kw = {}
+        if self.tail_rows is not None:
+            tv = jnp.conj(self.tail_vals) if conj else self.tail_vals
+            tail_kw = dict(tail_rows=self.tail_cols,
+                           tail_cols=self.tail_rows, tail_vals=tv)
+        return dataclass_replace(
+            base, strategy="banded", diag_offsets=new_offsets,
+            band_meta=tuple(sorted(meta2.items())), diag_values=dvb2,
+            **tail_kw)
+
     def transpose(self):
-        """Transpose. With concrete (build-time) arrays the strategy is
-        re-derived so a banded matrix stays banded; inside jit the result
-        uses the traceable classical layout."""
-        import jax.core
-        if (self.strategy == "banded"
-                and not isinstance(self.values, jax.core.Tracer)):
-            return Csr.from_data(self.to_matrix_data().transpose()
-                                 .sort_row_major(), strategy="automatical",
-                                 dtype=self.values.dtype)
+        """Transpose; a banded matrix stays banded, in and out of jit."""
+        if self.strategy == "banded" and self.diag_values is not None:
+            return self._banded_transposed(conj=False)
         return self.to_coo().transpose().to_csr()
 
     def conj_transpose(self):
-        import jax.core
-        if (self.strategy == "banded"
-                and not isinstance(self.values, jax.core.Tracer)):
-            return Csr.from_data(self.to_matrix_data().conj_transpose()
-                                 .sort_row_major(), strategy="automatical",
-                                 dtype=self.values.dtype)
+        if self.strategy == "banded" and self.diag_values is not None:
+            return self._banded_transposed(conj=True)
         return self.to_coo().conj_transpose().to_csr()
 
     def extract_diagonal(self):

@@ -335,5 +335,8 @@ def well_spmv_tpu(vals, c16, q0, xbase_row, meta_items, b):
     ok = (jnp.dtype(b.dtype) == jnp.float32
           and jnp.dtype(vals.dtype) == jnp.float32)
     if not ok:
+        from ..log.logger import PERFORMANCE_FALLBACK, dispatch
+        dispatch(PERFORMANCE_FALLBACK, kernel="well_spmv",
+                 reason="non-f32 dtype (Pallas path is f32-only)")
         return well_spmv_reference(vals, c16, q0, xbase_row, meta_items, b)
     return well_spmv_pallas(vals, c16, q0, xbase_row, meta_items, b)
