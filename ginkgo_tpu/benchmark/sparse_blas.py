@@ -6,7 +6,7 @@ from __future__ import annotations
 from .runner import (base_parser, build_matrix_data, case_name, emit,
                      load_cases, time_blocking)
 
-OPS = ("spgemm", "spgeam", "transpose")
+OPS = ("spgemm", "spgemm_device", "spgeam", "transpose")
 
 
 def run_case(case, ops, args):
@@ -22,6 +22,12 @@ def run_case(case, ops, args):
             if op == "spgemm":
                 t = time_blocking(lambda: A.spgemm(A), warmup=args.warmup,
                                   reps=args.repetitions)
+            elif op == "spgemm_device":
+                from ..ops.spgemm import spgemm_data
+                d = A.to_matrix_data()
+                t = time_blocking(
+                    lambda: spgemm_data(d, d, numeric="device"),
+                    warmup=args.warmup, reps=args.repetitions)
             elif op == "spgeam":
                 t = time_blocking(lambda: A.spgeam(1.0, 2.0, A),
                                   warmup=args.warmup, reps=args.repetitions)

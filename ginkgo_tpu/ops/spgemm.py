@@ -34,10 +34,34 @@ def _from_scipy(m) -> MatrixData:
                       coo.col.astype(np.int64), coo.data)
 
 
-def spgemm_data(a: MatrixData, b: MatrixData) -> MatrixData:
-    """C = A @ B on host COO data (symbolic+numeric in one)."""
+def spgemm_data(a: MatrixData, b: MatrixData,
+                numeric: str = "auto") -> MatrixData:
+    """C = A @ B on host COO data (symbolic + numeric).
+
+    ``numeric``: "host" = scipy SMMP end-to-end; "device" = host
+    symbolic (SpgemmReuse pattern capture) + ONE jitted
+    gather-multiply-segment_sum on the accelerator — the
+    ``csr_kernels.template.cpp:2472`` spgemm analog; "auto" = device
+    when an accelerator (non-CPU backend) is attached and the product
+    is large enough to amortize the transfer, else host."""
     if a.shape[1] != b.shape[0]:
         raise ValueError(f"spgemm dims: {a.shape} @ {b.shape}")
+    if numeric == "auto":
+        use_device = False
+        if a.nnz + b.nnz > 1 << 16:
+            try:
+                use_device = jax.default_backend() not in ("cpu",)
+            except Exception:       # backend init failure -> host
+                use_device = False
+        numeric = "device" if use_device else "host"
+    if numeric == "device":
+        reuse = SpgemmReuse(a, b)
+        vals = np.asarray(reuse.numeric(jnp.asarray(a.canonical().values),
+                                        jnp.asarray(b.canonical().values)))
+        out = reuse.to_matrix_data(vals)
+        keep = out.values != 0
+        return MatrixData(out.shape, out.row_idx[keep],
+                          out.col_idx[keep], out.values[keep])
     c = _to_scipy(a.canonical()) @ _to_scipy(b.canonical())
     c.sum_duplicates()
     c.eliminate_zeros()
