@@ -57,13 +57,19 @@ class DistributedMatrix(LinOp):
     nl_rows: jnp.ndarray     # (P, nnzN) padded with local_size
     nl_ghost: jnp.ndarray    # (P, nnzN) ghost id, padded with 0
     nl_vals: jnp.ndarray     # (P, nnzN)
-    # halo exchange schedule
+    # halo exchange schedule (dense layout)
     send_idx: jnp.ndarray    # (P, P, S): src part p -> rows to send to q
     ghost_owner: jnp.ndarray  # (P, G) owning part per ghost
     ghost_slot: jnp.ndarray   # (P, G) slot in that owner's send list to us
     shape: tuple = static_field()            # padded global (n_pad, n_pad)
     local_size: int = static_field()
     num_parts: int = static_field()
+    # neighbor-compressed layout (neighborhood comm): per communicating
+    # shift s the send rows live in a per-shift segment of send_nb, so
+    # storage is O(sum_s S_s) per part instead of O(P*S)
+    # (neighborhood_communicator.cpp:139-152 analog)
+    send_nb: jnp.ndarray | None = None   # (P, sum_s S_s)
+    ghost_roff: jnp.ndarray | None = None  # (P, G) offset into recv concat
     mesh: object = static_field(default=None)
     axis: str = static_field(default="rows")
     # CollectiveCommunicator strategy (collective_communicator.hpp:31):
@@ -73,6 +79,7 @@ class DistributedMatrix(LinOp):
     # (MPI_Ineighbor_alltoallv analog).
     comm: str = static_field(default="dense")
     shifts: tuple = static_field(default=())   # distinct (dst-src) mod P
+    shift_sizes: tuple = static_field(default=())  # S_s per shift
 
     # -- SpMV -----------------------------------------------------------------
     def _apply(self, b):
@@ -83,6 +90,49 @@ class DistributedMatrix(LinOp):
         P = self.num_parts
         comm = self.comm
         shifts = self.shifts
+        sizes = self.shift_sizes
+
+        def local_blocks(lr, lc, lv, nr, ng, nv, ghost, b_loc):
+            y = jax.ops.segment_sum(
+                lv[:, None].astype(b_loc.dtype) * b_loc[lc], lr,
+                num_segments=local + 1)[:local]
+            return y + jax.ops.segment_sum(
+                nv[:, None].astype(b_loc.dtype) * ghost[ng], nr,
+                num_segments=local + 1)[:local]
+
+        if comm == "neighborhood":
+            # O(neighbors) halo exchange: one per-shift ppermute ring
+            # over per-shift-sized buffers — no (P, S, k) allocation,
+            # no (P, P, S) schedule (neighborhood_communicator analog)
+            offs = tuple(int(x) for x in
+                         np.concatenate([[0], np.cumsum(sizes)])) \
+                if sizes else (0,)
+
+            def shard_spmv(lr, lc, lv, nr, ng, nv, snb, groff, b_loc):
+                lr, lc, lv = lr[0], lc[0], lv[0]
+                nr, ng, nv = nr[0], ng[0], nv[0]
+                snb, groff = snb[0], groff[0]
+                packed = b_loc[jnp.clip(snb, 0, local - 1)]
+                chunks = []
+                for t, s in enumerate(shifts):
+                    perm = [(i, (i + s) % P) for i in range(P)]
+                    chunk = packed[offs[t]:offs[t + 1]]
+                    chunks.append(jax.lax.ppermute(chunk, axis, perm))
+                recv = (jnp.concatenate(chunks) if chunks
+                        else jnp.zeros((1,) + b_loc.shape[1:],
+                                       b_loc.dtype))
+                ghost = recv[groff]
+                return local_blocks(lr, lc, lv, nr, ng, nv, ghost,
+                                    b_loc)
+
+            p2 = PartitionSpec(axis, None)
+            return jax.shard_map(
+                shard_spmv, mesh=self.mesh,
+                in_specs=(p2, p2, p2, p2, p2, p2, p2, p2, p2),
+                out_specs=PartitionSpec(axis, None))(
+                self.loc_rows, self.loc_cols, self.loc_vals,
+                self.nl_rows, self.nl_ghost, self.nl_vals,
+                self.send_nb, self.ghost_roff, b)
 
         def shard_spmv(lr, lc, lv, nr, ng, nv, sidx, gown, gslot, b_loc):
             lr, lc, lv = lr[0], lc[0], lv[0]
@@ -90,30 +140,10 @@ class DistributedMatrix(LinOp):
             sidx, gown, gslot = sidx[0], gown[0], gslot[0]
             # pack + swap (halo exchange)
             send = b_loc[jnp.clip(sidx, 0, local - 1)]      # (P, S, k)
-            if comm == "neighborhood":
-                # per-offset ppermute rings instead of one all_to_all
-                me = jax.lax.axis_index(axis)
-                recv = jnp.zeros_like(send)
-                for s in shifts:
-                    perm = [(i, (i + s) % P) for i in range(P)]
-                    chunk = jax.lax.dynamic_index_in_dim(
-                        send, (me + s) % P, 0, keepdims=False)
-                    got = jax.lax.ppermute(chunk, axis, perm)
-                    recv = jax.lax.dynamic_update_index_in_dim(
-                        recv, got, (me - s) % P, 0)
-            else:
-                recv = jax.lax.all_to_all(send, axis, split_axis=0,
-                                          concat_axis=0, tiled=False)
+            recv = jax.lax.all_to_all(send, axis, split_axis=0,
+                                      concat_axis=0, tiled=False)
             ghost = recv[gown, gslot]                        # (G, k)
-            # owned-block SpMV
-            y = jax.ops.segment_sum(
-                lv[:, None].astype(b_loc.dtype) * b_loc[lc], lr,
-                num_segments=local + 1)[:local]
-            # ghost contribution
-            y = y + jax.ops.segment_sum(
-                nv[:, None].astype(b_loc.dtype) * ghost[ng], nr,
-                num_segments=local + 1)[:local]
-            return y
+            return local_blocks(lr, lc, lv, nr, ng, nv, ghost, b_loc)
 
         p2 = PartitionSpec(axis, None)
         p3 = PartitionSpec(axis, None, None)
@@ -227,6 +257,31 @@ class DistributedMatrix(LinOp):
                              for q in range(P)])
         shifts = sorted({(q - p) % P for p in range(P) for q in range(P)
                          if p != q and send_lists[p][q]})
+        # neighbor-compressed layout: per-shift segments sized to that
+        # shift's max — O(sum_s S_s) per part, not O(P*S)
+        shift_sizes = tuple(
+            max([len(send_lists[p][(p + s) % P]) for p in range(P)] + [1])
+            for s in shifts)
+        St = max(int(sum(shift_sizes)), 1)
+        send_nb = np.full((P, St), local, np.int64)
+        off = 0
+        shift_off = {}
+        for t, s in enumerate(shifts):
+            shift_off[s] = off
+            for p in range(P):
+                rows_s = send_lists[p][(p + s) % P]
+                send_nb[p, off:off + len(rows_s)] = rows_s
+            off += shift_sizes[t]
+        so_arr = np.zeros(P, np.int64)
+        for s, o in shift_off.items():
+            so_arr[s] = o
+        ghost_roff = [
+            so_arr[(p - np.asarray(ghost_owner[p], np.int64)) % P]
+            + np.asarray(ghost_slot[p], np.int64)
+            for p in range(P)]
+        if comm == "auto":
+            comm = ("neighborhood"
+                    if len(shifts) <= max(2, P // 4) else "dense")
         out = cls(
             loc_rows=jnp.asarray(_pad2(loc_rows, local, np.int64),
                                  index_dtype),
@@ -241,8 +296,12 @@ class DistributedMatrix(LinOp):
                                     index_dtype),
             ghost_slot=jnp.asarray(_pad2(ghost_slot, 0, np.int64),
                                    index_dtype),
+            send_nb=jnp.asarray(send_nb, index_dtype),
+            ghost_roff=jnp.asarray(_pad2(ghost_roff, 0, np.int64),
+                                   index_dtype),
             shape=(P * local, P * local), local_size=local, num_parts=P,
-            mesh=mesh, axis=axis, comm=comm, shifts=tuple(shifts))
+            mesh=mesh, axis=axis, comm=comm, shifts=tuple(shifts),
+            shift_sizes=shift_sizes)
         # generate-time host metadata (not pytree state; used by
         # DistributedPgm and re-reads — lost across jit boundaries by design)
         out.host_data = d

@@ -223,3 +223,25 @@ def test_dist_solve_jittable():
     serial = np.linalg.solve(data.to_dense(), np.ones(36))
     np.testing.assert_allclose(part.from_padded(np.asarray(x)), serial,
                                rtol=1e-6, atol=1e-7)
+
+
+def test_neighborhood_schedule_memory_is_o_neighbors():
+    """At P=64 parts, a banded partition graph (27-pt stencil -> 2
+    neighbor shifts) must keep the neighbor-compressed schedule at
+    O(sum_s S_s) per part, NOT the dense (P, P, S) layout
+    (neighborhood_communicator.cpp:139-152 parity)."""
+    from ginkgo_tpu.distributed.matrix import DistributedMatrix
+    from ginkgo_tpu.utils.generators import stencil_3d
+
+    data = stencil_3d(16, points=27)          # n = 4096, P=64 -> local 64
+    part = Partition.build_from_global_size_uniform(64, data.shape[0])
+    A = DistributedMatrix.from_data(data, part, mesh="schedule-only",
+                                    comm="auto")
+    assert A.comm == "neighborhood"
+    P = 64
+    assert len(A.shifts) <= 8                  # banded graph, few shifts
+    dense_elems = A.send_idx.shape[1] * A.send_idx.shape[2]
+    nb_elems = A.send_nb.shape[1]
+    assert nb_elems == sum(A.shift_sizes)
+    # the compressed schedule is ~P/len(shifts) smaller than dense
+    assert nb_elems * 8 <= dense_elems
