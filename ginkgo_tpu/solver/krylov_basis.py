@@ -16,6 +16,9 @@ docs/DESIGN.md §5):
 
 from __future__ import annotations
 
+import functools
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -24,6 +27,59 @@ from ..base.dtypes import reduce_precision
 
 def _ceil_to(m: int, block: int) -> int:
     return -(-m // block) * block
+
+
+@functools.lru_cache(maxsize=32)
+def _row_write_call(shape, dtype_name, interpret):
+    """Pallas in-place basis-column write: one HBM->HBM DMA of row i
+    with the store aliased in/out (input_output_aliases), so XLA cannot
+    materialize a full-buffer copy of the Krylov basis per Arnoldi step
+    (the dynamic_update_slice path costs ~7 us per ALLOCATED column per
+    iteration on chip — see BENCHMARKS.md)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kern(i_ref, row_ref, store_in_ref, out_ref, sem):
+        cp = pltpu.make_async_copy(row_ref, out_ref.at[i_ref[0]], sem)
+        cp.start()
+        cp.wait()
+
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[pltpu.SemaphoreType.DMA],
+    )
+    return pl.pallas_call(
+        kern, grid_spec=gs,
+        out_shape=jax.ShapeDtypeStruct(shape, jnp.dtype(dtype_name)),
+        input_output_aliases={2: 0},
+        interpret=bool(interpret),
+    )
+
+
+def _use_pallas_write(dtype) -> bool:
+    if os.environ.get("GINKGO_TPU_NO_PALLAS_WRITE"):
+        return False
+    if jnp.dtype(dtype).itemsize not in (2, 4):
+        return False                       # f64/complex: CPU tier only
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
+def inplace_row_write(store, i, row):
+    """store[i] = row via the aliased Pallas DMA (TPU backends), or
+    dynamic_update_slice elsewhere."""
+    if _use_pallas_write(store.dtype):
+        call = _row_write_call(store.shape, jnp.dtype(store.dtype).name,
+                               False)
+        return call(jnp.asarray([i], jnp.int32),
+                    row.astype(store.dtype), store)
+    return jax.lax.dynamic_update_slice_in_dim(
+        store, row.astype(store.dtype)[None], i, 0)
 
 
 class _SqueezeK1:
@@ -51,8 +107,7 @@ class KrylovBasis(_SqueezeK1):
         return jnp.zeros(self.shape, self.dtype)
 
     def write(self, store, i, vec):
-        return jax.lax.dynamic_update_slice_in_dim(
-            store, self._pack(vec).astype(store.dtype)[None], i, 0)
+        return inplace_row_write(store, i, self._pack(vec))
 
     def read_all(self, store, dtype):
         return self._unpack(store[:self.m].astype(dtype))
@@ -104,8 +159,7 @@ class ScaledIntBasis(_SqueezeK1):
         q = jnp.clip(jnp.round(vec / scale[None, :]),
                      -self.qmax, self.qmax).astype(self.int_dtype)
         return dict(
-            q=jax.lax.dynamic_update_slice_in_dim(
-                store["q"], self._pack(q)[None], i, 0),
+            q=inplace_row_write(store["q"], i, self._pack(q)),
             scale=jax.lax.dynamic_update_slice_in_dim(
                 store["scale"],
                 scale.astype(store["scale"].dtype)[None], i, 0))

@@ -176,3 +176,27 @@ def test_krylov_dim_zero_raises():
         Gmres.solve(A, b, krylov_dim=0)
     with pytest.raises(ValueError, match="krylov_dim"):
         Gcr.solve(A, b, krylov_dim=0)
+
+
+def test_inplace_row_write_pallas_interpret():
+    """The aliased Pallas basis write (TPU fast path) matches the
+    dynamic_update_slice semantics, incl. int16 compressed storage."""
+    import jax
+    import jax.numpy as jnp
+    from ginkgo_tpu.solver.krylov_basis import _row_write_call
+
+    for dtype in (jnp.float32, jnp.int16):
+        store = jnp.full((6, 384), 3, dtype)
+        row = jnp.arange(384).astype(dtype)
+        call = _row_write_call((6, 384), jnp.dtype(dtype).name, True)
+        out = call(jnp.asarray([4], jnp.int32), row, store)
+        assert (np.asarray(out[4]) == np.asarray(row)).all()
+        assert (np.asarray(out[:4]) == 3).all()
+        assert (np.asarray(out[5]) == 3).all()
+        # multivector layout (m, n, k)
+        store3 = jnp.zeros((4, 256, 2), jnp.float32)
+        row3 = jnp.ones((256, 2), jnp.float32)
+        call3 = _row_write_call((4, 256, 2), "float32", True)
+        out3 = call3(jnp.asarray([1], jnp.int32), row3, store3)
+        assert float(np.abs(np.asarray(out3[1]) - 1).max()) == 0
+        assert float(np.abs(np.asarray(out3[0])).max()) == 0
