@@ -9,13 +9,17 @@ the jnp reference or Pallas TPU implementation.
 
 Strategies here:
   - ``classical``: gather + segment-sum over an explicit row-index expansion
-    (reference oracle; XLA-compiled it is also the general-matrix TPU path).
+    (reference oracle; also the fallback TPU path).
   - ``banded``: diagonal-offset (DIA) layout auto-detected for stencil-like
-    matrices — the TPU-native answer to load-balanced CSR: SpMV becomes a sum
-    of shifted dense axpys with zero gather (see ops/spmv_pallas.py).
-  - ``automatical``: pick ``banded`` when the band census says the matrix is
-    effectively banded, else ``classical`` (Ginkgo's automatical analog,
-    ``csr.hpp:522-650``).
+    matrices — SpMV becomes a sum of shifted dense axpys with zero gather
+    (see ops/spmv_pallas.py).
+  - ``packed``: packed-slot windowed-ELL for general unstructured matrices
+    with column locality (RCM'd SuiteSparse profiles) — the on-chip
+    VMEM-window gather answer to Ginkgo's load-balanced/merge-path CSR
+    (see ops/spmv_packed.py); off-layout entries spill to a COO tail.
+  - ``automatical``: ``banded`` when the band census fits, else ``packed``
+    when its padding stays economical, else ``classical`` (Ginkgo's
+    automatical analog, ``csr.hpp:522-650``).
 """
 
 from __future__ import annotations
@@ -49,12 +53,27 @@ class Csr(LinOp):
     tail_rows: jnp.ndarray | None = None
     tail_cols: jnp.ndarray | None = None
     tail_vals: jnp.ndarray | None = None
+    # packed-slot windowed-ELL aux (general unstructured fast path;
+    # ops/spmv_packed.py) — the load-balanced CSR SpMV analog
+    pell_meta: object = static_field(default=None)
+    pell_vals: jnp.ndarray | None = None   # (Gs, 8*Wv, 8, 128)
+    pell_idx: jnp.ndarray | None = None    # int16, same shape
+    pell_qw: jnp.ndarray | None = None     # (Gs*8*Wv,) int32
+    pell_xbase: jnp.ndarray | None = None  # (Gs,) int32
 
     # -- SpMV ------------------------------------------------------------------
     def _apply(self, b):
         if self.strategy == "banded" and self.diag_values is not None:
             y = lookup("dia_spmv")(self.diag_offsets, self.diag_values,
                                    dict(self.band_meta), b)
+            if self.tail_rows is not None:
+                y = y + lookup("coo_spmv")(self.tail_rows, self.tail_cols,
+                                           self.tail_vals, b, self.shape[0])
+            return y
+        if self.strategy == "packed" and self.pell_vals is not None:
+            y = lookup("pell_spmv")(self.pell_vals, self.pell_idx,
+                                    self.pell_qw, self.pell_xbase,
+                                    self.pell_meta, b)
             if self.tail_rows is not None:
                 y = y + lookup("coo_spmv")(self.tail_rows, self.tail_cols,
                                            self.tail_vals, b, self.shape[0])
@@ -85,7 +104,7 @@ class Csr(LinOp):
         values_np = d.values if dtype is None else d.values.astype(dtype)
 
         (strategy, diag_offsets, band_meta, diag_values,
-         tail) = _process_strategy(strategy, d, values_np)
+         tail, pell) = _process_strategy(strategy, d, values_np)
 
         cap = pad_nnz(nnz, pad_multiple)
         rows = np.full(cap, n, np.int64)
@@ -108,6 +127,14 @@ class Csr(LinOp):
             tail_kw = dict(tail_rows=jnp.asarray(tro, index_dtype),
                            tail_cols=jnp.asarray(tco, index_dtype),
                            tail_vals=jnp.asarray(tvo))
+        pell_kw = {}
+        if pell is not None:
+            pell_kw = dict(
+                pell_meta=pell["meta"],
+                pell_vals=jnp.asarray(pell["vals"]),
+                pell_idx=jnp.asarray(pell["idx"]),
+                pell_qw=jnp.asarray(pell["qw"]),
+                pell_xbase=jnp.asarray(pell["xbase_row"]))
         return cls(row_ptr=jnp.asarray(row_ptr, index_dtype),
                    col_idx=jnp.asarray(cols, index_dtype),
                    values=jnp.asarray(vals),
@@ -115,7 +142,7 @@ class Csr(LinOp):
                    shape=(n, m), nnz=nnz, strategy=strategy,
                    diag_offsets=diag_offsets, band_meta=band_meta,
                    diag_values=None if diag_values is None
-                   else jnp.asarray(diag_values), **tail_kw)
+                   else jnp.asarray(diag_values), **tail_kw, **pell_kw)
 
     @classmethod
     def from_dense(cls, dense, **kwargs):
@@ -219,31 +246,26 @@ class Csr(LinOp):
     def extract_diagonal(self):
         return self.to_coo().extract_diagonal()
 
-    def scale(self, alpha):
-        new = dataclass_replace(self, values=self.values * alpha)
-        if new.diag_values is not None:
-            new = dataclass_replace(new, diag_values=self.diag_values * alpha)
-        if new.tail_vals is not None:
-            new = dataclass_replace(new, tail_vals=self.tail_vals * alpha)
+    def _map_values(self, fn):
+        """Apply an elementwise map to every value-carrying aux array
+        (classical + banded + packed + tails stay consistent)."""
+        new = dataclass_replace(self, values=fn(self.values))
+        for field in ("diag_values", "tail_vals", "pell_vals"):
+            v = getattr(self, field)
+            if v is not None:
+                new = dataclass_replace(new, **{field: fn(v)})
         return new
+
+    def scale(self, alpha):
+        return self._map_values(lambda v: v * alpha)
 
     def inv_scale(self, alpha):
         """values / alpha (``csr.hpp:1356`` inv_scale)."""
-        new = dataclass_replace(self, values=self.values / alpha)
-        if new.diag_values is not None:
-            new = dataclass_replace(new, diag_values=self.diag_values / alpha)
-        if new.tail_vals is not None:
-            new = dataclass_replace(new, tail_vals=self.tail_vals / alpha)
-        return new
+        return self._map_values(lambda v: v / alpha)
 
     def compute_absolute(self):
         """|A| entrywise (AbsoluteComputable, ``csr.hpp:1192``)."""
-        new = dataclass_replace(self, values=jnp.abs(self.values))
-        if new.diag_values is not None:
-            new = dataclass_replace(new, diag_values=jnp.abs(self.diag_values))
-        if new.tail_vals is not None:
-            new = dataclass_replace(new, tail_vals=jnp.abs(self.tail_vals))
-        return new
+        return self._map_values(jnp.abs)
 
     def add_scaled_identity(self, alpha, beta):
         """``beta*A + alpha*I`` on the existing pattern (ScaledIdentityAddable,
@@ -266,12 +288,12 @@ class Csr(LinOp):
                 raise UnsupportedMatrixProperty(
                     "add_scaled_identity: matrix has structurally zero "
                     "diagonal entries")
-        if self.strategy == "banded":
+        if self.strategy in ("banded", "packed"):
             if not concrete or _tracer(alpha) or _tracer(beta):
                 raise ValueError(
-                    "add_scaled_identity on a banded-strategy Csr is a "
-                    "build-time (non-traced) operation; rebuild with "
-                    "strategy='classical' to shift inside jit")
+                    f"add_scaled_identity on a {self.strategy}-strategy "
+                    "Csr is a build-time (non-traced) operation; rebuild "
+                    "with strategy='classical' to shift inside jit")
             vals = np.asarray(self.values)[:self.nnz]
             new_vals = beta * vals + np.where(
                 rows == cols, alpha, 0).astype(vals.dtype)
@@ -364,12 +386,7 @@ class Csr(LinOp):
         return self.row_ptr[1:] - self.row_ptr[:-1]
 
     def astype(self, dtype):
-        return dataclass_replace(
-            self, values=self.values.astype(dtype),
-            diag_values=None if self.diag_values is None
-            else self.diag_values.astype(dtype),
-            tail_vals=None if self.tail_vals is None
-            else self.tail_vals.astype(dtype))
+        return self._map_values(lambda v: v.astype(dtype))
 
 
 def dataclass_replace(obj, **changes):
@@ -395,17 +412,22 @@ def _process_strategy(strategy: str, d: MatrixData, values_np: np.ndarray):
 
     Returns (strategy, offsets, meta, blocked_diag_values, tail) where tail
     is None or (rows, cols, vals) of off-band outliers."""
-    if strategy not in ("classical", "banded", "automatical", "load_balance",
-                        "merge_path", "sparselib"):
+    if strategy not in ("classical", "banded", "automatical", "packed",
+                        "load_balance", "merge_path", "sparselib"):
         raise ValueError(f"unknown CSR strategy {strategy!r}")
     # merge_path/load_balance/sparselib are GPU-ism aliases: on TPU they all
     # resolve to the load-balanced segment-sum path (classical).
     if strategy in ("load_balance", "merge_path", "sparselib", "classical"):
-        return "classical", None, None, None, None
+        return "classical", None, None, None, None, None
+    if strategy == "packed":
+        pell = _process_packed(d, values_np)
+        if pell is not None:
+            return ("packed", None, None, None, pell[1], pell[0])
+        return "classical", None, None, None, None, None
 
     n, m = d.shape
     if n != m or d.nnz == 0:
-        return "classical", None, None, None, None
+        return "classical", None, None, None, None, None
     diag_of = d.col_idx.astype(np.int64) - d.row_idx
     offsets, counts = np.unique(diag_of, return_counts=True)
 
@@ -419,19 +441,19 @@ def _process_strategy(strategy: str, d: MatrixData, values_np: np.ndarray):
             order = np.argsort(-counts[dense_enough])[:_BANDED_MAX_DIAGS]
             chosen = np.sort(chosen[order])
         if chosen.size == 0:
-            return "classical", None, None, None, None
+            return _fallback_general(d, values_np)
         kept_nnz = counts[np.isin(offsets, chosen)].sum()
         # banded only pays when the kept diagonals are collectively dense
         if kept_nnz / (chosen.size * n) < _BANDED_MIN_FILL:
-            return "classical", None, None, None, None
+            return _fallback_general(d, values_np)
         tail_nnz = d.nnz - kept_nnz
         if tail_nnz > max(64, _TAIL_FRACTION * chosen.size * n):
-            return "classical", None, None, None, None
+            return _fallback_general(d, values_np)
         if tail_nnz:
             tail_mask = ~np.isin(diag_of, chosen)
         offsets = chosen
     if offsets.size > 4096:
-        return "classical", None, None, None, None
+        return _fallback_general(d, values_np)
 
     # Build (num_diags, n) diagonal value array indexed by row, then block it
     # into the pipeline layout the Pallas kernel consumes.
@@ -447,4 +469,35 @@ def _process_strategy(strategy: str, d: MatrixData, values_np: np.ndarray):
     if tail_mask is not None:
         tail = (d.row_idx[tail_mask], d.col_idx[tail_mask],
                 values_np[tail_mask])
-    return "banded", offsets_t, tuple(sorted(meta.items())), dvb, tail
+    return ("banded", offsets_t, tuple(sorted(meta.items())), dvb, tail,
+            None)
+
+
+# packed-layout acceptance: the DMA streams pad_ratio x the useful
+# bytes, so beyond ~6x padding the classical gather path wins back
+_PACKED_MAX_PAD = 6.0
+_PACKED_MAX_TAIL = 0.05
+
+
+def _process_packed(d: MatrixData, values_np: np.ndarray):
+    """(layout, tail) for the packed-slot windowed-ELL general-matrix
+    path, or None when the matrix does not fit its static bounds."""
+    from ..ops.spmv_packed import plan_packed_layout
+    layout, tail, stats = plan_packed_layout(d, values_np)
+    if layout is None:
+        return None
+    if (stats["pad_ratio"] > _PACKED_MAX_PAD
+            or stats["tail_nnz"] > _PACKED_MAX_TAIL * max(d.nnz, 1)):
+        return None
+    if tail is not None and len(tail[0]) == 0:
+        tail = None
+    return layout, tail
+
+
+def _fallback_general(d: MatrixData, values_np: np.ndarray):
+    """automatical, non-banded case: packed-slot layout when it fits,
+    classical otherwise (csr.hpp automatical analog)."""
+    pell = _process_packed(d, values_np)
+    if pell is not None:
+        return "packed", None, None, None, pell[1], pell[0]
+    return "classical", None, None, None, None, None

@@ -97,3 +97,34 @@ def test_windowed_tail_is_exact_complement():
     tail_keys = set(zip(tr.tolist(), tc.tolist()))
     assert tail_keys <= all_keys
     assert stats["ell_nnz"] == len(all_keys) - len(tail_keys)
+
+
+def test_automatical_picks_packed_for_fem_like():
+    """automatical: banded for stencils, packed for general matrices
+    with locality, classical for scattered smalls (csr.hpp:522-650
+    automatical analog, TPU edition)."""
+    import ginkgo_tpu as gt
+    rng = np.random.default_rng(5)
+    n = 4096
+    n_off = 30
+    offs = rng.integers(-600, 600, (n // 128, n_off))
+    pick = rng.random((n, n_off)) < 0.6
+    r = np.repeat(np.arange(n), n_off).reshape(n, n_off)
+    c = np.clip(r + offs[np.arange(n) // 128], 0, n - 1)
+    rows, cols = r[pick], c[pick]
+    key = np.unique(rows * n + cols)
+    rows, cols = key // n, key % n
+    vals = rng.standard_normal(rows.size)
+    from ginkgo_tpu.base.matrix_data import MatrixData
+    A = gt.Csr.from_data(MatrixData((n, n), rows, cols, vals))
+    assert A.strategy == "packed"
+    b = rng.standard_normal((n, 1))
+    y = np.asarray(A.apply(jnp.asarray(b)))
+    oracle = sp.csr_matrix((vals, (rows, cols)), shape=(n, n)) @ b
+    np.testing.assert_allclose(y, oracle, rtol=1e-10, atol=1e-10)
+    # value-mutating ops keep the packed aux consistent
+    y2 = np.asarray(A.scale(2.5).apply(jnp.asarray(b)))
+    np.testing.assert_allclose(y2, 2.5 * oracle, rtol=1e-10, atol=1e-10)
+    y3 = np.asarray(A.astype(np.float32).apply(
+        jnp.asarray(b, jnp.float32)))
+    np.testing.assert_allclose(y3, oracle, rtol=1e-4, atol=1e-4)
