@@ -54,6 +54,20 @@ class Lu:
         data = A.to_matrix_data() if hasattr(A, "to_matrix_data") else A
         d = data.canonical()
         n = d.shape[0]
+        from ..native import lu_factor_native
+        native = lu_factor_native(n, d.row_idx, d.col_idx, d.values)
+        if native is not None:
+            (lr, lc, lv), (ur, uc, uv) = native
+            dtype = d.values.dtype
+            diag = np.arange(n)
+            l_data = MatrixData(
+                (n, n), np.concatenate([lr, diag]),
+                np.concatenate([lc, diag]),
+                np.concatenate([lv.astype(dtype), np.ones(n, dtype)]))
+            u_data = MatrixData((n, n), ur, uc, uv.astype(dtype))
+            return Factorization(
+                l_factor=Csr.from_data(l_data, strategy="classical"),
+                u_factor=Csr.from_data(u_data, strategy="classical"))
         rows = _rows_dict(d)
         # column -> rows holding a (possibly fill) entry there, maintained
         # as fill appears, so elimination cost tracks actual nnz+fill
@@ -108,6 +122,17 @@ class Cholesky:
         data = A.to_matrix_data() if hasattr(A, "to_matrix_data") else A
         d = data.canonical()
         n = d.shape[0]
+        from ..native import chol_factor_native
+        native = chol_factor_native(n, d.row_idx, d.col_idx, d.values)
+        if native is not None:
+            lr, lc, lv = native
+            dtype = d.values.dtype
+            l_data = MatrixData((n, n), lr, lc,
+                                lv.astype(dtype)).sort_row_major()
+            L = Csr.from_data(l_data, strategy="classical")
+            Lt = Csr.from_data(l_data.conj_transpose().sort_row_major(),
+                               strategy="classical")
+            return Factorization(l_factor=L, u_factor=Lt, symmetric=True)
         # work on the lower triangle, column-oriented left-looking; a
         # row->finalized-columns index keeps cost at O(nnz + fill) instead
         # of scanning all previous columns per j (the Lu col_rows trick)

@@ -83,6 +83,15 @@ def _bind(lib):
                                   i64p, i64p, i64p, ctypes.c_double]
     lib.gt_amd_order.restype = ctypes.c_int
     lib.gt_amd_order.argtypes = [ctypes.c_int64, i64p, i64p, i64p]
+    lib.gt_lu_factor.restype = ctypes.c_int64
+    lib.gt_lu_factor.argtypes = [ctypes.c_int64, ctypes.c_int64, i64p,
+                                 i64p, f64p, ctypes.c_int32, i64p, i64p]
+    lib.gt_chol_factor.restype = ctypes.c_int64
+    lib.gt_chol_factor.argtypes = [ctypes.c_int64, ctypes.c_int64, i64p,
+                                   i64p, f64p, ctypes.c_int32]
+    lib.gt_factor_fetch.restype = ctypes.c_int
+    lib.gt_factor_fetch.argtypes = [ctypes.c_int32, i64p, i64p, f64p,
+                                    ctypes.c_int32]
     return lib
 
 
@@ -248,6 +257,62 @@ def mc64_match_native(n, ptr, cols, c, u, tol):
                          _ptr(ip, ctypes.c_int64),
                          _ptr(midx, ctypes.c_int64), float(tol))
     return rc == 0, p, ip, midx, u
+
+
+def _fetch_triplets(L, which, count, is_cpx):
+    r = np.empty(count, np.int64)
+    c = np.empty(count, np.int64)
+    v = np.empty(count, np.complex128 if is_cpx else np.float64)
+    L.gt_factor_fetch(which, _ptr(r, ctypes.c_int64),
+                      _ptr(c, ctypes.c_int64),
+                      _ptr(v.view(np.float64), ctypes.c_double),
+                      int(is_cpx))
+    return r, c, v
+
+
+def lu_factor_native(n, rows, cols, vals):
+    """Sparse LU with fill (no pivoting; IKJ order).  Returns
+    ((lr, lc, lv) strict lower, (ur, uc, uv) upper incl diag) or None.
+    Not thread-safe (process-global staging)."""
+    L = lib()
+    if L is None:
+        return None
+    is_cpx = np.iscomplexobj(vals)
+    rows = np.ascontiguousarray(rows, np.int64)
+    cols = np.ascontiguousarray(cols, np.int64)
+    vals = np.ascontiguousarray(
+        vals, np.complex128 if is_cpx else np.float64)
+    l_nnz = ctypes.c_int64()
+    u_nnz = ctypes.c_int64()
+    tot = L.gt_lu_factor(n, len(rows), _ptr(rows, ctypes.c_int64),
+                         _ptr(cols, ctypes.c_int64),
+                         _ptr(vals.view(np.float64), ctypes.c_double),
+                         int(is_cpx), ctypes.byref(l_nnz),
+                         ctypes.byref(u_nnz))
+    if tot < 0:
+        return None
+    lt = _fetch_triplets(L, 0, l_nnz.value, is_cpx)
+    ut = _fetch_triplets(L, 1, u_nnz.value, is_cpx)
+    return lt, ut
+
+
+def chol_factor_native(n, rows, cols, vals):
+    """Sparse Cholesky with fill; returns (lr, lc, lv) or None."""
+    L = lib()
+    if L is None:
+        return None
+    is_cpx = np.iscomplexobj(vals)
+    rows = np.ascontiguousarray(rows, np.int64)
+    cols = np.ascontiguousarray(cols, np.int64)
+    vals = np.ascontiguousarray(
+        vals, np.complex128 if is_cpx else np.float64)
+    cnt = L.gt_chol_factor(n, len(rows), _ptr(rows, ctypes.c_int64),
+                           _ptr(cols, ctypes.c_int64),
+                           _ptr(vals.view(np.float64), ctypes.c_double),
+                           int(is_cpx))
+    if cnt < 0:
+        return None
+    return _fetch_triplets(L, 0, cnt, is_cpx)
 
 
 def amd_order_native(n, ptr, adj):

@@ -766,3 +766,184 @@ extern "C" int gt_amd_order(int64_t n, const int64_t* ptr,
     }
     return out == n ? 0 : -1;
 }
+
+// ---------------------------------------------------------------------------
+// Sparse LU / Cholesky numeric with fill (core/factorization/{lu,
+// cholesky}.cpp goal): same elimination orders as the Python reference
+// implementations in factorization/direct.py (IKJ row elimination with
+// on-the-fly fill; left-looking Cholesky with a finalized-column index),
+// in C++ hash-row storage.  Results are staged in a process-global
+// holder fetched by a second call (single-threaded generate-time use).
+// ---------------------------------------------------------------------------
+#include <unordered_map>
+
+namespace {
+
+struct TripletHold {
+    std::vector<int64_t> r, c;
+    std::vector<std::complex<double>> v;
+};
+TripletHold g_hold_l, g_hold_u;
+
+template <class V>
+void store_hold(TripletHold& h, std::vector<std::int64_t>&& r,
+                std::vector<int64_t>&& c, std::vector<V>&& v) {
+    h.r = std::move(r);
+    h.c = std::move(c);
+    h.v.assign(v.begin(), v.end());
+}
+
+template <class V>
+int64_t lu_factor_impl(int64_t n, int64_t nnz, const int64_t* rows,
+                       const int64_t* cols, const V* vals) {
+    std::vector<std::unordered_map<int64_t, V>> rw(n);
+    std::vector<std::vector<int64_t>> col_rows(n);
+    for (int64_t e = 0; e < nnz; ++e) {
+        rw[rows[e]][cols[e]] += vals[e];
+    }
+    for (int64_t i = 0; i < n; ++i)
+        for (auto& kv : rw[i]) col_rows[kv.first].push_back(i);
+    for (int64_t k = 0; k < n; ++k) {
+        V dk = V(0);
+        auto it = rw[k].find(k);
+        if (it != rw[k].end()) dk = it->second;
+        if (dk == V(0)) {
+            dk = V(1);
+            rw[k][k] = dk;
+        }
+        std::vector<std::pair<int64_t, V>> urow;
+        for (auto& kv : rw[k])
+            if (kv.first > k) urow.emplace_back(kv.first, kv.second);
+        auto& cr = col_rows[k];
+        std::sort(cr.begin(), cr.end());
+        cr.erase(std::unique(cr.begin(), cr.end()), cr.end());
+        for (int64_t i : cr) {
+            if (i <= k) continue;
+            auto ai = rw[i].find(k);
+            if (ai == rw[i].end() || ai->second == V(0)) continue;
+            V lik = ai->second / dk;
+            ai->second = lik;
+            for (auto& [j, ukj] : urow) {
+                auto [slot, inserted] = rw[i].try_emplace(j, V(0));
+                if (inserted) col_rows[j].push_back(i);
+                slot->second -= lik * ukj;
+            }
+        }
+    }
+    std::vector<int64_t> lr, lc, ur, uc;
+    std::vector<V> lv, uv;
+    for (int64_t i = 0; i < n; ++i)
+        for (auto& kv : rw[i]) {
+            if (kv.second == V(0)) continue;
+            if (kv.first < i) {
+                lr.push_back(i);
+                lc.push_back(kv.first);
+                lv.push_back(kv.second);
+            } else {
+                ur.push_back(i);
+                uc.push_back(kv.first);
+                uv.push_back(kv.second);
+            }
+        }
+    int64_t total = (int64_t)lr.size() + (int64_t)ur.size();
+    store_hold(g_hold_l, std::move(lr), std::move(lc), std::move(lv));
+    store_hold(g_hold_u, std::move(ur), std::move(uc), std::move(uv));
+    return total;
+}
+
+template <class V>
+int64_t chol_factor_impl(int64_t n, int64_t nnz, const int64_t* rows,
+                         const int64_t* cols, const V* vals) {
+    std::vector<std::unordered_map<int64_t, V>> colm(n);
+    std::vector<std::vector<int64_t>> row_cols(n);
+    for (int64_t e = 0; e < nnz; ++e)
+        if (rows[e] >= cols[e]) colm[cols[e]][rows[e]] += vals[e];
+    for (int64_t j = 0; j < n; ++j) {
+        for (int64_t k : row_cols[j]) {
+            auto lj = colm[k].find(j);
+            if (lj == colm[k].end() || lj->second == V(0)) continue;
+            V ljk = lj->second;
+            V cjk;
+            if constexpr (std::is_same_v<V, std::complex<double>>)
+                cjk = std::conj(ljk);
+            else
+                cjk = ljk;
+            for (auto& kv : colm[k])
+                if (kv.first >= j) colm[j][kv.first] -= kv.second * cjk;
+        }
+        V dj = V(0);
+        auto it = colm[j].find(j);
+        if (it != colm[j].end()) dj = it->second;
+        double mag = std::sqrt(std::abs(dj));
+        V ljj = (mag == 0) ? V(1) : V(mag);
+        colm[j][j] = ljj;
+        for (auto& kv : colm[j])
+            if (kv.first > j) {
+                kv.second /= ljj;
+                row_cols[kv.first].push_back(j);
+            }
+    }
+    std::vector<int64_t> lr, lc;
+    std::vector<V> lv;
+    for (int64_t j = 0; j < n; ++j)
+        for (auto& kv : colm[j])
+            if (kv.second != V(0)) {
+                lr.push_back(kv.first);
+                lc.push_back(j);
+                lv.push_back(kv.second);
+            }
+    int64_t total = (int64_t)lr.size();
+    store_hold(g_hold_l, std::move(lr), std::move(lc), std::move(lv));
+    g_hold_u = TripletHold{};
+    return total;
+}
+
+void fetch_hold(const TripletHold& h, int64_t* r, int64_t* c, double* v,
+                int32_t is_complex) {
+    std::memcpy(r, h.r.data(), h.r.size() * sizeof(int64_t));
+    std::memcpy(c, h.c.data(), h.c.size() * sizeof(int64_t));
+    if (is_complex) {
+        std::memcpy(v, h.v.data(),
+                    h.v.size() * sizeof(std::complex<double>));
+    } else {
+        for (size_t k = 0; k < h.v.size(); ++k) v[k] = h.v[k].real();
+    }
+}
+
+}  // namespace
+
+extern "C" int64_t gt_lu_factor(int64_t n, int64_t nnz,
+                                const int64_t* rows, const int64_t* cols,
+                                const double* vals, int32_t is_complex,
+                                int64_t* l_nnz, int64_t* u_nnz) {
+    int64_t tot;
+    if (is_complex)
+        tot = lu_factor_impl<std::complex<double>>(
+            n, nnz, rows, cols,
+            reinterpret_cast<const std::complex<double>*>(vals));
+    else
+        tot = lu_factor_impl<double>(n, nnz, rows, cols, vals);
+    *l_nnz = (int64_t)g_hold_l.r.size();
+    *u_nnz = (int64_t)g_hold_u.r.size();
+    return tot;
+}
+
+extern "C" int64_t gt_chol_factor(int64_t n, int64_t nnz,
+                                  const int64_t* rows,
+                                  const int64_t* cols, const double* vals,
+                                  int32_t is_complex) {
+    if (is_complex)
+        return chol_factor_impl<std::complex<double>>(
+            n, nnz, rows, cols,
+            reinterpret_cast<const std::complex<double>*>(vals));
+    return chol_factor_impl<double>(n, nnz, rows, cols, vals);
+}
+
+extern "C" int gt_factor_fetch(int32_t which /*0=L,1=U*/, int64_t* r,
+                               int64_t* c, double* v, int32_t is_complex) {
+    const TripletHold& h = which ? g_hold_u : g_hold_l;
+    fetch_hold(h, r, c, v, is_complex);
+    if (which) g_hold_u = TripletHold{};
+    else g_hold_l = TripletHold{};
+    return 0;
+}
