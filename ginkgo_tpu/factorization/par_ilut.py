@@ -272,9 +272,62 @@ class ParIlut:
         return _build_factors(n, lr, lc, lv, ur, uc, uv, dtype)
 
 
+def _ict_sweep(n, lr, lc, lv, a_ptr, a_cols, a_vals, iterations):
+    """IC(T) Gauss-Seidel sweeps on a lower pattern (row-major sorted,
+    diag last per row): native kernel with a Python fallback."""
+    from ..native import parict_sweep_native
+    work_dtype = np.complex128 if np.iscomplexobj(lv) else np.float64
+    l_ptr = _csr_ptr(lr, n)
+    lvs = np.ascontiguousarray(lv.astype(work_dtype))
+    ok = parict_sweep_native(
+        n, np.ascontiguousarray(a_ptr, np.int64),
+        np.ascontiguousarray(a_cols, np.int64),
+        np.ascontiguousarray(a_vals.astype(work_dtype)), l_ptr,
+        np.ascontiguousarray(lc, np.int64), lvs, iterations)
+    if ok is None:
+        # sequential Python fallback (small problems / no toolchain):
+        # the same in-place row-major GS recurrence
+        a_cols = np.asarray(a_cols)
+        a_vals_w = np.asarray(a_vals, work_dtype)
+        lc_np = np.asarray(lc)
+        rows = [dict() for _ in range(n)]
+        for p in range(len(lr)):
+            rows[int(lr[p])][int(lc_np[p])] = p
+
+        def a_at(i, j):
+            lo, hi = a_ptr[i], a_ptr[i + 1]
+            pos = lo + np.searchsorted(a_cols[lo:hi], j)
+            if pos < hi and a_cols[pos] == j:
+                return a_vals_w[pos]
+            return 0.0
+
+        for _ in range(int(iterations)):
+            for i in range(n):
+                for p in range(l_ptr[i], l_ptr[i + 1]):
+                    j = int(lc_np[p])
+                    s = a_at(i, j)
+                    for k, pik in rows[i].items():
+                        if k < j and k in rows[j]:
+                            s -= lvs[pik] * np.conj(lvs[rows[j][k]])
+                    if j == i:
+                        mag = np.sqrt(abs(s))
+                        if np.isfinite(mag) and mag != 0:
+                            lvs[p] = mag
+                    else:
+                        djj = lvs[l_ptr[j + 1] - 1]
+                        nv = s / djj
+                        if np.isfinite(nv):
+                            lvs[p] = nv
+    return lvs.astype(lv.dtype)
+
+
 class ParIct:
-    """Threshold incomplete Cholesky (``par_ict.hpp:69``): ParILUT restricted
-    to the lower triangle with U = Lᴴ."""
+    """Threshold incomplete Cholesky — the real ParICT
+    (``core/factorization/par_ict.cpp``, ``par_ict.hpp:69``): candidate
+    pattern tril(pattern(A) ∪ pattern(L@Lᴴ)), residual-seeded new
+    entries, in-place Gauss-Seidel IC sweeps (native
+    ``gt_parict_sweep``), threshold select/filter back to
+    ``fill_in_limit * nnz(tril(A))``, final sweep.  U = Lᴴ."""
 
     def __init__(self, iterations: int = 5, fill_in_limit: float = 2.0):
         self.iterations = iterations
@@ -285,21 +338,76 @@ class ParIct:
         return cls(**kw)
 
     def generate(self, A) -> Factorization:
-        # run ParILUT, then symmetrise: keep the IC sweep structure simple by
-        # factoring with ParIlut and rescaling L by sqrt(diag(U)).
-        fact = ParIlut(self.iterations, self.fill_in_limit).generate(A)
-        L, U = fact.unpack()
-        ld = L.to_matrix_data()
-        ud = U.to_matrix_data()
-        udiag = np.ones(ld.shape[0], ud.values.dtype)
-        on = ud.row_idx == ud.col_idx
-        udiag[ud.row_idx[on]] = ud.values[on]
-        sq = np.sqrt(np.abs(udiag))
-        sq[sq == 0] = 1.0
-        # L_ic = L_unit * diag(sqrt(u_jj))
-        vals = ld.values * sq[ld.col_idx]
-        l_data = MatrixData(ld.shape, ld.row_idx, ld.col_idx, vals)
+        import scipy.sparse as sp
+        data = A.to_matrix_data() if hasattr(A, "to_matrix_data") else A
+        d = data.canonical()
+        n = d.shape[0]
+        dtype = d.values.dtype
+        low = d.row_idx >= d.col_idx
+        lr = d.row_idx[low].astype(np.int64)
+        lc = d.col_idx[low].astype(np.int64)
+        lv = d.values[low].copy()
+        # ensure a full diagonal
+        have = np.zeros(n, bool)
+        have[lr[lr == lc]] = True
+        missing = np.flatnonzero(~have)
+        if missing.size:
+            lr = np.concatenate([lr, missing])
+            lc = np.concatenate([lc, missing])
+            lv = np.concatenate([lv, np.zeros(missing.size, dtype)])
+            o = np.lexsort((lc, lr))
+            lr, lc, lv = lr[o], lc[o], lv[o]
+        # A's lower CSR for the a(i, j) lookups
+        a_ptr = _csr_ptr(lr, n)
+        a_cols = lc.copy()
+        a_vals = lv.copy()
+        akey = lr * n + lc
+
+        def a_at(q):
+            return _sorted_lookup(akey, a_vals, q).astype(dtype)
+
+        # init: scaled first guess, then sweeps on A's lower pattern
+        diag0 = np.sqrt(np.abs(a_at(np.arange(n) * n + np.arange(n))))
+        diag0[diag0 == 0] = 1.0
+        lv = np.where(lr == lc, diag0[lr].astype(dtype),
+                      (lv / diag0[lc]).astype(dtype))
+        lv = _ict_sweep(n, lr, lc, lv, a_ptr, a_cols, a_vals, 3)
+        keep_n = int(np.ceil(self.fill_in_limit * len(lr)))
+
+        for _ in range(self.iterations):
+            # 1. tril(L @ L^H) product (add_candidates pattern source)
+            Ls = sp.csr_matrix((lv, (lr, lc)), shape=(n, n))
+            C = sp.tril(Ls @ Ls.conj().T).tocsr()
+            C.sum_duplicates()
+            crows = np.repeat(np.arange(n, dtype=np.int64),
+                              np.diff(C.indptr))
+            ckey = crows * n + C.indices
+            cand = np.union1d(akey, ckey)
+            # 2. residual-seeded enlarged values (existing keep value)
+            lkey = lr * n + lc
+            old = np.zeros(cand.size, dtype)
+            old[np.searchsorted(cand, lkey)] = lv
+            isold = np.zeros(cand.size, bool)
+            isold[np.searchsorted(cand, lkey)] = True
+            r_c = (a_at(cand)
+                   - _sorted_lookup(ckey, C.data, cand).astype(dtype))
+            dl = np.ones(n, dtype)
+            dl[lr[lr == lc]] = lv[lr == lc]
+            dl[dl == 0] = 1.0
+            ci, cj = cand // n, cand % n
+            lv2 = np.where(isold, old, (r_c / dl[cj]).astype(dtype))
+            lr2, lc2 = ci, cj
+            # 3. sweep on the enlarged pattern
+            lv2 = _ict_sweep(n, lr2, lc2, lv2, a_ptr, a_cols, a_vals, 1)
+            # 4+5. select + filter
+            keep = _threshold_select(lr2, lc2, lv2, keep_n,
+                                     keep_diag=True)
+            lr, lc, lv = lr2[keep], lc2[keep], lv2[keep]
+            # 6. sweep on the filtered pattern
+            lv = _ict_sweep(n, lr, lc, lv, a_ptr, a_cols, a_vals, 1)
+
         from ..matrix.csr import Csr
+        l_data = MatrixData((n, n), lr, lc, lv)
         Lic = Csr.from_data(l_data, strategy="classical")
         Lt = Csr.from_data(l_data.conj_transpose().sort_row_major(),
                            strategy="classical")

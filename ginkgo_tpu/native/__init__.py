@@ -92,6 +92,10 @@ def _bind(lib):
     lib.gt_factor_fetch.restype = ctypes.c_int
     lib.gt_factor_fetch.argtypes = [ctypes.c_int32, i64p, i64p, f64p,
                                     ctypes.c_int32]
+    lib.gt_parict_sweep.restype = ctypes.c_int
+    lib.gt_parict_sweep.argtypes = [ctypes.c_int64, i64p, i64p, f64p,
+                                    i64p, i64p, f64p, ctypes.c_int64,
+                                    ctypes.c_int32]
     return lib
 
 
@@ -313,6 +317,30 @@ def chol_factor_native(n, rows, cols, vals):
     if cnt < 0:
         return None
     return _fetch_triplets(L, 0, cnt, is_cpx)
+
+
+def parict_sweep_native(n, a_ptr, a_cols, a_vals, l_ptr, l_cols,
+                        l_vals, iterations):
+    """In-place Gauss-Seidel IC(T) sweeps on a lower-triangular CSR
+    pattern (cols ascending, diag last per row).  l_vals modified in
+    place (float64/complex128).  Returns True or None."""
+    L = lib()
+    if L is None:
+        return None
+    is_cpx = np.iscomplexobj(l_vals)
+
+    def fp(a):
+        assert a.flags.c_contiguous
+        return _ptr(a.view(np.float64), ctypes.c_double)
+
+    def ip(a):
+        assert a.dtype == np.int64 and a.flags.c_contiguous
+        return _ptr(a, ctypes.c_int64)
+
+    L.gt_parict_sweep(n, ip(a_ptr), ip(a_cols), fp(a_vals), ip(l_ptr),
+                      ip(l_cols), fp(l_vals), int(iterations),
+                      int(is_cpx))
+    return True
 
 
 def amd_order_native(n, ptr, adj):

@@ -947,3 +947,94 @@ extern "C" int gt_factor_fetch(int32_t which /*0=L,1=U*/, int64_t* r,
     else g_hold_l = TripletHold{};
     return 0;
 }
+
+// ---------------------------------------------------------------------------
+// ParICT Gauss-Seidel sweep (reference/factorization/par_ict_kernels.cpp
+// compute_factor semantics): in-place row-major sweeps over a lower-
+// triangular pattern L:
+//     l_jj = sqrt(a_jj - sum_{k<j} |l_jk|^2)
+//     l_ij = (a_ij - sum_{k<j} l_ik conj(l_jk)) / l_jj     (i > j)
+// The k-sum is a merge over rows i and j of L (CSR, cols ascending).
+// ---------------------------------------------------------------------------
+namespace {
+
+template <class V>
+void parict_sweep_impl(int64_t n, const int64_t* a_ptr,
+                       const int64_t* a_cols, const V* a_vals,
+                       const int64_t* l_ptr, const int64_t* l_cols,
+                       V* l_vals, int64_t iterations) {
+    auto a_at = [&](int64_t row, int64_t col) -> V {
+        const int64_t* b = a_cols + a_ptr[row];
+        const int64_t* e = a_cols + a_ptr[row + 1];
+        const int64_t* it = std::lower_bound(b, e, col);
+        if (it != e && *it == col) return a_vals[it - a_cols];
+        return V(0);
+    };
+    auto cj = [](V x) {
+        if constexpr (std::is_same_v<V, std::complex<double>>)
+            return std::conj(x);
+        else
+            return x;
+    };
+    auto dot = [&](int64_t i, int64_t j, int64_t lim) -> V {
+        V sum(0);
+        int64_t s = l_ptr[i], se = l_ptr[i + 1];
+        int64_t t = l_ptr[j], te = l_ptr[j + 1];
+        while (s < se && t < te) {
+            int64_t k = l_cols[s], k2 = l_cols[t];
+            if (k == k2) {
+                if (k < lim) sum += l_vals[s] * cj(l_vals[t]);
+                ++s;
+                ++t;
+            } else if (k < k2) {
+                ++s;
+            } else {
+                ++t;
+            }
+        }
+        return sum;
+    };
+    for (int64_t it = 0; it < iterations; ++it) {
+        for (int64_t i = 0; i < n; ++i) {
+            for (int64_t p = l_ptr[i]; p < l_ptr[i + 1]; ++p) {
+                int64_t j = l_cols[p];
+                if (j > i) continue;
+                V s = a_at(i, j) - dot(i, j, j);
+                if (j == i) {
+                    double mag = std::sqrt(std::abs(s));
+                    if (std::isfinite(mag) && mag != 0) l_vals[p] = V(mag);
+                } else {
+                    // diag of row j is its last entry (cols ascending)
+                    V djj = l_vals[l_ptr[j + 1] - 1];
+                    V nv = s / djj;
+                    bool fin;
+                    if constexpr (std::is_same_v<V, std::complex<double>>)
+                        fin = std::isfinite(nv.real())
+                              && std::isfinite(nv.imag());
+                    else
+                        fin = std::isfinite(nv);
+                    if (fin) l_vals[p] = nv;
+                }
+            }
+        }
+    }
+}
+
+}  // namespace
+
+extern "C" int gt_parict_sweep(int64_t n, const int64_t* a_ptr,
+                               const int64_t* a_cols, const double* a_vals,
+                               const int64_t* l_ptr, const int64_t* l_cols,
+                               double* l_vals, int64_t iterations,
+                               int32_t is_complex) {
+    if (is_complex)
+        parict_sweep_impl<std::complex<double>>(
+            n, a_ptr, a_cols,
+            reinterpret_cast<const std::complex<double>*>(a_vals), l_ptr,
+            l_cols, reinterpret_cast<std::complex<double>*>(l_vals),
+            iterations);
+    else
+        parict_sweep_impl<double>(n, a_ptr, a_cols, a_vals, l_ptr, l_cols,
+                                  l_vals, iterations);
+    return 0;
+}
