@@ -13,6 +13,8 @@ from ginkgo_tpu.solver import cg
 
 A = Csr.from_dense([[2.0, -1, 0], [-1, 2, -1], [0, -1, 2]])
 x = cg.solve(A, jnp.ones(3)).x
+# exact solution of this tridiagonal system is [1.5, 2, 1.5]
+assert float(jnp.abs(x.reshape(-1) - jnp.asarray([1.5, 2.0, 1.5])).max()) < 1e-8
 
 if __name__ == "__main__":
     print("x =", x)

@@ -28,7 +28,9 @@ def main():
                           ).generate(A)
         for _ in range(3):
             solver.apply(b)
-    print(prof.write_summary())
+    summary = prof.write_summary()
+    print(summary)
+    assert "apply" in summary.lower() or len(summary) > 0
 
     # ginkgo-overhead analog: per-apply dispatch overhead (eager vs jitted)
     t0 = time.perf_counter()
@@ -43,6 +45,7 @@ def main():
     compiled = (time.perf_counter() - t0) / 10
     print(f"apply overhead: eager {eager * 1e6:.0f}us vs jitted "
           f"{compiled * 1e6:.0f}us")
+    assert compiled <= eager * 5  # jit path must not be grossly slower
 
 
 if __name__ == "__main__":
