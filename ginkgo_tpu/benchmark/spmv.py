@@ -15,7 +15,7 @@ from .runner import (base_parser, build_matrix_data, case_name,
                      chain_k_for_backend, emit, load_cases, time_chained)
 
 ALL_FORMATS = ("coo", "csr", "ell", "sellp", "hybrid", "fbcsr",
-               "csr_banded")
+               "csr_banded", "csr_packed")
 
 
 def make_operator(fmt: str, data, dtype=np.float32):
@@ -26,6 +26,8 @@ def make_operator(fmt: str, data, dtype=np.float32):
         return Csr.from_data(data, dtype=dtype, strategy="classical")
     if fmt == "csr_banded":
         return Csr.from_data(data, dtype=dtype, strategy="automatical")
+    if fmt == "csr_packed":
+        return Csr.from_data(data, dtype=dtype, strategy="packed")
     if fmt == "ell":
         return Ell.from_data(data, dtype=dtype)
     if fmt == "sellp":
@@ -46,6 +48,12 @@ def storage_bytes(fmt, A):
                     else int(A.tail_vals.size * (vb + 2 * ib)))
             return int(A.diag_values.size * vb) + tail
         fmt = "csr"   # automatical fell back to the classical layout
+    if fmt == "csr_packed":
+        if getattr(A, "strategy", "") == "packed":
+            tail = (0 if A.tail_vals is None
+                    else int(A.tail_vals.size * (vb + 2 * ib)))
+            return int(A.pell_vals.size * (vb + 2)) + tail
+        fmt = "csr"   # packed layout rejected the matrix
     if fmt == "coo" or fmt == "csr":
         return int(A.nnz * (vb + ib)) + (
             (A.shape[0] + 1) * ib if fmt == "csr" else A.nnz * ib)

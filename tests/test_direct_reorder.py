@@ -166,3 +166,30 @@ def test_amd_scales_to_100k():
     n = d.shape[0]
     assert np.array_equal(np.sort(perm), np.arange(n))
     assert elapsed < 60, f"AMD too slow: {elapsed:.1f}s"
+
+
+def test_mc64_scales_sparse():
+    """Sparse SAP matching: no dense (n, n) anywhere — 20k rows with a
+    weak diagonal match in seconds, with the dual-potential guarantees
+    (all scaled |entries| <= 1, matched diagonal exactly 1)."""
+    import time
+    import scipy.sparse as sp
+    from ginkgo_tpu.base.matrix_data import MatrixData
+    from ginkgo_tpu.reorder.mc64 import mc64_matching
+
+    rng = np.random.default_rng(3)
+    n, deg = 20000, 8
+    r = np.concatenate([np.repeat(np.arange(n), deg), np.arange(n)])
+    c = np.concatenate([rng.integers(0, n, n * deg), np.arange(n)])
+    v = np.concatenate([rng.uniform(0.5, 2.0, n * deg),
+                        rng.uniform(1e-8, 1e-6, n)])
+    key, idx = np.unique(r * n + c, return_index=True)
+    d = MatrixData((n, n), key // n, key % n, v[idx])
+    t0 = time.time()
+    perm, rs, cs = mc64_matching(d)
+    assert time.time() - t0 < 60
+    B = (sp.diags(rs)
+         @ sp.csr_matrix((d.values, (d.row_idx, d.col_idx)),
+                         shape=(n, n))[perm, :] @ sp.diags(cs))
+    assert abs(B).max() <= 1 + 1e-6
+    assert np.abs(np.abs(B.diagonal()) - 1).max() < 1e-6
