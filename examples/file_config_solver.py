@@ -1,5 +1,6 @@
 """file-config-solver example: build the whole solver stack from a JSON
-config (extensions/config json front end analog)."""
+or YAML config (extensions/config json_config.hpp / yaml_config.hpp
+analogs)."""
 
 import os as _os, sys as _sys
 _sys.path[:0] = [_d := _os.path.dirname(_os.path.abspath(__file__)),
@@ -39,6 +40,19 @@ def main():
     res = float(jnp.linalg.norm(b - A.apply(x)))
     print(f"config-built solver residual: {res:.2e}")
     assert res < 1e-7
+
+    # the same stack from YAML (anchors + the << merge key both work)
+    from ginkgo_tpu.config import parse_yaml
+    yaml_solver = parse_yaml(
+        "type: solver::Cg\n"
+        "criteria:\n"
+        "  - {type: 'stop::Iteration', max_iters: 1000}\n"
+        "  - {type: 'stop::ResidualNorm', reduction_factor: 1.0e-10}\n"
+        "preconditioner: {type: 'preconditioner::Jacobi', max_block_size: 4}\n"
+    ).generate(A)
+    res_y = float(jnp.linalg.norm(b - A.apply(yaml_solver.apply(b))))
+    print(f"yaml-config solver residual: {res_y:.2e}")
+    assert res_y < 1e-7
 
 
 if __name__ == "__main__":

@@ -1,4 +1,5 @@
 """Runtime config (core/config + extensions/config analogs)."""
 
 from .property_tree import pnode  # noqa: F401
-from .parse import parse, parse_json, registry, type_descriptor  # noqa: F401
+from .parse import (parse, parse_json, parse_yaml, registry,  # noqa: F401
+                    type_descriptor)

@@ -162,3 +162,27 @@ def parse_json(path_or_str, context: registry = None,
         with open(s) as f:
             cfg = json.load(f)
     return parse(cfg, context, td)
+
+
+def parse_yaml(path_or_str, context: registry = None,
+               td: type_descriptor = None):
+    """YAML front end (``yaml_config.hpp`` analog): accepts a file path or a
+    YAML string.  Anchors/aliases and the ``<<`` merge key resolve exactly
+    as the reference's yaml-cpp front end does
+    (``include/ginkgo/extensions/config/yaml_config.hpp:44-70`` resolves
+    ``<<`` manually; pyyaml's SafeLoader implements the same merge-key
+    semantics natively)."""
+    try:
+        import yaml
+    except ImportError as e:          # pragma: no cover - env always has it
+        raise ImportError("parse_yaml requires pyyaml") from e
+    s = str(path_or_str)
+    looks_inline = "\n" in s or ":" in s.split("/")[-1]
+    if looks_inline and not s.endswith((".yaml", ".yml")):
+        cfg = yaml.safe_load(s)
+    else:
+        with open(s) as f:
+            cfg = yaml.safe_load(f)
+    if not isinstance(cfg, dict):
+        raise ValueError("YAML config root must be a mapping")
+    return parse(cfg, context, td)

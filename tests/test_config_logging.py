@@ -95,6 +95,43 @@ def test_parse_nested_ilu_config():
     assert M.shape == (30, 30)
 
 
+def test_parse_yaml_string_anchor_merge():
+    """YAML front end (yaml_config.hpp analog) including the << merge key
+    the reference resolves manually (yaml_config.hpp:44-70)."""
+    from ginkgo_tpu.config import parse_yaml
+    cfg = """
+type: "solver::Ir"
+criteria: &crit
+  - {type: "stop::Iteration", max_iters: 40}
+  - {type: "stop::ResidualNorm", reduction_factor: 1.0e-10}
+solver:
+  type: "solver::Cg"
+  criteria: *crit
+  <<: {preconditioner: {type: "preconditioner::Jacobi"}}
+"""
+    factory = parse_yaml(cfg)
+    A = _spd(seed=6)
+    x = factory.generate(A).apply(jnp.ones(30))
+    np.testing.assert_allclose(A.apply(x), 1.0, rtol=1e-7)
+
+
+def test_parse_yaml_file(tmp_path):
+    from ginkgo_tpu.config import parse_yaml
+    path = tmp_path / "solver.yaml"
+    path.write_text(
+        "type: solver::Gmres\n"
+        "krylov_dim: 20\n"
+        "criteria:\n"
+        "  - {type: 'stop::Iteration', max_iters: 300}\n"
+        "  - {type: 'stop::ResidualNorm', reduction_factor: 1.0e-10}\n")
+    A = _spd(seed=7)
+    solver = parse_yaml(str(path)).generate(A)
+    x = solver.apply(jnp.ones(30))
+    np.testing.assert_allclose(A.apply(x), 1.0, rtol=1e-7)
+    with pytest.raises(ValueError):
+        parse_yaml("- 1\n- 2\n")
+
+
 def test_parse_errors():
     with pytest.raises(ValueError):
         parse({"no_type": 1})
