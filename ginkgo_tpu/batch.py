@@ -329,9 +329,9 @@ class BatchJacobi:
         dtype = A_batch.values.dtype
 
         def invert_one(values_row):
+            from .ops.gauss_jordan import batched_inverse
             blocks = _extract_diag_blocks(A_batch.item(values_row), nblk, bs)
-            eye = jnp.eye(bs, dtype=blocks.dtype)
-            return jax.vmap(lambda blk: jnp.linalg.solve(blk, eye))(blocks)
+            return batched_inverse(blocks)
 
         inv_blocks = jax.vmap(invert_one)(A_batch.values)
         return _GeneratedBatchPrecond(

@@ -86,8 +86,8 @@ def generate_isai(A, sparsity_power: int = 1, mode: str = "general") -> Csr:
         for a in range(m, S):
             subs[i, a, a] = 1.0
 
-    sols = jax.vmap(jnp.linalg.solve)(jnp.asarray(subs),
-                                      jnp.asarray(rhs))   # (n, S)
+    from ..ops.gauss_jordan import batched_solve
+    sols = batched_solve(jnp.asarray(subs), jnp.asarray(rhs))   # (n, S)
     sols = np.asarray(sols)
     ri, ci = np.nonzero(valid)
     m_data = MatrixData((n, n), ri.astype(np.int64),

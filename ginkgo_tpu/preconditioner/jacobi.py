@@ -153,8 +153,8 @@ class Jacobi:
         nb = -(-n // bs)
         dense_blocks = _extract_diag_blocks(A, nb, bs)
         eye = jnp.eye(bs, dtype=dense_blocks.dtype)
-        inv_blocks = jax.vmap(lambda blk: jnp.linalg.solve(blk, eye))(
-            dense_blocks)
+        from ..ops.gauss_jordan import batched_inverse
+        inv_blocks = batched_inverse(dense_blocks)
         if self.storage_optimization == "auto":
             from ..base.dtypes import eps, reduce_precision
             reduced = self.storage_dtype or reduce_precision(
@@ -206,7 +206,8 @@ class Jacobi:
                 blocks[bidx, np.arange(sz, bs_max), np.arange(sz, bs_max)] \
                     = 1
             np.add.at(blocks, (bi, li, lj), d.values[in_blk])
-        inv = jax.vmap(jnp.linalg.inv)(jnp.asarray(blocks))
+        from ..ops.gauss_jordan import batched_inverse
+        inv = batched_inverse(jnp.asarray(blocks))
         storage = self.storage_dtype or inv.dtype
         return VariableBlockJacobi(
             inv_blocks=inv.astype(storage),

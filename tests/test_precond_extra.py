@@ -167,3 +167,50 @@ def test_ssor_preconditioned_cg():
 def test_sor_invalid_omega():
     with pytest.raises(ValueError):
         Sor(relaxation_factor=2.5)
+
+
+def test_gauss_jordan_batched_inverse_matches_numpy():
+    """TPU-safe block inversion (ops/gauss_jordan.py): XLA's LU custom
+    call is f32/c64-only on TPU, so f64/c128 block-Jacobi/ISAI/batch
+    inversions route through the vmapped partial-pivot Gauss-Jordan —
+    the jacobi_generate_kernels invert_block analog."""
+    import jax
+    import jax.numpy as jnp
+    from ginkgo_tpu.ops.gauss_jordan import (_gauss_jordan_inverse_single,
+                                             batched_inverse, batched_solve)
+
+    rng = np.random.default_rng(11)
+    for dtype in (np.float64, np.complex128):
+        blocks = rng.standard_normal((6, 5, 5))
+        if np.dtype(dtype).kind == "c":
+            blocks = blocks + 1j * rng.standard_normal((6, 5, 5))
+        blocks = blocks + 5 * np.eye(5)       # well-conditioned
+        got = np.asarray(jax.vmap(_gauss_jordan_inverse_single)(
+            jnp.asarray(blocks, dtype)))
+        want = np.linalg.inv(blocks)
+        np.testing.assert_allclose(got, want, rtol=1e-11, atol=1e-11)
+        # public entry points agree with numpy too (any backend)
+        np.testing.assert_allclose(
+            np.asarray(batched_inverse(jnp.asarray(blocks, dtype))), want,
+            rtol=1e-11, atol=1e-11)
+        rhs = rng.standard_normal((6, 5)).astype(dtype)
+        np.testing.assert_allclose(
+            np.asarray(batched_solve(jnp.asarray(blocks, dtype),
+                                     jnp.asarray(rhs))),
+            np.einsum("bij,bj->bi", want, rhs), rtol=1e-11, atol=1e-11)
+
+
+def test_gauss_jordan_needs_pivoting_and_singular_convention():
+    """A zero leading pivot must be handled by the row swap; a fully
+    singular block degrades via the pivot->1 convention instead of NaN."""
+    import jax
+    import jax.numpy as jnp
+    from ginkgo_tpu.ops.gauss_jordan import _gauss_jordan_inverse_single
+
+    blk = np.array([[0.0, 2.0], [3.0, 1.0]])
+    got = np.asarray(_gauss_jordan_inverse_single(jnp.asarray(blk)))
+    np.testing.assert_allclose(got, np.linalg.inv(blk), rtol=1e-12)
+
+    sing = jnp.zeros((3, 3))
+    out = np.asarray(_gauss_jordan_inverse_single(sing))
+    assert np.isfinite(out).all()
