@@ -18,7 +18,9 @@ import numpy as np
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "src", "ginkgo_native.cpp")
 _LIBDIR = os.path.join(_HERE, "lib")
-_LIBPATH = os.path.join(_LIBDIR, "libginkgo_native.so")
+_SAN = os.environ.get("GINKGO_TPU_NATIVE_SANITIZE", "")
+_LIBNAME = ("libginkgo_native.san.so" if _SAN else "libginkgo_native.so")
+_LIBPATH = os.path.join(_LIBDIR, _LIBNAME)
 
 _lock = threading.Lock()
 _lib = None
@@ -28,13 +30,25 @@ _tried = False
 def _build() -> bool:
     """Compile to a temp path and atomically rename — concurrent builders
     (parallel pytest workers) or a timed-out g++ never leave a corrupt .so
-    behind with a fresh mtime."""
+    behind with a fresh mtime.
+
+    ``GINKGO_TPU_NATIVE_SANITIZE=address,undefined`` builds an
+    instrumented library instead (the reference CI's ASAN/UBSAN tiers,
+    ``.github/workflows`` sanitizer jobs); run the host python under
+    ``LD_PRELOAD=$(g++ -print-file-name=libasan.so)`` — see
+    tools/sanitize_native.sh."""
     os.makedirs(_LIBDIR, exist_ok=True)
     tmp = f"{_LIBPATH}.{os.getpid()}.tmp"
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+    extra = ([f"-fsanitize={_SAN}", "-fno-omit-frame-pointer", "-g", "-O1"]
+             if _SAN else ["-O3", "-march=native"])
+    cmd = ["g++", *extra, "-shared", "-fPIC", "-std=c++17",
            _SRC, "-o", tmp]
+    # the sanitizer tier preloads libasan into the *python* process;
+    # don't let the compiler subprocess inherit it (cc1plus under ASan
+    # interception is minutes-slow and trips the build timeout)
+    env = {k: v for k, v in os.environ.items() if k != "LD_PRELOAD"}
     try:
-        res = subprocess.run(cmd, capture_output=True, timeout=240)
+        res = subprocess.run(cmd, capture_output=True, timeout=240, env=env)
         if res.returncode != 0:
             return False
         os.replace(tmp, _LIBPATH)
@@ -83,6 +97,8 @@ def _bind(lib):
                                   i64p, i64p, i64p, ctypes.c_double]
     lib.gt_amd_order.restype = ctypes.c_int
     lib.gt_amd_order.argtypes = [ctypes.c_int64, i64p, i64p, i64p]
+    lib.gt_nd_order.restype = ctypes.c_int
+    lib.gt_nd_order.argtypes = [ctypes.c_int64, i64p, i64p, i64p]
     lib.gt_lu_factor.restype = ctypes.c_int64
     lib.gt_lu_factor.argtypes = [ctypes.c_int64, ctypes.c_int64, i64p,
                                  i64p, f64p, ctypes.c_int32, i64p, i64p]
@@ -358,6 +374,24 @@ def amd_order_native(n, ptr, adj):
     if rc != 0:
         return None
     return perm
+
+
+def nd_order_native(n, ptr, adj):
+    """Multilevel nested dissection ordering (heavy-edge coarsening +
+    FM-refined vertex separators + AMD leaf blocks), or None.
+    ``ptr``/``adj`` describe the symmetrized pattern without diagonal."""
+    L = lib()
+    if L is None:
+        return None
+    ptr = np.ascontiguousarray(ptr, np.int64)
+    adj = np.ascontiguousarray(adj, np.int64)
+    perm = np.empty(max(n, 1), np.int64)
+    rc = L.gt_nd_order(n, _ptr(ptr, ctypes.c_int64),
+                       _ptr(adj, ctypes.c_int64),
+                       _ptr(perm, ctypes.c_int64))
+    if rc != 0:
+        return None
+    return perm[:n]
 
 
 def coo_canonicalize_native(rows, cols, vals):

@@ -1038,3 +1038,360 @@ extern "C" int gt_parict_sweep(int64_t n, const int64_t* a_ptr,
                                   l_vals, iterations);
     return 0;
 }
+
+// ---------------------------------------------------------------------------
+// Multilevel nested dissection (core/reorder/nested_dissection.cpp is a
+// METIS wrapper; METIS is absent here, so this is a self-contained
+// METIS-style multilevel ND: heavy-edge-matching coarsening, greedy
+// graph-growing initial bisection, boundary FM refinement on every
+// uncoarsening level, vertex separator via greedy cover of the refined
+// cut, AMD (gt_amd_order) on leaf blocks).
+
+namespace nd {
+
+struct Graph {
+    int64_t nv = 0;
+    std::vector<int64_t> ptr;   // nv+1
+    std::vector<int32_t> adj;
+    std::vector<int32_t> ewt;   // edge weights
+    std::vector<int32_t> vwt;   // vertex weights
+};
+
+// Heavy-edge matching coarsening; cmap[v] = coarse id.
+static Graph coarsen(const Graph& g, std::vector<int32_t>& cmap,
+                     uint64_t* seed) {
+    const int64_t n = g.nv;
+    cmap.assign(n, -1);
+    std::vector<int32_t> order(n);
+    for (int64_t i = 0; i < n; ++i) order[i] = (int32_t)i;
+    // cheap xorshift shuffle for matching fairness
+    for (int64_t i = n - 1; i > 0; --i) {
+        *seed ^= *seed << 13; *seed ^= *seed >> 7; *seed ^= *seed << 17;
+        std::swap(order[i], order[*seed % (uint64_t)(i + 1)]);
+    }
+    int32_t nc = 0;
+    std::vector<int32_t> match(n, -1);
+    for (int32_t v : order) {
+        if (match[v] >= 0) continue;
+        int32_t best = -1, bw = -1;
+        for (int64_t e = g.ptr[v]; e < g.ptr[v + 1]; ++e) {
+            int32_t u = g.adj[e];
+            if (u != v && match[u] < 0 && g.ewt[e] > bw) {
+                bw = g.ewt[e]; best = u;
+            }
+        }
+        match[v] = (best >= 0) ? best : v;
+        if (best >= 0) match[best] = v;
+        cmap[v] = nc;
+        if (best >= 0) cmap[best] = nc;
+        ++nc;
+    }
+    Graph c;
+    c.nv = nc;
+    c.vwt.assign(nc, 0);
+    for (int64_t v = 0; v < n; ++v) c.vwt[cmap[v]] += g.vwt[v];
+    // build coarse adjacency with a scatter buffer
+    std::vector<int64_t> pos(nc, -1);
+    std::vector<int32_t> cols;
+    std::vector<int32_t> wts;
+    c.ptr.assign(nc + 1, 0);
+    std::vector<std::pair<int32_t, int32_t>> row;  // (col, w)
+    // first pass: count via building rows (nc is small enough to do 1 pass)
+    std::vector<std::vector<std::pair<int32_t, int32_t>>> rows(nc);
+    for (int64_t v = 0; v < n; ++v) {
+        int32_t cv = cmap[v];
+        for (int64_t e = g.ptr[v]; e < g.ptr[v + 1]; ++e) {
+            int32_t cu = cmap[g.adj[e]];
+            if (cu != cv) rows[cv].push_back({cu, g.ewt[e]});
+        }
+    }
+    for (int32_t i = 0; i < nc; ++i) {
+        auto& r = rows[i];
+        std::sort(r.begin(), r.end());
+        int64_t w = 0;
+        for (size_t k = 0; k < r.size(); ) {
+            size_t j = k;
+            int32_t sum = 0;
+            while (j < r.size() && r[j].first == r[k].first) sum += r[j++].second;
+            c.adj.push_back(r[k].first);
+            c.ewt.push_back(sum);
+            k = j;
+            ++w;
+        }
+        c.ptr[i + 1] = (int64_t)c.adj.size();
+    }
+    (void)pos; (void)cols; (void)wts; (void)row;
+    return c;
+}
+
+// One FM pass over boundary vertices; side in {0,1}; returns new cut.
+static int64_t fm_refine(const Graph& g, std::vector<int8_t>& side,
+                         int64_t max_passes) {
+    const int64_t n = g.nv;
+    int64_t wt[2] = {0, 0};
+    for (int64_t v = 0; v < n; ++v) wt[side[v]] += g.vwt[v];
+    const int64_t total = wt[0] + wt[1];
+    const int64_t lo = (int64_t)(0.42 * total), hi = total - lo;
+    auto cutsize = [&]() {
+        int64_t c = 0;
+        for (int64_t v = 0; v < n; ++v)
+            for (int64_t e = g.ptr[v]; e < g.ptr[v + 1]; ++e)
+                if (side[g.adj[e]] != side[v]) c += g.ewt[e];
+        return c / 2;
+    };
+    int64_t cut = cutsize();
+    std::vector<int64_t> gain(n);
+    std::vector<uint8_t> locked(n), in_cand(n);
+    for (int64_t pass = 0; pass < max_passes; ++pass) {
+        std::fill(locked.begin(), locked.end(), 0);
+        std::fill(in_cand.begin(), in_cand.end(), 0);
+        // boundary-restricted FM: only boundary vertices (and, as the
+        // sequence evolves, neighbors of moved vertices) are candidates —
+        // the selection scan is O(|boundary|), not O(n)
+        std::vector<int32_t> cand;
+        for (int64_t v = 0; v < n; ++v) {
+            int64_t gv = 0;
+            bool bnd = false;
+            for (int64_t e = g.ptr[v]; e < g.ptr[v + 1]; ++e) {
+                bool cutedge = side[g.adj[e]] != side[v];
+                gv += cutedge ? g.ewt[e] : -g.ewt[e];
+                bnd |= cutedge;
+            }
+            gain[v] = gv;
+            if (bnd) { cand.push_back((int32_t)v); in_cand[v] = 1; }
+        }
+        // lazy max-heaps per source side: entries are (gain, v) snapshots,
+        // stale ones (gain or side changed, or locked) discarded at pop
+        using entry = std::pair<int64_t, int32_t>;
+        std::priority_queue<entry> heap[2];
+        for (int32_t v : cand) heap[side[v]].push({gain[v], v});
+        // move sequence with rollback to the best prefix
+        std::vector<int32_t> moves;
+        int64_t best_cut = cut, run_cut = cut, best_k = 0;
+        const int64_t max_moves = (int64_t)cand.size() * 2 + 16;
+        std::vector<entry> stash;
+        for (int64_t step = 0; step < max_moves; ++step) {
+            int32_t best = -1;
+            int64_t bg = INT64_MIN;
+            stash.clear();
+            int32_t top_v[2] = {-1, -1};
+            int64_t top_g[2] = {INT64_MIN, INT64_MIN};
+            for (int s = 0; s < 2; ++s) {
+                while (!heap[s].empty()) {
+                    auto [gv, v] = heap[s].top();
+                    heap[s].pop();
+                    if (locked[v] || side[v] != s || gain[v] != gv)
+                        continue;               // stale snapshot
+                    if (wt[s] - g.vwt[v] < lo || wt[1 - s] + g.vwt[v] > hi) {
+                        stash.push_back({gv, v});   // infeasible only now
+                        continue;
+                    }
+                    top_v[s] = v;
+                    top_g[s] = gv;
+                    break;
+                }
+            }
+            for (auto& e : stash) heap[side[e.second]].push(e);
+            int sbest = top_g[0] >= top_g[1] ? 0 : 1;
+            best = top_v[sbest];
+            bg = top_g[sbest];
+            if (top_v[1 - sbest] >= 0)          // loser stays available
+                heap[1 - sbest].push({top_g[1 - sbest], top_v[1 - sbest]});
+            if (best < 0 || (bg < 0 && run_cut > best_cut + cut / 4)) break;
+            int8_t s = side[best];
+            side[best] = 1 - s;
+            wt[s] -= g.vwt[best];
+            wt[1 - s] += g.vwt[best];
+            locked[best] = 1;
+            run_cut -= bg;
+            moves.push_back(best);
+            for (int64_t e = g.ptr[best]; e < g.ptr[best + 1]; ++e) {
+                int32_t u = g.adj[e];
+                // u's gain wrt best flipped sign
+                gain[u] += (side[u] != side[best]) ? 2 * g.ewt[e]
+                                                   : -2 * g.ewt[e];
+                if (!in_cand[u]) { in_cand[u] = 1; cand.push_back(u); }
+                if (!locked[u]) heap[side[u]].push({gain[u], u});
+            }
+            if (run_cut < best_cut) { best_cut = run_cut; best_k = (int64_t)moves.size(); }
+        }
+        for (int64_t k = (int64_t)moves.size() - 1; k >= best_k; --k) {
+            int32_t v = moves[k];
+            int8_t s = side[v];
+            side[v] = 1 - s;
+            wt[s] -= g.vwt[v];
+            wt[1 - s] += g.vwt[v];
+        }
+        if (best_cut >= cut) break;
+        cut = best_cut;
+    }
+    return cut;
+}
+
+// Greedy graph-growing bisection on the coarsest graph.
+static void initial_bisect(const Graph& g, std::vector<int8_t>& side,
+                           uint64_t* seed) {
+    const int64_t n = g.nv;
+    side.assign(n, 1);
+    int64_t total = 0;
+    for (int64_t v = 0; v < n; ++v) total += g.vwt[v];
+    int64_t grown = 0;
+    std::vector<uint8_t> seen(n, 0);
+    std::vector<int32_t> frontier;
+    while (grown * 2 < total) {
+        int32_t start = -1;
+        *seed ^= *seed << 13; *seed ^= *seed >> 7; *seed ^= *seed << 17;
+        int64_t probe = (int64_t)(*seed % (uint64_t)n);
+        for (int64_t k = 0; k < n && start < 0; ++k)
+            if (!seen[(probe + k) % n]) start = (int32_t)((probe + k) % n);
+        if (start < 0) break;
+        frontier.assign(1, start);
+        seen[start] = 1;
+        while (!frontier.empty() && grown * 2 < total) {
+            std::vector<int32_t> nxt;
+            for (int32_t u : frontier) {
+                if (grown * 2 >= total) break;
+                side[u] = 0;
+                grown += g.vwt[u];
+                for (int64_t e = g.ptr[u]; e < g.ptr[u + 1]; ++e) {
+                    int32_t v2 = g.adj[e];
+                    if (!seen[v2]) { seen[v2] = 1; nxt.push_back(v2); }
+                }
+            }
+            frontier.swap(nxt);
+        }
+    }
+}
+
+static void bisect_ml(const Graph& g, std::vector<int8_t>& side,
+                      uint64_t* seed) {
+    if (g.nv <= 96) {
+        initial_bisect(g, side, seed);
+        fm_refine(g, side, 6);
+        return;
+    }
+    std::vector<int32_t> cmap;
+    Graph c = coarsen(g, cmap, seed);
+    if (c.nv > g.nv * 9 / 10) {       // matching stalled
+        initial_bisect(g, side, seed);
+        fm_refine(g, side, 6);
+        return;
+    }
+    std::vector<int8_t> cside;
+    bisect_ml(c, cside, seed);
+    side.resize(g.nv);
+    for (int64_t v = 0; v < g.nv; ++v) side[v] = cside[cmap[v]];
+    fm_refine(g, side, 3);
+}
+
+// Vertex separator from the refined edge cut: greedy cover preferring the
+// endpoint with larger cut-degree.
+static void vertex_separator(const Graph& g, const std::vector<int8_t>& side,
+                             std::vector<uint8_t>& insep) {
+    const int64_t n = g.nv;
+    insep.assign(n, 0);
+    std::vector<int32_t> cutdeg(n, 0);
+    for (int64_t v = 0; v < n; ++v)
+        for (int64_t e = g.ptr[v]; e < g.ptr[v + 1]; ++e)
+            if (side[g.adj[e]] != side[v]) ++cutdeg[v];
+    // visit cut edges from the side-0 endpoint; cover greedily
+    for (int64_t v = 0; v < n; ++v) {
+        if (side[v] != 0) continue;
+        for (int64_t e = g.ptr[v]; e < g.ptr[v + 1]; ++e) {
+            int32_t u = g.adj[e];
+            if (side[u] == 0 || insep[v] || insep[u]) continue;
+            insep[cutdeg[v] >= cutdeg[u] ? v : (int64_t)u] = 1;
+        }
+    }
+}
+
+// Recursive dissection over a sub-list of global vertices.
+static void dissect(const int64_t* ptr, const int64_t* adj,
+                    std::vector<int32_t>& verts, std::vector<int32_t>& scratch,
+                    int64_t* perm, int64_t* out, uint64_t* seed) {
+    const int64_t n = (int64_t)verts.size();
+    if (n == 0) return;
+    if (n <= 64) {
+        // AMD on the leaf block (gt_amd_order wants its own CSR)
+        std::vector<int64_t> lp(n + 1, 0), la, lperm(n);
+        for (int64_t i = 0; i < n; ++i) scratch[verts[i]] = (int32_t)i;
+        for (int64_t i = 0; i < n; ++i) {
+            int32_t v = verts[i];
+            for (int64_t e = ptr[v]; e < ptr[v + 1]; ++e) {
+                int64_t u = adj[e];
+                if (u != v && scratch[u] >= 0) la.push_back(scratch[u]);
+            }
+            lp[i + 1] = (int64_t)la.size();
+        }
+        gt_amd_order(n, lp.data(), la.data(), lperm.data());
+        for (int64_t i = 0; i < n; ++i) perm[(*out)++] = verts[lperm[i]];
+        for (int64_t i = 0; i < n; ++i) scratch[verts[i]] = -1;
+        return;
+    }
+    // local graph
+    Graph g;
+    g.nv = n;
+    g.ptr.assign(n + 1, 0);
+    g.vwt.assign(n, 1);
+    for (int64_t i = 0; i < n; ++i) scratch[verts[i]] = (int32_t)i;
+    for (int64_t i = 0; i < n; ++i) {
+        int32_t v = verts[i];
+        for (int64_t e = ptr[v]; e < ptr[v + 1]; ++e) {
+            int64_t u = adj[e];
+            if (u != v && scratch[u] >= 0) {
+                g.adj.push_back(scratch[u]);
+                g.ewt.push_back(1);
+            }
+        }
+        g.ptr[i + 1] = (int64_t)g.adj.size();
+    }
+    for (int64_t i = 0; i < n; ++i) scratch[verts[i]] = -1;
+
+    std::vector<int8_t> side;
+    bisect_ml(g, side, seed);
+    std::vector<uint8_t> insep;
+    vertex_separator(g, side, insep);
+
+    std::vector<int32_t> left, right, sep;
+    for (int64_t i = 0; i < n; ++i) {
+        if (insep[i]) sep.push_back(verts[i]);
+        else if (side[i] == 0) left.push_back(verts[i]);
+        else right.push_back(verts[i]);
+    }
+    if (left.empty() || right.empty()) {
+        // no usable split (e.g. complete graph): AMD the whole block
+        std::vector<int64_t> lp(n + 1, 0), la, lperm(n);
+        for (int64_t i = 0; i < n; ++i) scratch[verts[i]] = (int32_t)i;
+        for (int64_t i = 0; i < n; ++i) {
+            int32_t v = verts[i];
+            for (int64_t e = ptr[v]; e < ptr[v + 1]; ++e) {
+                int64_t u = adj[e];
+                if (u != v && scratch[u] >= 0) la.push_back(scratch[u]);
+            }
+            lp[i + 1] = (int64_t)la.size();
+        }
+        gt_amd_order(n, lp.data(), la.data(), lperm.data());
+        for (int64_t i = 0; i < n; ++i) perm[(*out)++] = verts[lperm[i]];
+        for (int64_t i = 0; i < n; ++i) scratch[verts[i]] = -1;
+        return;
+    }
+    dissect(ptr, adj, left, scratch, perm, out, seed);
+    dissect(ptr, adj, right, scratch, perm, out, seed);
+    for (int32_t s : sep) perm[(*out)++] = s;
+}
+
+}  // namespace nd
+
+// perm[k] = source row of output row k (the Permutation convention used
+// throughout: output i = input perm[i]).
+extern "C" int gt_nd_order(int64_t n, const int64_t* ptr, const int64_t* adj,
+                           int64_t* perm) {
+    if (n == 0) return 0;
+    std::vector<int32_t> verts(n);
+    for (int64_t i = 0; i < n; ++i) verts[i] = (int32_t)i;
+    std::vector<int32_t> scratch(n, -1);
+    int64_t out = 0;
+    uint64_t seed = 0x9e3779b97f4a7c15ull;
+    nd::dissect(ptr, adj, verts, scratch, perm, &out, &seed);
+    return (out == n) ? 0 : 1;
+}

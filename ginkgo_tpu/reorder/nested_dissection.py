@@ -2,10 +2,14 @@
 
 Analog of ``include/ginkgo/core/reorder/nested_dissection.hpp:40-47``
 (a METIS wrapper, optional dependency).  METIS is not available in this
-environment, so the recursive bisection here uses BFS levelization to find
-a small separator (half-level of the pseudo-peripheral BFS) — same
-divide-and-conquer fill reduction, no external dependency.  If `pymetis`
-or similar shows up, this is the seam to swap it in.
+environment, so the primary path is a self-contained METIS-style
+multilevel ND in the native C++ tier (``gt_nd_order``): heavy-edge
+matching coarsening, greedy graph-growing initial bisection, boundary FM
+refinement at every uncoarsening level, vertex separators by greedy cover
+of the refined cut, and AMD on the leaf blocks.  Fallback (no native
+toolchain): recursive bisection via BFS levelization — same
+divide-and-conquer fill reduction, lower separator quality.  If `pymetis`
+shows up, this is the seam to swap it in.
 """
 
 from __future__ import annotations
@@ -66,6 +70,28 @@ def _pseudo_peripheral_sub(adj, start, sub):
 
 
 def nested_dissection_ordering(data, min_size: int = 16) -> np.ndarray:
+    d = data.canonical()
+    n = d.shape[0]
+    if n == 0:
+        return np.zeros(0, np.int64)
+    # primary path: native multilevel ND (coarsening + FM-refined vertex
+    # separators + AMD leaf blocks)
+    from ..native import nd_order_native
+    r = d.row_idx.astype(np.int64)
+    c = d.col_idx.astype(np.int64)
+    off = r != c
+    rr = np.concatenate([r[off], c[off]])
+    cc = np.concatenate([c[off], r[off]])
+    key = np.unique(rr * n + cc)
+    rr, cc = key // n, key % n
+    ptr = np.searchsorted(rr, np.arange(n + 1)).astype(np.int64)
+    perm = nd_order_native(n, ptr, cc)
+    if perm is not None:
+        return perm
+    return _nested_dissection_python(data, min_size)
+
+
+def _nested_dissection_python(data, min_size: int = 16) -> np.ndarray:
     adj = _adjacency(data)
     n = adj.shape[0]
 

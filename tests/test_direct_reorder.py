@@ -153,6 +153,40 @@ def test_nested_dissection_valid_permutation():
     assert sorted(perm.tolist()) == list(range(64))
 
 
+def test_nested_dissection_multilevel_fill_quality():
+    """Native multilevel ND (gt_nd_order: HEM coarsening + FM-refined
+    vertex separators + AMD leaves) beats AMD on 3-D problems — the fill
+    profile METIS-backed ND gives the reference.  Also covers the Python
+    BFS fallback for validity."""
+    import scipy.sparse as sp
+    from scipy.sparse.linalg import splu
+    from ginkgo_tpu.reorder.amd import amd_ordering
+    from ginkgo_tpu.reorder.nested_dissection import (
+        _nested_dissection_python, nested_dissection_ordering)
+    from ginkgo_tpu.utils.generators import stencil_3d
+
+    data = stencil_3d(14, points=27)
+    n = data.shape[0]
+
+    def fill(perm):
+        d = data.canonical()
+        inv = np.empty(n, np.int64)
+        inv[perm] = np.arange(n)
+        A = sp.csc_matrix((np.ones(d.nnz), (inv[d.row_idx], inv[d.col_idx])),
+                          shape=(n, n)) + sp.eye(n)
+        lu = splu(A.tocsc(), permc_spec="NATURAL", diag_pivot_thresh=0.0,
+                  options=dict(SymmetricMode=True))
+        return lu.L.nnz + lu.U.nnz
+
+    nd_perm = nested_dissection_ordering(data)
+    assert np.array_equal(np.sort(nd_perm), np.arange(n))
+    from ginkgo_tpu.native import lib
+    if lib() is not None:          # quality assertion needs the native path
+        assert fill(nd_perm) < fill(amd_ordering(data))
+    py_perm = _nested_dissection_python(data)
+    assert np.array_equal(np.sort(py_perm), np.arange(n))
+
+
 def test_amd_scales_to_100k():
     """Quotient-graph AMD (gt_amd_order) orders ~100k nodes in seconds
     (the exact-MD fallback needed hours at this size)."""
