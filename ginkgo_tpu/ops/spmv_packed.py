@@ -206,8 +206,13 @@ def pell_spmv_reference(vals, idx, qw, xbase_row, meta_items, b):
 
 def _pell_kernel(xbase_ref, qw_ref, xp_ref, vals_ref, idx_ref, out_ref,
                  vbuf, ibuf, xbuf, ybuf, vsem, isem, xsem, ysem,
-                 *, Gs, Wv, XWr, NB, acc_dtype):
-    """One grid step; NB-deep manual DMA pipeline over superblocks."""
+                 *, Gs, Wv, XWr, NB, K, acc_dtype):
+    """One grid step; NB-deep manual DMA pipeline over superblocks.
+
+    Multi-RHS: the matrix tiles (vals+idx, the dominant HBM stream) are
+    loaded ONCE per superblock and reused for all K columns — only the
+    x windows and gathers repeat per column, the SpMM trick of the
+    banded kernel (spmv_pallas.py) applied to the packed layout."""
 
     def v_dma(t, j):
         return pltpu.make_async_copy(vals_ref.at[t], vbuf.at[j],
@@ -217,10 +222,10 @@ def _pell_kernel(xbase_ref, qw_ref, xp_ref, vals_ref, idx_ref, out_ref,
         return pltpu.make_async_copy(idx_ref.at[t], ibuf.at[j],
                                      isem.at[j])
 
-    def x_dma(t, j):
+    def x_dma(t, j, k):
         return pltpu.make_async_copy(
-            xp_ref.at[pl.ds(xbase_ref[t], XWr), :], xbuf.at[j],
-            xsem.at[j])
+            xp_ref.at[k, pl.ds(xbase_ref[t], XWr), :], xbuf.at[j, k],
+            xsem.at[j, k])
 
     def y_dma(t, j):
         return pltpu.make_async_copy(ybuf.at[j], out_ref.at[t],
@@ -229,38 +234,45 @@ def _pell_kernel(xbase_ref, qw_ref, xp_ref, vals_ref, idx_ref, out_ref,
     for j in range(NB):
         v_dma(j, j).start()
         i_dma(j, j).start()
-        x_dma(j, j).start()
+        for k in range(K):
+            x_dma(j, j, k).start()
 
     def outer(o, _):
         for j in range(NB):
             t = o * NB + j
             v_dma(t, j).wait()
             i_dma(t, j).wait()
-            x_dma(t, j).wait()
+            for k in range(K):
+                x_dma(t, j, k).wait()
 
             @pl.when(o > 0)
             def _():
                 y_dma(t - NB, j).wait()
 
             for b in range(_BLOCKS_PER_SB):
-                acc = jnp.zeros((8, LANES), acc_dtype)
+                acc = [jnp.zeros((8, LANES), acc_dtype) for _ in range(K)]
                 for v in range(Wv):
                     q = qw_ref[(t * _BLOCKS_PER_SB + b) * Wv + v]
-                    win8 = xbuf[j, pl.ds(q * 8, 8), :]
                     i32 = ibuf[j, b * Wv + v].astype(jnp.int32)
                     sub = jax.lax.shift_right_logical(i32, jnp.int32(7))
                     lane = jax.lax.bitwise_and(i32, jnp.int32(127))
-                    t1 = jnp.take_along_axis(win8, sub, axis=0)
-                    g = jnp.take_along_axis(t1, lane, axis=1)
-                    acc = acc + vbuf[j, b * Wv + v].astype(acc_dtype) * g
-                ybuf[j, b, :] = jnp.sum(acc, axis=0).astype(ybuf.dtype)
+                    val = vbuf[j, b * Wv + v].astype(acc_dtype)
+                    for k in range(K):
+                        win8 = xbuf[j, k, pl.ds(q * 8, 8), :]
+                        t1 = jnp.take_along_axis(win8, sub, axis=0)
+                        g = jnp.take_along_axis(t1, lane, axis=1)
+                        acc[k] = acc[k] + val * g
+                for k in range(K):
+                    ybuf[j, k, b, :] = jnp.sum(acc[k], axis=0).astype(
+                        ybuf.dtype)
             y_dma(t, j).start()
 
             @pl.when(t + NB < Gs)
             def _():
                 v_dma(t + NB, j).start()
                 i_dma(t + NB, j).start()
-                x_dma(t + NB, j).start()
+                for k in range(K):
+                    x_dma(t + NB, j, k).start()
         return 0
 
     jax.lax.fori_loop(0, Gs // NB, outer, 0)
@@ -268,8 +280,11 @@ def _pell_kernel(xbase_ref, qw_ref, xp_ref, vals_ref, idx_ref, out_ref,
         y_dma(Gs - NB + j, j).wait()
 
 
+_MAX_RHS = 8               # matrix tiles stream once per <=8-column chunk
+
+
 @functools.lru_cache(maxsize=64)
-def _build_pell_call(meta_items, dtype_name, interpret, NB=4):
+def _build_pell_call(meta_items, dtype_name, interpret, K=1, NB=4):
     meta = dict(meta_items)
     Gs, Wv, XW = meta["Gs"], meta["Wv"], meta["XW"]
     NB = max(1, min(NB, Gs))
@@ -277,11 +292,11 @@ def _build_pell_call(meta_items, dtype_name, interpret, NB=4):
     dtype = jnp.dtype(dtype_name)
     XWr = XW // LANES
     kernel = functools.partial(
-        _pell_kernel, Gs=Gs_pad, Wv=Wv, XWr=XWr, NB=NB,
+        _pell_kernel, Gs=Gs_pad, Wv=Wv, XWr=XWr, NB=NB, K=K,
         acc_dtype=jnp.float32)
     slots = _BLOCKS_PER_SB * Wv
     vmem = NB * (slots * 8 * LANES * (dtype.itemsize + 2)
-                 + XWr * LANES * dtype.itemsize) + (2 << 20)
+                 + K * XWr * LANES * dtype.itemsize) + (2 << 20)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,        # xbase_row, qw
         grid=(1,),
@@ -291,17 +306,17 @@ def _build_pell_call(meta_items, dtype_name, interpret, NB=4):
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[pltpu.VMEM((NB, slots, 8, LANES), dtype),
                         pltpu.VMEM((NB, slots, 8, LANES), jnp.int16),
-                        pltpu.VMEM((NB, XWr, LANES), dtype),
-                        pltpu.VMEM((NB, _BLOCKS_PER_SB, LANES), dtype),
+                        pltpu.VMEM((NB, K, XWr, LANES), dtype),
+                        pltpu.VMEM((NB, K, _BLOCKS_PER_SB, LANES), dtype),
                         pltpu.SemaphoreType.DMA((NB,)),
                         pltpu.SemaphoreType.DMA((NB,)),
-                        pltpu.SemaphoreType.DMA((NB,)),
+                        pltpu.SemaphoreType.DMA((NB, K)),
                         pltpu.SemaphoreType.DMA((NB,))],
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((Gs_pad, _BLOCKS_PER_SB, LANES),
+        out_shape=jax.ShapeDtypeStruct((Gs_pad, K, _BLOCKS_PER_SB, LANES),
                                        dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=min(128 << 20, vmem * 2)),
@@ -309,28 +324,43 @@ def _build_pell_call(meta_items, dtype_name, interpret, NB=4):
     ), Gs_pad
 
 
+def _pad_x_chunk(b_chunk, meta):
+    """(m, K) columns -> (K, xpad_rows, LANES)."""
+    m, rows = meta["m"], meta["xpad_rows"]
+    K = b_chunk.shape[1]
+    return jnp.pad(b_chunk, ((0, rows * LANES - m), (0, 0))).T.reshape(
+        K, rows, LANES)
+
+
 def pell_spmv_pallas(vals, idx, qw, xbase_row, meta_items, b, *,
                      interpret=False):
     meta = dict(meta_items)
     n, Gs, Wv = meta["n"], meta["Gs"], meta["Wv"]
-    call, Gs_pad = _build_pell_call(meta_items, jnp.dtype(b.dtype).name,
-                                    interpret)
-    if Gs_pad != Gs:
-        pad = Gs_pad - Gs
-        vals = jnp.concatenate(
-            [vals, jnp.zeros((pad,) + vals.shape[1:], vals.dtype)])
-        idx = jnp.concatenate(
-            [idx, jnp.zeros((pad,) + idx.shape[1:], idx.dtype)])
-        qw = jnp.concatenate(
-            [qw, jnp.zeros((pad * _BLOCKS_PER_SB * Wv,), qw.dtype)])
-        xbase_row = jnp.concatenate(
-            [xbase_row, jnp.zeros((pad,), xbase_row.dtype)])
     outs = []
-    for kk in range(b.shape[1]):
-        xp = _pad_x(b[:, kk], meta)
-        y = call(xbase_row, qw, xp, vals, idx)
-        outs.append(y.reshape(Gs_pad * _SB_ROWS)[:n])
-    return jnp.stack(outs, axis=1)
+    padded = None
+    for k0 in range(0, b.shape[1], _MAX_RHS):
+        chunk = b[:, k0:k0 + _MAX_RHS]
+        K = chunk.shape[1]
+        call, Gs_pad = _build_pell_call(meta_items,
+                                        jnp.dtype(b.dtype).name,
+                                        interpret, K)
+        if padded is None:
+            if Gs_pad != Gs:
+                pad = Gs_pad - Gs
+                vals = jnp.concatenate(
+                    [vals, jnp.zeros((pad,) + vals.shape[1:], vals.dtype)])
+                idx = jnp.concatenate(
+                    [idx, jnp.zeros((pad,) + idx.shape[1:], idx.dtype)])
+                qw = jnp.concatenate(
+                    [qw, jnp.zeros((pad * _BLOCKS_PER_SB * Wv,), qw.dtype)])
+                xbase_row = jnp.concatenate(
+                    [xbase_row, jnp.zeros((pad,), xbase_row.dtype)])
+            padded = True
+        xp = _pad_x_chunk(chunk, meta)
+        y = call(xbase_row, qw, xp, vals, idx)     # (Gs_pad, K, 8, LANES)
+        outs.append(y.transpose(0, 2, 3, 1).reshape(
+            Gs_pad * _SB_ROWS, K)[:n])
+    return jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
 
 
 @register("pell_spmv", "tpu")
