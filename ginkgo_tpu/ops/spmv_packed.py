@@ -284,18 +284,23 @@ _MAX_RHS = 8               # matrix tiles stream once per <=8-column chunk
 
 
 @functools.lru_cache(maxsize=64)
-def _build_pell_call(meta_items, dtype_name, interpret, K=1, NB=4):
+def _build_pell_call(meta_items, dtype_name, interpret, K=1, NB=4,
+                     vdtype_name=None):
+    """``vdtype_name``: value-storage dtype (bf16/f16 storage halves the
+    dominant vals stream while gathers/accumulation stay f32 — same
+    mixed-storage trick as the banded kernel)."""
     meta = dict(meta_items)
     Gs, Wv, XW = meta["Gs"], meta["Wv"], meta["XW"]
     NB = max(1, min(NB, Gs))
     Gs_pad = -(-Gs // NB) * NB
     dtype = jnp.dtype(dtype_name)
+    vdtype = jnp.dtype(vdtype_name or dtype_name)
     XWr = XW // LANES
     kernel = functools.partial(
         _pell_kernel, Gs=Gs_pad, Wv=Wv, XWr=XWr, NB=NB, K=K,
         acc_dtype=jnp.float32)
     slots = _BLOCKS_PER_SB * Wv
-    vmem = NB * (slots * 8 * LANES * (dtype.itemsize + 2)
+    vmem = NB * (slots * 8 * LANES * (vdtype.itemsize + 2)
                  + K * XWr * LANES * dtype.itemsize) + (2 << 20)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,        # xbase_row, qw
@@ -304,7 +309,7 @@ def _build_pell_call(meta_items, dtype_name, interpret, K=1, NB=4):
                   pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        scratch_shapes=[pltpu.VMEM((NB, slots, 8, LANES), dtype),
+        scratch_shapes=[pltpu.VMEM((NB, slots, 8, LANES), vdtype),
                         pltpu.VMEM((NB, slots, 8, LANES), jnp.int16),
                         pltpu.VMEM((NB, K, XWr, LANES), dtype),
                         pltpu.VMEM((NB, K, _BLOCKS_PER_SB, LANES), dtype),
@@ -343,7 +348,9 @@ def pell_spmv_pallas(vals, idx, qw, xbase_row, meta_items, b, *,
         K = chunk.shape[1]
         call, Gs_pad = _build_pell_call(meta_items,
                                         jnp.dtype(b.dtype).name,
-                                        interpret, K)
+                                        interpret, K,
+                                        vdtype_name=jnp.dtype(
+                                            vals.dtype).name)
         if padded is None:
             if Gs_pad != Gs:
                 pad = Gs_pad - Gs
@@ -366,11 +373,14 @@ def pell_spmv_pallas(vals, idx, qw, xbase_row, meta_items, b, *,
 @register("pell_spmv", "tpu")
 def pell_spmv_tpu(vals, idx, qw, xbase_row, meta_items, b):
     ok = (jnp.dtype(b.dtype) == jnp.float32
-          and jnp.dtype(vals.dtype) == jnp.float32)
+          and jnp.dtype(vals.dtype) in (jnp.dtype(jnp.float32),
+                                        jnp.dtype(jnp.bfloat16),
+                                        jnp.dtype(jnp.float16)))
     if not ok:
         from ..log.logger import PERFORMANCE_FALLBACK, dispatch
         dispatch(PERFORMANCE_FALLBACK, kernel="pell_spmv",
-                 reason="non-f32 dtype (Pallas path is f32-only)")
+                 reason="unsupported dtype (Pallas path: f32 vectors, "
+                        "f32/bf16/f16 values)")
         return pell_spmv_reference(vals, idx, qw, xbase_row,
                                    meta_items, b)
     return pell_spmv_pallas(vals, idx, qw, xbase_row, meta_items, b)

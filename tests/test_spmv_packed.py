@@ -96,3 +96,30 @@ def test_packed_empty_and_identity():
     b = np.random.default_rng(3).standard_normal((n, 2))
     y = _apply_packed(eye, jnp.asarray(b))
     np.testing.assert_allclose(y, b, rtol=1e-12)
+
+
+def test_packed_bf16_storage_f32_math():
+    """bf16 value storage with f32 vectors/accumulation (the banded
+    kernel's mixed-storage mode, applied to the packed layout — halves
+    the dominant vals stream on chip)."""
+    n = 2048
+    data = _fem_like(n, seed=9)
+    d = data.canonical()
+    layout, tail, stats = P.plan_packed_layout(d, d.values)
+    args = [jnp.asarray(layout["vals"], jnp.bfloat16),
+            jnp.asarray(layout["idx"]), jnp.asarray(layout["qw"]),
+            jnp.asarray(layout["xbase_row"])]
+    b = np.random.default_rng(4).standard_normal((n, 2))
+    y_ref = np.asarray(P.pell_spmv_reference(
+        *args, layout["meta"], jnp.asarray(b, jnp.float32)))
+    y_pl = np.asarray(P.pell_spmv_pallas(
+        *args, layout["meta"], jnp.asarray(b, jnp.float32),
+        interpret=True))
+    np.testing.assert_allclose(y_pl, y_ref, rtol=2e-2, atol=2e-2)
+    # and against the exact oracle within bf16 tolerance
+    tr, tc, tv = tail
+    import scipy.sparse as _sp
+    oracle = (_sp.csr_matrix((d.values, (d.row_idx, d.col_idx)),
+                             shape=d.shape) @ b
+              - _sp.csr_matrix((tv, (tr, tc)), shape=d.shape) @ b)
+    np.testing.assert_allclose(y_pl, oracle, rtol=3e-2, atol=3e-2)
