@@ -392,6 +392,12 @@ class _BatchSolver:
             res = dataclasses.replace(
                 res, x=res.x[..., 0], iterations=res.iterations[..., 0],
                 resnorm=res.resnorm[..., 0], converged=res.converged[..., 0])
+        from .log import logger as _log
+        if _log.has_loggers():
+            from jax import core as _jcore
+            if not isinstance(res.resnorm, _jcore.Tracer):
+                _log.dispatch(_log.BATCH_SOLVE_COMPLETED,
+                              num_systems=int(b.shape[0]), result=res)
         return res
 
 

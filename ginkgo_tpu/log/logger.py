@@ -30,11 +30,17 @@ ITERATION_COMPLETE = "iteration_complete"   # chunked/host-loop mode only
 IO_READ = "io_read"
 IO_WRITE = "io_write"
 PERFORMANCE_FALLBACK = "performance_fallback"   # kernel left its fast tier
+# criterion_check_completed analog (host-loop mode; per check)
+CRITERION_CHECK_COMPLETED = "criterion_check_completed"
+# batch::log::BatchConvergence analog: fires once per batch solve with
+# the per-system iterations/residuals in the result
+BATCH_SOLVE_COMPLETED = "batch_solve_completed"
 
 ALL_EVENTS = frozenset({
     LINOP_APPLY_STARTED, LINOP_APPLY_COMPLETED, FACTORY_GENERATE_STARTED,
     FACTORY_GENERATE_COMPLETED, SOLVE_STARTED, SOLVE_COMPLETED,
     ITERATION_COMPLETE, IO_READ, IO_WRITE, PERFORMANCE_FALLBACK,
+    CRITERION_CHECK_COMPLETED, BATCH_SOLVE_COMPLETED,
 })
 
 

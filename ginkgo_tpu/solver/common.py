@@ -157,6 +157,11 @@ def run_iteration_loop(step_fn, make_check_args, state0, criterion: Criterion,
                 iters=carry["iters"] + carry["active"].astype(jnp.int32))
             if _log.has_loggers():
                 _log.dispatch(_log.ITERATION_COMPLETE, iteration=int(it))
+                _log.dispatch(_log.CRITERION_CHECK_COMPLETED,
+                              iteration=int(it),
+                              num_stopped=int(np.sum(np.asarray(stop))),
+                              num_converged=int(np.sum(np.asarray(conv
+                                                                  & stop))))
         return carry, None
 
     if not trace:

@@ -225,3 +225,21 @@ def test_iteration_complete_events_in_host_loop():
                  | Time(time_limit=60.0))
     iters = [d for e, d in rec.data if e == "iteration_complete"]
     assert len(iters) >= 1
+    # criterion_check_completed fires alongside each host-loop check
+    checks = [d for e, d in rec.data if e == "criterion_check_completed"]
+    assert len(checks) == len(iters)
+    assert checks[-1]["num_converged"] >= 1
+
+
+def test_batch_solve_completed_event():
+    from ginkgo_tpu.batch import BatchCg, BatchCsr
+    from ginkgo_tpu.log import Record
+    from ginkgo_tpu.utils.generators import stencil_2d
+    data = stencil_2d(5, points=5)
+    vals = np.stack([data.canonical().values] * 3)
+    with capture(Record()) as rec:
+        res = BatchCg(max_iterations=100, tolerance=1e-8).solve(
+            BatchCsr.from_data((data, vals)), jnp.ones((3, 25)))
+    assert bool(res.converged.all())
+    evts = [d for e, d in rec.data if e == "batch_solve_completed"]
+    assert len(evts) == 1 and evts[0]["num_systems"] == 3
