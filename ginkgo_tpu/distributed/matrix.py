@@ -70,6 +70,19 @@ class DistributedMatrix(LinOp):
     # (neighborhood_communicator.cpp:139-152 analog)
     send_nb: jnp.ndarray | None = None   # (P, sum_s S_s)
     ghost_roff: jnp.ndarray | None = None  # (P, G) offset into recv concat
+    # banded local-block fast path: when every part's local block fits a
+    # shared diagonal set (stencil/PDE partitions do), the owned-block SpMV
+    # inside shard_map runs the SAME banded kernel as the single-chip tier
+    # (Pallas on TPU, fused shifts on CPU) instead of the 7 ns/element
+    # gather — per-chip speed of light for the dominant local work.
+    # loc_* stay complete (diagonal extraction/to_dense/Schwarz read them);
+    # _apply uses dia_vals + the off-band loc tail instead.
+    dia_vals: jnp.ndarray | None = None       # (P, G, D, S, 128) blocked
+    lt_rows: jnp.ndarray | None = None        # (P, T) off-band local tail
+    lt_cols: jnp.ndarray | None = None
+    lt_vals: jnp.ndarray | None = None
+    dia_offsets: tuple = static_field(default=None)
+    dia_meta: tuple = static_field(default=None)
     mesh: object = static_field(default=None)
     axis: str = static_field(default="rows")
     # CollectiveCommunicator strategy (collective_communicator.hpp:31):
@@ -92,13 +105,28 @@ class DistributedMatrix(LinOp):
         shifts = self.shifts
         sizes = self.shift_sizes
 
-        def local_blocks(lr, lc, lv, nr, ng, nv, ghost, b_loc):
-            y = jax.ops.segment_sum(
-                lv[:, None].astype(b_loc.dtype) * b_loc[lc], lr,
-                num_segments=local + 1)[:local]
+        use_dia = self.dia_vals is not None
+        dia_offsets = self.dia_offsets
+        dia_meta = dict(self.dia_meta) if use_dia else None
+
+        def local_blocks(lr, lc, lv, nr, ng, nv, ghost, b_loc,
+                         dv=None, tr=None, tc=None, tv=None):
+            if use_dia:
+                from ..ops.registry import lookup
+                y = lookup("dia_spmv")(dia_offsets, dv, dia_meta, b_loc)
+                y = y + jax.ops.segment_sum(
+                    tv[:, None].astype(b_loc.dtype) * b_loc[tc], tr,
+                    num_segments=local + 1)[:local]
+            else:
+                y = jax.ops.segment_sum(
+                    lv[:, None].astype(b_loc.dtype) * b_loc[lc], lr,
+                    num_segments=local + 1)[:local]
             return y + jax.ops.segment_sum(
                 nv[:, None].astype(b_loc.dtype) * ghost[ng], nr,
                 num_segments=local + 1)[:local]
+
+        dia_args = ((self.dia_vals, self.lt_rows, self.lt_cols,
+                     self.lt_vals) if use_dia else ())
 
         if comm == "neighborhood":
             # O(neighbors) halo exchange: one per-shift ppermute ring
@@ -108,10 +136,12 @@ class DistributedMatrix(LinOp):
                          np.concatenate([[0], np.cumsum(sizes)])) \
                 if sizes else (0,)
 
-            def shard_spmv(lr, lc, lv, nr, ng, nv, snb, groff, b_loc):
+            def shard_spmv(lr, lc, lv, nr, ng, nv, snb, groff, b_loc,
+                           *dia):
                 lr, lc, lv = lr[0], lc[0], lv[0]
                 nr, ng, nv = nr[0], ng[0], nv[0]
                 snb, groff = snb[0], groff[0]
+                dia = tuple(a[0] for a in dia)
                 packed = b_loc[jnp.clip(snb, 0, local - 1)]
                 chunks = []
                 for t, s in enumerate(shifts):
@@ -123,37 +153,45 @@ class DistributedMatrix(LinOp):
                                        b_loc.dtype))
                 ghost = recv[groff]
                 return local_blocks(lr, lc, lv, nr, ng, nv, ghost,
-                                    b_loc)
+                                    b_loc, *dia)
 
             p2 = PartitionSpec(axis, None)
+            dia_specs = tuple(PartitionSpec(axis, *([None] * (a.ndim - 1)))
+                              for a in dia_args)
             return jax.shard_map(
                 shard_spmv, mesh=self.mesh,
-                in_specs=(p2, p2, p2, p2, p2, p2, p2, p2, p2),
+                in_specs=(p2, p2, p2, p2, p2, p2, p2, p2, p2) + dia_specs,
                 out_specs=PartitionSpec(axis, None))(
                 self.loc_rows, self.loc_cols, self.loc_vals,
                 self.nl_rows, self.nl_ghost, self.nl_vals,
-                self.send_nb, self.ghost_roff, b)
+                self.send_nb, self.ghost_roff, b, *dia_args)
 
-        def shard_spmv(lr, lc, lv, nr, ng, nv, sidx, gown, gslot, b_loc):
+        def shard_spmv(lr, lc, lv, nr, ng, nv, sidx, gown, gslot, b_loc,
+                       *dia):
             lr, lc, lv = lr[0], lc[0], lv[0]
             nr, ng, nv = nr[0], ng[0], nv[0]
             sidx, gown, gslot = sidx[0], gown[0], gslot[0]
+            dia = tuple(a[0] for a in dia)
             # pack + swap (halo exchange)
             send = b_loc[jnp.clip(sidx, 0, local - 1)]      # (P, S, k)
             recv = jax.lax.all_to_all(send, axis, split_axis=0,
                                       concat_axis=0, tiled=False)
             ghost = recv[gown, gslot]                        # (G, k)
-            return local_blocks(lr, lc, lv, nr, ng, nv, ghost, b_loc)
+            return local_blocks(lr, lc, lv, nr, ng, nv, ghost, b_loc,
+                                *dia)
 
         p2 = PartitionSpec(axis, None)
         p3 = PartitionSpec(axis, None, None)
+        dia_specs = tuple(PartitionSpec(axis, *([None] * (a.ndim - 1)))
+                          for a in dia_args)
         return jax.shard_map(
             shard_spmv, mesh=self.mesh,
-            in_specs=(p2, p2, p2, p2, p2, p2, p3, p2, p2, p2),
+            in_specs=(p2, p2, p2, p2, p2, p2, p3, p2, p2, p2) + dia_specs,
             out_specs=PartitionSpec(axis, None))(
             self.loc_rows, self.loc_cols, self.loc_vals,
             self.nl_rows, self.nl_ghost, self.nl_vals,
-            self.send_idx, self.ghost_owner, self.ghost_slot, b)
+            self.send_idx, self.ghost_owner, self.ghost_slot, b,
+            *dia_args)
 
     def extract_diagonal(self):
         from ..matrix.diagonal import Diagonal
@@ -282,6 +320,53 @@ class DistributedMatrix(LinOp):
         if comm == "auto":
             comm = ("neighborhood"
                     if len(shifts) <= max(2, P // 4) else "dense")
+        # banded local-block planning: one shared diagonal set for all
+        # parts (uniform shapes keep shard_map tracing one program);
+        # acceptance mirrors the single-device automatical rule so
+        # stencil/PDE partitions ride the Pallas banded kernel per chip
+        dia_kw = {}
+        if local >= 256 and sum(a.size for a in loc_vals):
+            from ..matrix.csr import (_BANDED_MAX_DIAGS, _BANDED_MIN_FILL,
+                                      _TAIL_FRACTION)
+            from ..ops.spmv_pallas import (block_diag_values,
+                                           plan_banded_layout)
+            off_p = [c - r for r, c in zip(loc_rows, loc_cols)]
+            offsets, counts = np.unique(np.concatenate(off_p),
+                                        return_counts=True)
+            nt = local * P
+            dense_enough = counts >= 0.3 * nt
+            chosen = offsets[dense_enough]
+            if chosen.size > _BANDED_MAX_DIAGS:
+                order = np.argsort(-counts[dense_enough])
+                chosen = np.sort(chosen[order[:_BANDED_MAX_DIAGS]])
+            kept = counts[np.isin(offsets, chosen)].sum()
+            total = counts.sum()
+            if (chosen.size
+                    and kept / (chosen.size * nt) >= _BANDED_MIN_FILL
+                    and total - kept <= max(64 * P,
+                                            _TAIL_FRACTION * chosen.size
+                                            * nt)):
+                offsets_t = tuple(int(o) for o in chosen)
+                meta = plan_banded_layout(offsets_t, local)
+                dvbs, t_r, t_c, t_v = [], [], [], []
+                for p in range(P):
+                    keep_p = np.isin(off_p[p], chosen)
+                    dv = np.zeros((chosen.size, local), vdtype)
+                    dv[np.searchsorted(chosen, off_p[p][keep_p]),
+                       loc_rows[p][keep_p]] = loc_vals[p][keep_p]
+                    dvbs.append(block_diag_values(dv, meta))
+                    t_r.append(loc_rows[p][~keep_p])
+                    t_c.append(loc_cols[p][~keep_p])
+                    t_v.append(loc_vals[p][~keep_p])
+                dia_kw = dict(
+                    dia_vals=jnp.asarray(np.stack(dvbs)),
+                    lt_rows=jnp.asarray(_pad2(t_r, local, np.int64),
+                                        index_dtype),
+                    lt_cols=jnp.asarray(_pad2(t_c, 0, np.int64),
+                                        index_dtype),
+                    lt_vals=jnp.asarray(_pad2(t_v, 0, vdtype)),
+                    dia_offsets=offsets_t,
+                    dia_meta=tuple(sorted(meta.items())))
         out = cls(
             loc_rows=jnp.asarray(_pad2(loc_rows, local, np.int64),
                                  index_dtype),
@@ -301,7 +386,7 @@ class DistributedMatrix(LinOp):
                                    index_dtype),
             shape=(P * local, P * local), local_size=local, num_parts=P,
             mesh=mesh, axis=axis, comm=comm, shifts=tuple(shifts),
-            shift_sizes=shift_sizes)
+            shift_sizes=shift_sizes, **dia_kw)
         # generate-time host metadata (not pytree state; used by
         # DistributedPgm and re-reads — lost across jit boundaries by design)
         out.host_data = d

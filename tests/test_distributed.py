@@ -101,6 +101,55 @@ def test_dist_spmv_matches_serial(P):
                                atol=1e-12)
 
 
+@pytest.mark.parametrize("comm", ["dense", "neighborhood"])
+def test_dist_banded_local_blocks(comm):
+    """local >= 256 stencil partitions plan the shared-diagonal banded
+    local block (dia_vals set) and the shard_map SpMV runs the banded
+    kernel per part — results must match the dense oracle exactly."""
+    from ginkgo_tpu.utils.generators import stencil_3d
+    data = stencil_3d(16, points=27)         # n=4096
+    n = data.shape[0]
+    P = 8
+    part = Partition.build_from_global_size_uniform(P, n)
+    mesh = _mesh(P)
+    A = read_distributed(data, part, mesh, comm=comm)
+    assert A.dia_vals is not None            # fast path planned
+    assert A.dia_vals.shape[0] == P
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((n, 2))
+    xs = distribute_vector(x, part, mesh)
+    y = np.asarray(A.apply(xs))
+    want = data.to_dense() @ x
+    np.testing.assert_allclose(part.from_padded(y), want, rtol=1e-12,
+                               atol=1e-12)
+    # solvers ride the same path unchanged
+    spd = make_spd(data, shift=30.0)
+    As = read_distributed(spd, part, mesh, comm=comm)
+    assert As.dia_vals is not None
+    b = distribute_vector(np.ones(n), part, mesh)
+    res = Cg.solve(As, b, criteria=Iteration(400) | ResidualNorm(1e-10))
+    assert bool(res.converged.all())
+    serial = Cg.solve(Csr.from_data(spd), jnp.ones(n),
+                      criteria=Iteration(400) | ResidualNorm(1e-10))
+    assert abs(int(res.iterations[0]) - int(serial.iterations[0])) <= 1
+
+
+def test_dist_scattered_local_keeps_gather_path():
+    """A random local pattern must NOT plan dia_vals (acceptance rule)
+    and still match the oracle."""
+    data = generate_random_matrix(2048, 2048, nonzeros_per_row=(1, 5),
+                                  seed=5)
+    part = Partition.build_from_global_size_uniform(4, 2048)
+    mesh = _mesh(4)
+    A = read_distributed(data, part, mesh)
+    assert A.dia_vals is None
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2048, 1))
+    y = np.asarray(A.apply(distribute_vector(x, part, mesh)))
+    np.testing.assert_allclose(part.from_padded(y), data.to_dense() @ x,
+                               rtol=1e-12, atol=1e-12)
+
+
 def test_dist_matrix_to_dense_matches():
     data = generate_random_matrix(20, 20, nonzeros_per_row=(1, 6), seed=3)
     part = Partition.build_from_global_size_uniform(4, 20)
