@@ -30,17 +30,24 @@ def _ceil_to(m: int, block: int) -> int:
 
 
 @functools.lru_cache(maxsize=32)
-def _row_write_call(shape, dtype_name, interpret):
+def _row_write_call(shape, chunk, dtype_name, interpret):
     """Pallas in-place basis-column write: one HBM->HBM DMA of row i
     with the store aliased in/out (input_output_aliases), so XLA cannot
     materialize a full-buffer copy of the Krylov basis per Arnoldi step
     (the dynamic_update_slice path costs ~7 us per ALLOCATED column per
-    iteration on chip — see BENCHMARKS.md)."""
+    iteration on chip — see BENCHMARKS.md).
+
+    ``shape`` is the store viewed 2-D with the basis column occupying
+    ``chunk`` consecutive rows (a 1-row slice of an (m, n) buffer is not
+    a legal Mosaic DMA unit — slices along the sublane dim must be
+    8-aligned — so callers bitcast (m, n) -> (m*n/128, 128) with
+    chunk = n/128, and (m, n, k) -> (m*n, k) with chunk = n)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     def kern(i_ref, row_ref, store_in_ref, out_ref, sem):
-        cp = pltpu.make_async_copy(row_ref, out_ref.at[i_ref[0]], sem)
+        cp = pltpu.make_async_copy(
+            row_ref, out_ref.at[pl.ds(i_ref[0] * chunk, chunk)], sem)
         cp.start()
         cp.wait()
 
@@ -70,16 +77,28 @@ def _use_pallas_write(dtype) -> bool:
         return False
 
 
-def inplace_row_write(store, i, row):
+def inplace_row_write(store, i, row, *, interpret=False):
     """store[i] = row via the aliased Pallas DMA (TPU backends), or
-    dynamic_update_slice elsewhere."""
-    if _use_pallas_write(store.dtype):
-        call = _row_write_call(store.shape, jnp.dtype(store.dtype).name,
-                               False)
-        return call(jnp.asarray([i], jnp.int32),
-                    row.astype(store.dtype), store)
+    dynamic_update_slice elsewhere.  The DMA path needs an 8-sublane-
+    aligned chunk: n % 1024 == 0 for 2-D stores, n % 8 == 0 for 3-D."""
+    use = interpret or _use_pallas_write(store.dtype)
+    dname = jnp.dtype(store.dtype).name
+    row = row.astype(store.dtype)
+    if use and store.ndim == 2 and store.shape[1] % 1024 == 0:
+        m_pad, n = store.shape
+        nr = n // 128
+        call = _row_write_call((m_pad * nr, 128), nr, dname, interpret)
+        out = call(jnp.asarray([i], jnp.int32), row.reshape(nr, 128),
+                   store.reshape(m_pad * nr, 128))
+        return out.reshape(m_pad, n)
+    if use and store.ndim == 3 and store.shape[1] % 8 == 0:
+        m_pad, n, k = store.shape
+        call = _row_write_call((m_pad * n, k), n, dname, interpret)
+        out = call(jnp.asarray([i], jnp.int32), row,
+                   store.reshape(m_pad * n, k))
+        return out.reshape(m_pad, n, k)
     return jax.lax.dynamic_update_slice_in_dim(
-        store, row.astype(store.dtype)[None], i, 0)
+        store, row[None], i, 0)
 
 
 class _SqueezeK1:

@@ -180,23 +180,28 @@ def test_krylov_dim_zero_raises():
 
 def test_inplace_row_write_pallas_interpret():
     """The aliased Pallas basis write (TPU fast path) matches the
-    dynamic_update_slice semantics, incl. int16 compressed storage."""
-    import jax
+    dynamic_update_slice semantics, incl. int16 compressed storage.
+    The store is bitcast so the written column is an 8-sublane-aligned
+    chunk (a 1-row slice of an (m, n) buffer is not a legal Mosaic DMA
+    unit — Mosaic requires dim-0 slices aligned to the (8, 128) tiling)."""
     import jax.numpy as jnp
-    from ginkgo_tpu.solver.krylov_basis import _row_write_call
+    from ginkgo_tpu.solver.krylov_basis import inplace_row_write
 
     for dtype in (jnp.float32, jnp.int16):
-        store = jnp.full((6, 384), 3, dtype)
-        row = jnp.arange(384).astype(dtype)
-        call = _row_write_call((6, 384), jnp.dtype(dtype).name, True)
-        out = call(jnp.asarray([4], jnp.int32), row, store)
+        # 2-D squeezed store, n % 1024 == 0 -> DMA path
+        store = jnp.full((6, 2048), 3, dtype)
+        row = jnp.arange(2048).astype(dtype)
+        out = inplace_row_write(store, 4, row, interpret=True)
         assert (np.asarray(out[4]) == np.asarray(row)).all()
         assert (np.asarray(out[:4]) == 3).all()
         assert (np.asarray(out[5]) == 3).all()
-        # multivector layout (m, n, k)
-        store3 = jnp.zeros((4, 256, 2), jnp.float32)
-        row3 = jnp.ones((256, 2), jnp.float32)
-        call3 = _row_write_call((4, 256, 2), "float32", True)
-        out3 = call3(jnp.asarray([1], jnp.int32), row3, store3)
-        assert float(np.abs(np.asarray(out3[1]) - 1).max()) == 0
-        assert float(np.abs(np.asarray(out3[0])).max()) == 0
+    # multivector layout (m, n, k), n % 8 == 0 -> DMA path
+    store3 = jnp.zeros((4, 256, 2), jnp.float32)
+    row3 = jnp.ones((256, 2), jnp.float32)
+    out3 = inplace_row_write(store3, 1, row3, interpret=True)
+    assert float(np.abs(np.asarray(out3[1]) - 1).max()) == 0
+    assert float(np.abs(np.asarray(out3[0])).max()) == 0
+    # misaligned n falls back to dynamic_update_slice (still correct)
+    store_m = jnp.zeros((3, 384), jnp.float32)
+    out_m = inplace_row_write(store_m, 2, jnp.ones(384), interpret=True)
+    assert float(np.asarray(out_m[2]).min()) == 1.0
