@@ -67,7 +67,13 @@ def _row_write_call(shape, chunk, dtype_name, interpret):
 
 
 def _use_pallas_write(dtype) -> bool:
-    if os.environ.get("GINKGO_TPU_NO_PALLAS_WRITE"):
+    """OFF by default after on-chip A/B measurement (v5e, n=262k,
+    GMRES(30) in-cycle): the DMA path costs 404 us/iter vs 253 for
+    dynamic_update_slice — XLA already updates while-loop carries in
+    place, and the (m, n) <-> (m*n/128, 128) reshape around the aliased
+    pallas_call is a physical re-tiling copy, not a bitcast.  Kept
+    behind GINKGO_TPU_PALLAS_WRITE=1 for future hardware/XLA versions."""
+    if not os.environ.get("GINKGO_TPU_PALLAS_WRITE"):
         return False
     if jnp.dtype(dtype).itemsize not in (2, 4):
         return False                       # f64/complex: CPU tier only
