@@ -500,4 +500,12 @@ def _fallback_general(d: MatrixData, values_np: np.ndarray):
     pell = _process_packed(d, values_np)
     if pell is not None:
         return "packed", None, None, None, pell[1], pell[0]
+    if d.nnz >= 1 << 16:
+        # large matrix on the gather path: tell the user the framework's
+        # prescription (performance_hint.hpp analog)
+        from ..log.logger import PERFORMANCE_FALLBACK, dispatch
+        dispatch(PERFORMANCE_FALLBACK, kernel="csr_spmv",
+                 reason="no column locality for the banded/packed layouts"
+                        " — classical gather SpMV is ~7 ns/element on TPU;"
+                        " apply Rcm/NestedDissection reordering first")
     return "classical", None, None, None, None, None

@@ -216,8 +216,8 @@ def measure_df64(n_edge=64):
     import scipy.sparse as sp
     d = data.canonical()
     As = sp.csr_matrix((d.values, (d.row_idx, d.col_idx)), shape=d.shape)
-    x64 = np.asarray(xh, np.float64) + np.asarray(xl, np.float64)
-    r = np.asarray(b, np.float64) - As @ x64
+    x64 = (np.asarray(xh, np.float64) + np.asarray(xl, np.float64)).ravel()
+    r = np.asarray(b, np.float64).ravel() - As @ x64
     rel = float(np.linalg.norm(r) / np.linalg.norm(np.asarray(b)))
     print(f"df64-IR n={n}: rel residual {rel:.2e} in {t:.1f}s "
           f"(incl. compile)", flush=True)
@@ -240,13 +240,38 @@ def main():
     if do("packed"):
         n = 2**19 if args.quick else 2**21
         spmv_report(fem_like(n), "fem", stream, out)
-        n2 = 2**18 if args.quick else 2**20
+        # 2**18 regardless of --quick: the python cell-loop generator and
+        # host RCM dominate beyond that (the kernel number is size-stable)
+        n2 = 2**18
         data = scattered_rcm(n2)
         from ginkgo_tpu.matrix.permutation import permute_data, permute_mode
         from ginkgo_tpu.reorder.rcm import rcm_ordering
         perm = rcm_ordering(data)
         spmv_report(permute_data(data, perm, permute_mode.symmetric),
                     "geo_rcm", stream, out)
+    if do("ksweep"):
+        from ginkgo_tpu import Csr
+        data = fem_like(2**19 if args.quick else 2**20)
+        A = Csr.from_data(data, dtype=np.float32, strategy="packed")
+        n = data.shape[0]
+        nnz = data.canonical().nnz
+        for k in (1, 4, 8):
+            x = jnp.ones((n, k), jnp.float32)
+            nrm = float(jnp.abs(A._apply(x)).max())
+            scale = 1.0 / max(nrm, 1.0)
+
+            def make_chain(K, A=A, scale=scale):
+                @jax.jit
+                def chain(A, z):
+                    return jax.lax.fori_loop(
+                        0, K, lambda _, z: A._apply(z) * scale, z).sum()
+                return chain
+
+            t = _net(make_chain, (A, x), 8, 64)
+            out[f"packed_k{k}"] = {
+                "t_apply_us": round(t * 1e6, 1),
+                "gnnz_per_s": round(nnz * k / t / 1e9, 2)}
+            print(f"packed k={k}: {out[f'packed_k{k}']}", flush=True)
     if do("gmres"):
         out.update(measure_gmres(40 if args.quick else 64))
     if do("df64"):
