@@ -78,11 +78,18 @@ class DistributedMatrix(LinOp):
     # loc_* stay complete (diagonal extraction/to_dense/Schwarz read them);
     # _apply uses dia_vals + the off-band loc tail instead.
     dia_vals: jnp.ndarray | None = None       # (P, G, D, S, 128) blocked
-    lt_rows: jnp.ndarray | None = None        # (P, T) off-band local tail
+    lt_rows: jnp.ndarray | None = None        # (P, T) off-layout local tail
     lt_cols: jnp.ndarray | None = None
     lt_vals: jnp.ndarray | None = None
     dia_offsets: tuple = static_field(default=None)
     dia_meta: tuple = static_field(default=None)
+    # packed-slot local blocks (general unstructured partitions): per-part
+    # layouts padded to shared Wv/XW so one kernel serves every part
+    pell_vals: jnp.ndarray | None = None      # (P, Gs, 8*Wv, 8, 128)
+    pell_idx: jnp.ndarray | None = None
+    pell_qw: jnp.ndarray | None = None        # (P, Gs*8*Wv)
+    pell_xbase: jnp.ndarray | None = None     # (P, Gs)
+    pell_meta: tuple = static_field(default=None)
     mesh: object = static_field(default=None)
     axis: str = static_field(default="rows")
     # CollectiveCommunicator strategy (collective_communicator.hpp:31):
@@ -106,14 +113,20 @@ class DistributedMatrix(LinOp):
         sizes = self.shift_sizes
 
         use_dia = self.dia_vals is not None
+        use_pell = self.pell_vals is not None
         dia_offsets = self.dia_offsets
         dia_meta = dict(self.dia_meta) if use_dia else None
+        pell_meta = self.pell_meta
 
-        def local_blocks(lr, lc, lv, nr, ng, nv, ghost, b_loc,
-                         dv=None, tr=None, tc=None, tv=None):
+        def local_blocks(lr, lc, lv, nr, ng, nv, ghost, b_loc, *fast):
+            from ..ops.registry import lookup
             if use_dia:
-                from ..ops.registry import lookup
+                dv, tr, tc, tv = fast
                 y = lookup("dia_spmv")(dia_offsets, dv, dia_meta, b_loc)
+            elif use_pell:
+                pv, pi, pq, pxb, tr, tc, tv = fast
+                y = lookup("pell_spmv")(pv, pi, pq, pxb, pell_meta, b_loc)
+            if use_dia or use_pell:
                 y = y + jax.ops.segment_sum(
                     tv[:, None].astype(b_loc.dtype) * b_loc[tc], tr,
                     num_segments=local + 1)[:local]
@@ -125,8 +138,15 @@ class DistributedMatrix(LinOp):
                 nv[:, None].astype(b_loc.dtype) * ghost[ng], nr,
                 num_segments=local + 1)[:local]
 
-        dia_args = ((self.dia_vals, self.lt_rows, self.lt_cols,
-                     self.lt_vals) if use_dia else ())
+        if use_dia:
+            dia_args = (self.dia_vals, self.lt_rows, self.lt_cols,
+                        self.lt_vals)
+        elif use_pell:
+            dia_args = (self.pell_vals, self.pell_idx, self.pell_qw,
+                        self.pell_xbase, self.lt_rows, self.lt_cols,
+                        self.lt_vals)
+        else:
+            dia_args = ()
 
         if comm == "neighborhood":
             # O(neighbors) halo exchange: one per-shift ppermute ring
@@ -367,6 +387,9 @@ class DistributedMatrix(LinOp):
                     lt_vals=jnp.asarray(_pad2(t_v, 0, vdtype)),
                     dia_offsets=offsets_t,
                     dia_meta=tuple(sorted(meta.items())))
+            if not dia_kw:
+                dia_kw = _plan_packed_locals(P, local, loc_rows, loc_cols,
+                                             loc_vals, vdtype, index_dtype)
         out = cls(
             loc_rows=jnp.asarray(_pad2(loc_rows, local, np.int64),
                                  index_dtype),
@@ -392,6 +415,77 @@ class DistributedMatrix(LinOp):
         out.host_data = d
         out.host_partition = partition
         return out
+
+
+def _plan_packed_locals(P, local, loc_rows, loc_cols, loc_vals, vdtype,
+                        index_dtype):
+    """Packed-slot layouts for every part's local block, padded to shared
+    Wv/XW bounds so shard_map traces ONE kernel.  A layout planned with a
+    smaller window/vreg budget stays valid under larger uniform bounds:
+    qw (window row-groups) and idx ((chunk&7)*128+lane) encode positions
+    relative to the part's own xbase, independent of XW; extra Wv slots
+    pad with zero values.  Returns {} when any part rejects (acceptance
+    mirrors the single-device packed rule)."""
+    from ..matrix.csr import _PACKED_MAX_PAD, _PACKED_MAX_TAIL
+    from ..ops.spmv_packed import plan_packed_layout
+
+    plans = []
+    total_nnz = tot_ell = tot_slots = tot_tail = 0
+    for p in range(P):
+        d_p = MatrixData((local, local), loc_rows[p], loc_cols[p],
+                         loc_vals[p]).canonical()
+        layout, tail, stats = plan_packed_layout(d_p, d_p.values)
+        if layout is None:
+            return {}
+        plans.append((layout, tail, stats))
+        total_nnz += d_p.nnz
+        tot_ell += stats["ell_nnz"]
+        tot_slots += (layout["vals"].size if layout else 0)
+        tot_tail += stats["tail_nnz"]
+    if (tot_ell == 0 or tot_slots / max(tot_ell, 1) > _PACKED_MAX_PAD
+            or tot_tail > _PACKED_MAX_TAIL * max(total_nnz, 1)):
+        return {}
+    wv_max = max(dict(pl["meta"])["Wv"] for pl, _, _ in plans)
+    xw_max = max(dict(pl["meta"])["XW"] for pl, _, _ in plans)
+    xpad_max = max(dict(pl["meta"])["xpad_rows"] for pl, _, _ in plans)
+    # xpad must cover xbase + XW_max reads for every part
+    xpad_max = max(xpad_max,
+                   max(int(pl["xbase_row"].max(initial=0))
+                       for pl, _, _ in plans) + xw_max // 128)
+    pv, pi, pq, pxb, t_r, t_c, t_v = [], [], [], [], [], [], []
+    Gs = dict(plans[0][0]["meta"])["Gs"]
+    for layout, tail, _ in plans:
+        meta_p = dict(layout["meta"])
+        wv_p = meta_p["Wv"]
+        vals, idx, qw = layout["vals"], layout["idx"], layout["qw"]
+        if wv_p < wv_max:
+            # dim 1 is block-major (index = block*Wv + vreg): pad each
+            # block's vreg run, not the array tail
+            pad_v = ((0, 0), (0, 0), (0, wv_max - wv_p), (0, 0), (0, 0))
+            vals = np.pad(vals.reshape(Gs, 8, wv_p, 8, 128),
+                          pad_v).reshape(Gs, 8 * wv_max, 8, 128)
+            idx = np.pad(idx.reshape(Gs, 8, wv_p, 8, 128),
+                         pad_v).reshape(Gs, 8 * wv_max, 8, 128)
+            qw = np.pad(qw.reshape(Gs * 8, wv_p),
+                        ((0, 0), (0, wv_max - wv_p))).reshape(-1)
+        pv.append(vals)
+        pi.append(idx)
+        pq.append(qw)
+        pxb.append(layout["xbase_row"])
+        t_r.append(tail[0])
+        t_c.append(tail[1])
+        t_v.append(tail[2])
+    meta = dict(plans[0][0]["meta"])
+    meta.update(Wv=wv_max, XW=xw_max, xpad_rows=xpad_max)
+    return dict(
+        pell_vals=jnp.asarray(np.stack(pv)),
+        pell_idx=jnp.asarray(np.stack(pi)),
+        pell_qw=jnp.asarray(np.stack(pq)),
+        pell_xbase=jnp.asarray(np.stack(pxb)),
+        pell_meta=tuple(sorted(meta.items())),
+        lt_rows=jnp.asarray(_pad2(t_r, local, np.int64), index_dtype),
+        lt_cols=jnp.asarray(_pad2(t_c, 0, np.int64), index_dtype),
+        lt_vals=jnp.asarray(_pad2(t_v, 0, vdtype)))
 
 
 def read_distributed(data: MatrixData, partition: Partition, mesh=None,

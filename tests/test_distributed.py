@@ -134,6 +134,35 @@ def test_dist_banded_local_blocks(comm):
     assert abs(int(res.iterations[0]) - int(serial.iterations[0])) <= 1
 
 
+@pytest.mark.parametrize("comm", ["dense", "neighborhood"])
+def test_dist_packed_local_blocks(comm):
+    """Unstructured (non-banded) local blocks with column locality plan
+    the shared packed-slot layout (pell_vals set, per-part layouts padded
+    to uniform Wv/XW) and match the dense oracle."""
+    from ginkgo_tpu.base.matrix_data import MatrixData
+    rng = np.random.default_rng(3)
+    n, n_off = 8192, 24
+    offs = rng.integers(-400, 400, (n // 128, n_off))
+    pick = rng.random((n, n_off)) < 0.6
+    r = np.repeat(np.arange(n), n_off).reshape(n, n_off)
+    c = np.clip(r + offs[np.arange(n) // 128], 0, n - 1)
+    rows, cols = r[pick], c[pick]
+    key = np.unique(rows * n + cols)
+    rows, cols = key // n, key % n
+    vals = rng.standard_normal(rows.size)
+    data = MatrixData((n, n), rows, cols, vals)
+    P = 4
+    part = Partition.build_from_global_size_uniform(P, n)
+    mesh = _mesh(P)
+    A = read_distributed(data, part, mesh, comm=comm)
+    assert A.dia_vals is None and A.pell_vals is not None
+    assert A.pell_vals.shape[0] == P
+    x = rng.standard_normal((n, 2))
+    y = np.asarray(A.apply(distribute_vector(x, part, mesh)))
+    np.testing.assert_allclose(part.from_padded(y), data.to_dense() @ x,
+                               rtol=1e-11, atol=1e-11)
+
+
 def test_dist_scattered_local_keeps_gather_path():
     """A random local pattern must NOT plan dia_vals (acceptance rule)
     and still match the oracle."""
