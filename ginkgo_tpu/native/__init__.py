@@ -99,6 +99,12 @@ def _bind(lib):
     lib.gt_amd_order.argtypes = [ctypes.c_int64, i64p, i64p, i64p]
     lib.gt_nd_order.restype = ctypes.c_int
     lib.gt_nd_order.argtypes = [ctypes.c_int64, i64p, i64p, i64p]
+    lib.gt_ilu0.restype = ctypes.c_int
+    lib.gt_ilu0.argtypes = [ctypes.c_int64, i64p, i64p, f64p,
+                            ctypes.c_int32]
+    lib.gt_ic0.restype = ctypes.c_int
+    lib.gt_ic0.argtypes = [ctypes.c_int64, i64p, i64p, f64p,
+                           ctypes.c_int32]
     lib.gt_lu_factor.restype = ctypes.c_int64
     lib.gt_lu_factor.argtypes = [ctypes.c_int64, ctypes.c_int64, i64p,
                                  i64p, f64p, ctypes.c_int32, i64p, i64p]
@@ -374,6 +380,33 @@ def amd_order_native(n, ptr, adj):
     if rc != 0:
         return None
     return perm
+
+
+def ilu0_native(n, ptr, cols, vals):
+    """Exact ILU(0) on the CSR pattern (values updated IN PLACE; f64 or
+    c128 contiguous). Returns True, or None when native is unavailable."""
+    L = lib()
+    if L is None:
+        return None
+    is_cpx = np.iscomplexobj(vals)
+    rc = L.gt_ilu0(n, _ptr(ptr, ctypes.c_int64),
+                   _ptr(cols, ctypes.c_int64),
+                   vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                   1 if is_cpx else 0)
+    return rc == 0 or None
+
+
+def ic0_native(n, ptr, cols, vals):
+    """Exact IC(0) on the lower CSR pattern (values -> L in place)."""
+    L = lib()
+    if L is None:
+        return None
+    is_cpx = np.iscomplexobj(vals)
+    rc = L.gt_ic0(n, _ptr(ptr, ctypes.c_int64),
+                  _ptr(cols, ctypes.c_int64),
+                  vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                  1 if is_cpx else 0)
+    return rc == 0 or None
 
 
 def nd_order_native(n, ptr, adj):

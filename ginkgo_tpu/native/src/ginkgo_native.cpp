@@ -1395,3 +1395,109 @@ extern "C" int gt_nd_order(int64_t n, const int64_t* ptr, const int64_t* adj,
     nd::dissect(ptr, adj, verts, scratch, perm, &out, &seed);
     return (out == n) ? 0 : 1;
 }
+
+// ---------------------------------------------------------------------------
+// Exact ILU(0) / IC(0) on the given sparsity pattern (CSR, columns sorted,
+// values in-place) — the reference's par_ilu "exact" baseline
+// (core/factorization/par_ilu.cpp factorize on A's pattern).  IKJ with a
+// per-row position-scatter array: O(sum_i |row_i| * |lower(row_i)|).
+// The Python fallbacks in factorization/par_ilu.py are dict-based and
+// (for IC0) O(n^2) — unusable beyond toy sizes.
+
+extern "C" int gt_ilu0(int64_t n, const int64_t* ptr, const int64_t* cols,
+                       double* vals, int32_t is_complex) {
+    const int64_t w = is_complex ? 2 : 1;
+    std::vector<int64_t> pos(n, -1), dpos(n, -1);
+    for (int64_t i = 0; i < n; ++i)
+        for (int64_t e = ptr[i]; e < ptr[i + 1]; ++e)
+            if (cols[e] == i) dpos[i] = e;
+    auto cmul = [&](const double* a, const double* b, double* out) {
+        if (is_complex) {
+            double re = a[0] * b[0] - a[1] * b[1];
+            double im = a[0] * b[1] + a[1] * b[0];
+            out[0] = re; out[1] = im;
+        } else out[0] = a[0] * b[0];
+    };
+    auto cdiv = [&](double* a, const double* b) {
+        if (is_complex) {
+            double d = b[0] * b[0] + b[1] * b[1];
+            if (d == 0) return;
+            double re = (a[0] * b[0] + a[1] * b[1]) / d;
+            double im = (a[1] * b[0] - a[0] * b[1]) / d;
+            a[0] = re; a[1] = im;
+        } else if (b[0] != 0) a[0] /= b[0];
+    };
+    for (int64_t i = 0; i < n; ++i) {
+        for (int64_t e = ptr[i]; e < ptr[i + 1]; ++e) pos[cols[e]] = e;
+        for (int64_t e = ptr[i]; e < ptr[i + 1] && cols[e] < i; ++e) {
+            int64_t k = cols[e];
+            if (dpos[k] < 0) continue;
+            cdiv(&vals[e * w], &vals[dpos[k] * w]);   // l_ik = a_ik / u_kk
+            for (int64_t f = ptr[k]; f < ptr[k + 1]; ++f) {
+                int64_t j = cols[f];
+                if (j <= k) continue;
+                int64_t p = pos[j];
+                if (p >= 0) {
+                    double t[2];
+                    cmul(&vals[e * w], &vals[f * w], t);
+                    vals[p * w] -= t[0];
+                    if (is_complex) vals[p * w + 1] -= t[1];
+                }
+            }
+        }
+        for (int64_t e = ptr[i]; e < ptr[i + 1]; ++e) pos[cols[e]] = -1;
+    }
+    return 0;
+}
+
+// IC(0) on the LOWER pattern (ptr/cols cover j <= i, sorted); values
+// in-place become L with L L^H ~= A on the pattern.
+extern "C" int gt_ic0(int64_t n, const int64_t* ptr, const int64_t* cols,
+                      double* vals, int32_t is_complex) {
+    const int64_t w = is_complex ? 2 : 1;
+    std::vector<int64_t> pos(n, -1);
+    for (int64_t i = 0; i < n; ++i) {
+        for (int64_t e = ptr[i]; e < ptr[i + 1]; ++e) pos[cols[e]] = e;
+        for (int64_t e = ptr[i]; e < ptr[i + 1]; ++e) {
+            int64_t j = cols[e];
+            // s = a_ij - sum_{k<j, k in row_i ^ row_j} l_ik conj(l_jk)
+            double s[2] = {vals[e * w], is_complex ? vals[e * w + 1] : 0.0};
+            for (int64_t f = ptr[j]; f < ptr[j + 1] && cols[f] < j; ++f) {
+                int64_t p = pos[cols[f]];
+                if (p < 0) continue;
+                // s -= l_ik * conj(l_jk)
+                double a0 = vals[p * w];
+                double a1 = is_complex ? vals[p * w + 1] : 0.0;
+                double b0 = vals[f * w];
+                double b1 = is_complex ? -vals[f * w + 1] : 0.0;
+                s[0] -= a0 * b0 - a1 * b1;
+                s[1] -= a0 * b1 + a1 * b0;
+            }
+            if (j < i) {
+                // l_ij = s / l_jj  (l_jj real>0 by construction, but allow
+                // complex-safe divide)
+                int64_t dj = ptr[j + 1] - 1;   // diagonal is last in row j
+                bool has_diag = dj >= ptr[j] && cols[dj] == j;
+                double d0 = has_diag ? vals[dj * w] : 1.0;
+                double d1 = (is_complex && has_diag) ? vals[dj * w + 1]
+                                                     : 0.0;
+                double den = d0 * d0 + d1 * d1;
+                if (den != 0) {
+                    double re = (s[0] * d0 + s[1] * d1) / den;
+                    double im = (s[1] * d0 - s[0] * d1) / den;
+                    vals[e * w] = re;
+                    if (is_complex) vals[e * w + 1] = im;
+                } else {
+                    vals[e * w] = 0;
+                    if (is_complex) vals[e * w + 1] = 0;
+                }
+            } else {   // diagonal: l_jj = sqrt(|s|)
+                double mag = std::sqrt(std::hypot(s[0], s[1]));
+                vals[e * w] = (mag != 0) ? mag : 1.0;
+                if (is_complex) vals[e * w + 1] = 0;
+            }
+        }
+        for (int64_t e = ptr[i]; e < ptr[i + 1]; ++e) pos[cols[e]] = -1;
+    }
+    return 0;
+}
