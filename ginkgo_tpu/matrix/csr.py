@@ -420,7 +420,11 @@ def _process_strategy(strategy: str, d: MatrixData, values_np: np.ndarray):
     if strategy in ("load_balance", "merge_path", "sparselib", "classical"):
         return "classical", None, None, None, None, None
     if strategy == "packed":
-        pell = _process_packed(d, values_np)
+        # explicit request: skip the automatical pad-ratio economy check —
+        # even an 8x-padded stream beats the 7 ns/element gather tier by
+        # ~100x (e.g. single-entry-per-row transfer operators); only the
+        # tail cap (layout correctness economics) still applies
+        pell = _process_packed(d, values_np, max_pad=float("inf"))
         if pell is not None:
             return ("packed", None, None, None, pell[1], pell[0])
         return "classical", None, None, None, None, None
@@ -479,14 +483,15 @@ _PACKED_MAX_PAD = 6.0
 _PACKED_MAX_TAIL = 0.05
 
 
-def _process_packed(d: MatrixData, values_np: np.ndarray):
+def _process_packed(d: MatrixData, values_np: np.ndarray,
+                    max_pad: float = _PACKED_MAX_PAD):
     """(layout, tail) for the packed-slot windowed-ELL general-matrix
     path, or None when the matrix does not fit its static bounds."""
     from ..ops.spmv_packed import plan_packed_layout
     layout, tail, stats = plan_packed_layout(d, values_np)
     if layout is None:
         return None
-    if (stats["pad_ratio"] > _PACKED_MAX_PAD
+    if (stats["pad_ratio"] > max_pad
             or stats["tail_nnz"] > _PACKED_MAX_TAIL * max(d.nnz, 1)):
         return None
     if tail is not None and len(tail[0]) == 0:

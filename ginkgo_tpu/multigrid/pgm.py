@@ -25,16 +25,24 @@ from ..matrix.csr import Csr
 
 @linop_dataclass
 class AggProlong(LinOp):
-    """x_fine = x_coarse[agg] — unsmoothed-aggregation prolongation."""
+    """x_fine = x_coarse[agg] — unsmoothed-aggregation prolongation.
+
+    ``op`` optionally holds the same map as a fast-layout Csr (the P
+    matrix): XLA's gather is ~7 ns/element on TPU, which made the
+    transfer operators dominate the V-cycle at scale; as a packed/banded
+    SpMV the transfer runs at stream speed."""
 
     agg: jnp.ndarray                      # (n_fine,) aggregate id per row
     num_coarse: int = static_field()
+    op: object = None
 
     @property
     def shape(self):
         return (self.agg.shape[0], self.num_coarse)
 
     def _apply(self, b):
+        if self.op is not None:
+            return self.op._apply(b)
         return b[self.agg]
 
 
@@ -44,14 +52,53 @@ class AggRestrict(LinOp):
 
     agg: jnp.ndarray
     num_coarse: int = static_field()
+    op: object = None
 
     @property
     def shape(self):
         return (self.num_coarse, self.agg.shape[0])
 
     def _apply(self, b):
+        if self.op is not None:
+            return self.op._apply(b)
         return jax.ops.segment_sum(b, self.agg,
                                    num_segments=self.num_coarse)
+
+
+def _coarse_csr(coarse_data: MatrixData) -> Csr:
+    """Coarse Galerkin operator on the fastest accepted layout: automatical
+    (banded/packed within economy caps) with an explicit-packed retry —
+    aggregation densifies rows, which pushes mid-level pad ratios just
+    past the automatical cap while the packed stream still beats the
+    gather tier by orders of magnitude."""
+    C = Csr.from_data(coarse_data, strategy="automatical")
+    if C.strategy == "classical" and coarse_data.nnz >= (1 << 14):
+        C2 = Csr.from_data(coarse_data, strategy="packed")
+        if C2.strategy == "packed":
+            return C2
+    return C
+
+
+def _agg_transfer_ops(agg: np.ndarray, nc: int):
+    """(P, R) as packed-strategy Csr operators, or (None, None) when
+    the fast layouts reject the pattern (classical would just re-gather)."""
+    n = agg.shape[0]
+    if n < (1 << 13):
+        return None, None
+    rows = np.arange(n, dtype=np.int64)
+    cols = np.asarray(agg, np.int64)
+    ones = np.ones(n)
+    # explicit 'packed': a one-entry-per-row transfer pads ~8x in the
+    # slot layout, but the padded stream still beats the gather tier by
+    # ~100x at these sizes
+    P = Csr.from_data(MatrixData((n, nc), rows, cols, ones),
+                      strategy="packed")
+    R = Csr.from_data(MatrixData((nc, n), cols, rows, ones),
+                      strategy="packed")
+    if P.strategy == "classical" and R.strategy == "classical":
+        return None, None
+    return (P if P.strategy != "classical" else None,
+            R if R.strategy != "classical" else None)
 
 
 @linop_dataclass
@@ -90,31 +137,45 @@ def pgm_aggregate(data: MatrixData, max_iterations: int = 15,
     e_cols = wc.col.astype(np.int64)
     e_vals = wc.data
 
-    def _strongest(rows, cols, vals, row_ok, col_ok, tiebreak):
+    def _strongest(rows, cols, vals, tb, row_ok, col_ok):
         """Per-row argmax over edges with row_ok[row] & col_ok[col]:
         vectorized segment-argmax via one lexsort (row asc, value desc,
         tiebreak asc).  Replaces the former per-row Python loop — the old
         ~7ns/element gather loop made AMG generate minutes-long at n=262k."""
         keep = row_ok[rows] & col_ok[cols]
-        r, c, v = rows[keep], cols[keep], vals[keep]
+        r, c, v, t = rows[keep], cols[keep], vals[keep], tb[keep]
         out = np.full(n, -1, np.int64)
         if r.size == 0:
             return out
-        order = np.lexsort((tiebreak(c), -v, r))
+        order = np.lexsort((t, -v, r))
         r_s, c_s = r[order], c[order]
         first = np.ones(r_s.size, bool)
         first[1:] = r_s[1:] != r_s[:-1]
         out[r_s[first]] = c_s[first]
         return out
 
+    # SYMMETRIC per-edge tiebreak (same value for (i,j) and (j,i)).
+    # Matching needs mutual-strongest agreement; on constant-coefficient
+    # stencils every weight ties, and an asymmetric tiebreak (e.g. raw
+    # column index) makes i pick j while j picks someone else — only a
+    # handful of pairs matched per round, and the leftover phase then
+    # cascaded whole regions into single aggregates (observed: 79k-row
+    # aggregates at n=262k).  A hashed symmetric tiebreak is Luby-style
+    # matching: a constant fraction of vertices pairs every round.
+    ekey = np.minimum(e_rows, e_cols) * n + np.maximum(e_rows, e_cols)
+    if deterministic:
+        e_tb = (ekey.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                ).astype(np.int64) & np.int64(0x7FFFFFFFFFFFFFF)
+    else:
+        rng_tb = np.random.default_rng(seed)
+        h = rng_tb.permutation(1 << 20)
+        e_tb = h[ekey % (1 << 20)]
+
     agg = np.full(n, -1, np.int64)
     next_id = 0
-    rng = np.random.default_rng(seed)
-    det_tb = (lambda c: c) if deterministic else (
-        lambda c: rng.random(c.size))
     # live edges = both endpoints still unassigned; compacted every round
     # so each lexsort only pays for the shrinking frontier
-    lr, lc, lv = e_rows, e_cols, e_vals
+    lr, lc, lv, lt = e_rows, e_cols, e_vals, e_tb
     ones = np.ones(n, bool)
     for _ in range(max_iterations):
         free = agg < 0
@@ -124,7 +185,7 @@ def pgm_aggregate(data: MatrixData, max_iterations: int = 15,
         # match mutual-strongest pairs (pgm.cpp find_strongest_neighbor /
         # match_edge) — ids assigned in ascending-i order like the
         # reference's sequential sweep
-        strongest = _strongest(lr, lc, lv, ones, ones, det_tb)
+        strongest = _strongest(lr, lc, lv, lt, ones, ones)
         i_arr = np.nonzero(strongest >= 0)[0]
         j_arr = strongest[i_arr]
         mutual = (strongest[j_arr] == i_arr) & (i_arr < j_arr)
@@ -136,28 +197,41 @@ def pgm_aggregate(data: MatrixData, max_iterations: int = 15,
         agg[pj] = ids
         next_id += pi.size
         live = (agg[lr] < 0) & (agg[lc] < 0)
-        lr, lc, lv = lr[live], lc[live], lv[live]
+        lr, lc, lv, lt = lr[live], lc[live], lv[live], lt[live]
     # assign leftovers to their strongest aggregated neighbor; iterate so
-    # chains (leftover -> freshly attached leftover) resolve like the
-    # sequential sweep did
+    # chains resolve, but only into aggregates still below the size cap —
+    # unbounded cascading glued whole mesh regions together
+    max_agg_size = 8
     while True:
         free = agg < 0
         if not free.any():
             break
-        strongest = _strongest(e_rows, e_cols, e_vals, free, ~free,
-                               lambda c: c)
+        sizes = np.bincount(agg[~free], minlength=max(next_id, 1))
+        ok_target = ~free
+        ok_target[~free] &= sizes[agg[~free]] < max_agg_size
+        strongest = _strongest(e_rows, e_cols, e_vals, e_tb, free,
+                               ok_target)
         attach = np.nonzero(strongest >= 0)[0]
         if attach.size == 0:
             break
         agg[attach] = agg[strongest[attach]]
         # edges from still-free rows only
         keep = agg[e_rows] < 0
-        e_rows, e_cols, e_vals = e_rows[keep], e_cols[keep], e_vals[keep]
+        e_rows, e_cols, e_vals, e_tb = (e_rows[keep], e_cols[keep],
+                                        e_vals[keep], e_tb[keep])
     rest = np.nonzero(agg < 0)[0]
     agg[rest] = next_id + np.arange(rest.size)
-    # renumber densely
-    uniq, agg = np.unique(agg, return_inverse=True)
-    return agg.astype(np.int64)
+    # renumber densely AND in fine-row order: ids in matching order are
+    # spatially scattered, which strips the coarse Galerkin operator (and
+    # P/R) of the column locality the banded/packed layouts need — with
+    # first-appearance ordering a banded fine matrix stays banded on
+    # every coarse level
+    uniq, inv = np.unique(agg, return_inverse=True)
+    first = np.full(uniq.size, n, np.int64)
+    np.minimum.at(first, inv, np.arange(n))
+    rank = np.empty(uniq.size, np.int64)
+    rank[np.argsort(first, kind="stable")] = np.arange(uniq.size)
+    return rank[inv].astype(np.int64)
 
 
 def galerkin_coarse(data: MatrixData, agg: np.ndarray,
@@ -187,13 +261,13 @@ class Pgm:
         agg = pgm_aggregate(data, self.max_iterations,
                             self.max_unassigned_ratio, self.deterministic)
         nc = int(agg.max()) + 1 if agg.size else 1
-        coarse = Csr.from_data(galerkin_coarse(data, agg, nc),
-                               strategy="classical")
+        coarse = _coarse_csr(galerkin_coarse(data, agg, nc))
         agg_j = jnp.asarray(agg, jnp.int32)
+        P_op, R_op = _agg_transfer_ops(agg, nc)
         return MultigridLevel(
             fine_op=A if isinstance(A, LinOp) else Csr.from_data(data),
-            prolong=AggProlong(agg=agg_j, num_coarse=nc),
-            restrict=AggRestrict(agg=agg_j, num_coarse=nc),
+            prolong=AggProlong(agg=agg_j, num_coarse=nc, op=P_op),
+            restrict=AggRestrict(agg=agg_j, num_coarse=nc, op=R_op),
             coarse_op=coarse)
 
 
@@ -227,7 +301,7 @@ class FixedCoarsening:
             fine_op=A if isinstance(A, LinOp) else Csr.from_data(data),
             prolong=_SelProlong(sel=jnp.asarray(sel, jnp.int32), n_fine=n),
             restrict=_SelRestrict(sel=jnp.asarray(sel, jnp.int32), n_fine=n),
-            coarse_op=Csr.from_data(coarse_data, strategy="classical"))
+            coarse_op=_coarse_csr(coarse_data))
 
 
 @linop_dataclass

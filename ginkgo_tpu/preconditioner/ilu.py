@@ -57,11 +57,13 @@ class Ilu:
 
 
 class Ic:
-    """Factory: IC preconditioner M⁻¹ = L⁻ᴴ L⁻¹ (``ic.hpp:109``)."""
+    """Factory: IC preconditioner M⁻¹ = L⁻ᴴ L⁻¹ (``ic.hpp:109``;
+    ``u_solver`` is the reference's lh_solver slot)."""
 
-    def __init__(self, factorization=None, l_solver=None):
+    def __init__(self, factorization=None, l_solver=None, u_solver=None):
         self.factorization = factorization
         self.l_solver = l_solver
+        self.u_solver = u_solver
 
     @classmethod
     def build(cls, **kw):
@@ -76,6 +78,6 @@ class Ic:
             fact = fact.generate(A)
         L, Lt = fact.unpack()
         lf = self.l_solver if self.l_solver is not None else LowerTrs.build()
-        uf = UpperTrs.build()
+        uf = self.u_solver if self.u_solver is not None else UpperTrs.build()
         return IluApply(l_solver=lf.generate(L), u_solver=uf.generate(Lt),
                         shape=fact.shape)

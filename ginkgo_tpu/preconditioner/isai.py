@@ -92,7 +92,7 @@ def generate_isai(A, sparsity_power: int = 1, mode: str = "general") -> Csr:
     ri, ci = np.nonzero(valid)
     m_data = MatrixData((n, n), ri.astype(np.int64),
                         cols_pad[ri, ci], sols[ri, ci])
-    return Csr.from_data(m_data.canonical(), strategy="classical")
+    return Csr.from_data(m_data.canonical(), strategy="automatical")
 
 
 @linop_dataclass
@@ -131,5 +131,5 @@ class Isai:
             linv = generate_isai(L, self.sparsity_power, "lower")
             lt = linv.to_matrix_data().conj_transpose().sort_row_major()
             return SpdIsai(linv=linv,
-                           linv_h=Csr.from_data(lt, strategy="classical"))
+                           linv_h=Csr.from_data(lt, strategy="automatical"))
         return generate_isai(A, self.sparsity_power, self.mode)

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..base.linop import LinOp, linop_dataclass, static_field
+from ..base.matrix_data import MatrixData
 
 
 def compute_levels(n, row_idx, col_idx, lower: bool) -> np.ndarray:
@@ -97,10 +98,9 @@ class TriangularSolveOp(LinOp):
     ent_vals: jnp.ndarray    # (L, Emax)
     ent_slot: jnp.ndarray    # (L, Emax) local row slot, padded with Rmax
     inv_diag: jnp.ndarray    # (n,)
-    # jacobi-sweep data (strictly triangular part as COO)
-    off_rows: jnp.ndarray
-    off_cols: jnp.ndarray
-    off_vals: jnp.ndarray
+    # jacobi-sweep data: strictly triangular part as a full Csr operator
+    # (automatical strategy -> banded/packed Pallas SpMV per sweep)
+    off_op: object
     shape: tuple = static_field()
     unit_diagonal: bool = static_field(default=False)
     algorithm: str = static_field(default="level")
@@ -135,17 +135,17 @@ class TriangularSolveOp(LinOp):
         return x
 
     def _solve_jacobi(self, b):
-        n = self.shape[0]
         sweeps = self.sweeps if self.sweeps > 0 else self.num_levels
         d = self.inv_diag[:, None].astype(b.dtype)
         x0 = d * b
+        # the strictly-triangular part is a full Csr operator, so each
+        # sweep is one fast-layout SpMV (banded/packed Pallas on TPU)
+        # instead of a 7 ns/element gather — the syncfree-analog trisolve
+        # runs at stream speed on stencil factors
+        off = self.off_op
 
         def sweep(_, x):
-            tx = jax.ops.segment_sum(
-                self.off_vals[:, None].astype(b.dtype)
-                * x[jnp.clip(self.off_cols, 0, n - 1)],
-                self.off_rows, num_segments=n + 1)[:n]
-            return d * (b - tx)
+            return d * (b - off._apply(x))
 
         return jax.lax.fori_loop(0, sweeps, sweep, x0)
 
@@ -175,21 +175,23 @@ class _TrsFactory:
         (num_levels, lv_rows, ent_cols, ent_vals, ent_slot,
          _) = _pack_levels(n, r, c, v, diag, levels)
         off = r != c
-        # pad offdiag arrays for the jacobi path
-        nnz_off = int(off.sum())
-        cap = max(8, -(-nnz_off // 8) * 8)
-        orow = np.full(cap, n, np.int64)
-        ocol = np.zeros(cap, np.int64)
-        oval = np.zeros(cap, v.dtype)
-        orow[:nnz_off] = r[off]
-        ocol[:nnz_off] = c[off]
-        oval[:nnz_off] = v[off]
+        from ..matrix.csr import Csr
+        off_op = Csr.from_data(
+            MatrixData(data.shape, r[off], c[off], v[off]),
+            strategy="automatical")
+        if (self.algorithm == "level" and num_levels > 64
+                and data.shape[0] >= 1 << 16):
+            from ..log.logger import PERFORMANCE_FALLBACK, dispatch
+            dispatch(PERFORMANCE_FALLBACK, kernel="trisolve",
+                     reason=f"level-scheduled solve with {num_levels} "
+                            "levels is gather-bound on TPU; consider "
+                            "algorithm='jacobi' (sweeps) or an ISAI "
+                            "preconditioner")
         return TriangularSolveOp(
             lv_rows=jnp.asarray(lv_rows), ent_cols=jnp.asarray(ent_cols),
             ent_vals=jnp.asarray(ent_vals), ent_slot=jnp.asarray(ent_slot),
             inv_diag=jnp.asarray(1.0 / diag),
-            off_rows=jnp.asarray(orow), off_cols=jnp.asarray(ocol),
-            off_vals=jnp.asarray(oval),
+            off_op=off_op,
             shape=data.shape, unit_diagonal=self.unit_diagonal,
             algorithm=self.algorithm, sweeps=self.sweeps,
             num_levels=num_levels)

@@ -116,3 +116,23 @@ def test_multigrid_as_inner_solver():
     x = mg.apply(b)
     r = np.linalg.norm(np.asarray(b - A.apply(x)))
     assert r <= 1e-8 * np.linalg.norm(np.asarray(b))
+
+
+def test_pgm_aggregation_scales_with_bounded_aggregates():
+    """Uniform-weight stencils must still pair a constant fraction per
+    round (symmetric hashed tiebreak; an asymmetric tiebreak matched
+    almost nothing and the leftover cascade built 79k-row aggregates at
+    n=262k) and leftover attachment respects the size cap."""
+    from ginkgo_tpu.multigrid.pgm import pgm_aggregate
+    from ginkgo_tpu.utils.generators import stencil_3d
+
+    d = stencil_3d(32, points=27)
+    n = d.shape[0]
+    agg = pgm_aggregate(d)
+    sizes = np.bincount(agg)
+    assert sizes.size > n / 4, f"too few aggregates: {sizes.size}"
+    assert sizes.max() <= 16, f"aggregate too large: {sizes.max()}"
+    # non-deterministic path too
+    agg2 = pgm_aggregate(d, deterministic=False)
+    s2 = np.bincount(agg2)
+    assert s2.size > n / 4 and s2.max() <= 16
