@@ -43,6 +43,27 @@ def run_weak_scaling(base_edge: int, parts_list, comm, args):
     # chain depths must match the pool that actually runs (the fallback
     # may pick CPU virtual devices while the default backend is the TPU)
     k1, k2 = chain_k_for_backend(pool[0].platform)
+    if pool[0].platform == "cpu":
+        # the kernel tier follows the DEFAULT backend; a CPU device pool
+        # under a TPU default would trace Pallas kernels into a CPU
+        # shard_map — pin the reference tier to the pool instead
+        from ..ops.registry import use_tier
+        ctx = use_tier("reference")
+    else:
+        import contextlib
+        ctx = contextlib.nullcontext()
+    with ctx:
+        return _run_weak_scaling_inner(base_edge, parts_list, comm, args,
+                                       pool, k1, k2)
+
+
+def _run_weak_scaling_inner(base_edge, parts_list, comm, args, pool,
+                            k1, k2):
+    from ..distributed import (Partition, distribute_vector,
+                               read_distributed)
+    from ..utils.generators import stencil_3d
+    results = []
+    base_nnz_per_s = None
     for P in parts_list:
         if P > len(pool):
             results.append({"devices": P, "skipped": "not enough devices"})
