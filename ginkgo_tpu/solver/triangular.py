@@ -6,7 +6,7 @@ Analog of ``include/ginkgo/core/solver/triangular.hpp:65,234`` /
 
 TPU mapping of the ``algorithm`` knob:
 
-* ``level`` (default): dependency *level sets* are computed host-side at
+* ``level``: dependency *level sets* are computed host-side at
   generate time (they are pure sparsity metadata — Ginkgo's sparsity
   analysis phase), packed into static padded per-level entry lists, and the
   solve is one ``lax.scan`` over levels — each level is a small masked
@@ -16,6 +16,10 @@ TPU mapping of the ``algorithm`` knob:
   with index = #levels, so ``sweeps >= #levels`` is *exact*; fewer sweeps
   give Ginkgo's relaxed-trisolve behavior (ir-ilu-preconditioned-solver
   example).  Each sweep is one full SpMV — maximally parallel.
+* ``auto`` (default): exact either way — num_levels jacobi sweeps over a
+  fast-layout (banded/packed) off part on the TPU tier, level scheduling
+  otherwise.  On chip the level scan's per-level gathers measured ~85 ms
+  per trisolve at n=110k where the sweep form takes ~5 ms.
 """
 
 from __future__ import annotations
@@ -53,39 +57,37 @@ def compute_levels(n, row_idx, col_idx, lower: bool) -> np.ndarray:
 
 
 def _pack_levels(n, row_idx, col_idx, values, diag, levels):
-    """Build the static padded per-level schedule consumed by lax.scan."""
+    """Build the static padded per-level schedule consumed by lax.scan.
+    Fully vectorized: the former per-row/per-entry Python loops cost
+    ~100 s at 3.4M entries."""
     num_levels = int(levels.max()) + 1 if n else 1
-    # rows per level
+    # rows per level (stable order within a level)
     order_r = np.argsort(levels, kind="stable")
-    rows_sorted = order_r
-    lv_of_row = levels
     counts_r = np.bincount(levels, minlength=num_levels)
     rmax = max(1, int(counts_r.max()))
+    starts_r = np.concatenate([[0], np.cumsum(counts_r)])
+    lv_sorted = levels[order_r]
+    pos_r = np.arange(n) - starts_r[lv_sorted]
     lv_rows = np.full((num_levels, rmax), n, np.int64)
-    slot_of_row = np.zeros(n, np.int64)
-    pos = np.zeros(num_levels, np.int64)
-    for r in rows_sorted:
-        l = lv_of_row[r]
-        lv_rows[l, pos[l]] = r
-        slot_of_row[r] = pos[l]
-        pos[l] += 1
+    lv_rows[lv_sorted, pos_r] = order_r
+    slot_of_row = np.zeros(max(n, 1), np.int64)
+    slot_of_row[order_r] = pos_r
     # off-diagonal entries grouped by their row's level
     off = row_idx != col_idx
     er, ec, ev = row_idx[off], col_idx[off], values[off]
     elv = levels[er]
     counts_e = np.bincount(elv, minlength=num_levels)
     emax = max(1, int(counts_e.max()))
+    starts_e = np.concatenate([[0], np.cumsum(counts_e)])
+    order_e = np.argsort(elv, kind="stable")
+    elv_s = elv[order_e]
+    pos_e = np.arange(er.size) - starts_e[elv_s]
     ent_cols = np.zeros((num_levels, emax), np.int64)
     ent_vals = np.zeros((num_levels, emax), values.dtype)
     ent_slot = np.full((num_levels, emax), rmax, np.int64)  # pad -> dropped
-    pos = np.zeros(num_levels, np.int64)
-    order_e = np.argsort(elv, kind="stable")
-    for i in order_e:
-        l = elv[i]
-        ent_cols[l, pos[l]] = ec[i]
-        ent_vals[l, pos[l]] = ev[i]
-        ent_slot[l, pos[l]] = slot_of_row[er[i]]
-        pos[l] += 1
+    ent_cols[elv_s, pos_e] = ec[order_e]
+    ent_vals[elv_s, pos_e] = ev[order_e]
+    ent_slot[elv_s, pos_e] = slot_of_row[er[order_e]]
     return num_levels, lv_rows, ent_cols, ent_vals, ent_slot, rmax
 
 
@@ -103,12 +105,26 @@ class TriangularSolveOp(LinOp):
     off_op: object
     shape: tuple = static_field()
     unit_diagonal: bool = static_field(default=False)
-    algorithm: str = static_field(default="level")
+    algorithm: str = static_field(default="auto")
     sweeps: int = static_field(default=0)   # 0 = exact (#levels)
     num_levels: int = static_field(default=1)
 
     def _apply(self, b):
-        if self.algorithm == "jacobi":
+        algo = self.algorithm
+        if algo == "auto":
+            # exact either way: the strictly-triangular part is nilpotent
+            # with index num_levels, so num_levels fixed-point sweeps
+            # reproduce the substitution exactly — and when each sweep is
+            # a fast-layout SpMV that beats the level scan's per-level
+            # gathers ~17x on TPU (level-scheduling stays the pick when
+            # the off part would gather anyway, and on the CPU tier where
+            # the scan is cheap)
+            from ..ops.registry import current_tier
+            fast_off = getattr(self.off_op, "strategy",
+                               "classical") != "classical"
+            algo = ("jacobi" if (fast_off and current_tier() == "tpu")
+                    else "level")
+        if algo == "jacobi":
             return self._solve_jacobi(b)
         return self._solve_level(b)
 
@@ -151,7 +167,7 @@ class TriangularSolveOp(LinOp):
 
 
 class _TrsFactory:
-    def __init__(self, lower: bool, *, algorithm: str = "level",
+    def __init__(self, lower: bool, *, algorithm: str = "auto",
                  sweeps: int = 0, unit_diagonal: bool = False):
         self.lower = lower
         self.algorithm = algorithm

@@ -243,3 +243,33 @@ def test_ic0_scales_to_262k():
     L, _ = f.unpack()
     assert L.nnz > 3_000_000
     assert elapsed < 60, f"IC(0) too slow: {elapsed:.0f}s"
+
+
+def test_trisolve_jacobi_full_sweeps_is_exact():
+    """sweeps=0 (num_levels) jacobi sweeps reproduce the substitution
+    exactly (nilpotent off part) — the basis for algorithm='auto'
+    picking the sweep form on TPU."""
+    from ginkgo_tpu.solver.triangular import LowerTrs, UpperTrs
+    from ginkgo_tpu.utils.generators import make_spd, stencil_2d
+
+    data = make_spd(stencil_2d(12, points=9), shift=4.0)
+    A = Csr.from_data(data)
+    d = data.canonical()
+    lo = d.col_idx <= d.row_idx
+    from ginkgo_tpu.base.matrix_data import MatrixData
+    L = Csr.from_data(MatrixData(d.shape, d.row_idx[lo], d.col_idx[lo],
+                                 d.values[lo]))
+    b = jnp.asarray(np.random.default_rng(0).standard_normal(144))
+    for factory, mode in ((LowerTrs, "level"), (LowerTrs, "jacobi"),
+                          (LowerTrs, "auto")):
+        x = factory.build(algorithm=mode).generate(L).apply(b)
+        oracle = LowerTrs.build(algorithm="level").generate(L).apply(b)
+        np.testing.assert_allclose(np.asarray(x), np.asarray(oracle),
+                                   rtol=1e-12, atol=1e-12)
+    U = Csr.from_data(MatrixData(d.shape, d.col_idx[lo], d.row_idx[lo],
+                                 d.values[lo]))
+    for mode in ("level", "jacobi", "auto"):
+        x = UpperTrs.build(algorithm=mode).generate(U).apply(b)
+        oracle = UpperTrs.build(algorithm="level").generate(U).apply(b)
+        np.testing.assert_allclose(np.asarray(x), np.asarray(oracle),
+                                   rtol=1e-12, atol=1e-12)
