@@ -488,7 +488,9 @@ def _process_packed(d: MatrixData, values_np: np.ndarray,
     """(layout, tail) for the packed-slot windowed-ELL general-matrix
     path, or None when the matrix does not fit its static bounds."""
     from ..ops.spmv_packed import plan_packed_layout
-    layout, tail, stats = plan_packed_layout(d, values_np)
+    mp = None if max_pad == float("inf") else max_pad
+    layout, tail, stats = plan_packed_layout(d, values_np, max_pad=mp,
+                                             max_tail=_PACKED_MAX_TAIL)
     if layout is None:
         return None
     if (stats["pad_ratio"] > max_pad

@@ -50,7 +50,8 @@ def _pow2ceil(x: int) -> int:
     return 1 << max(int(x) - 1, 0).bit_length()
 
 
-def plan_packed_layout(d, values_np, *, wv_cap=_WV_CAP, xw_cap=_XW_CAP):
+def plan_packed_layout(d, values_np, *, wv_cap=_WV_CAP, xw_cap=_XW_CAP,
+                       max_pad=None, max_tail=None):
     """Build the packed-slot layout from canonical MatrixData.
 
     Returns (layout, tail, stats); layout holds numpy arrays
@@ -125,6 +126,19 @@ def plan_packed_layout(d, values_np, *, wv_cap=_WV_CAP, xw_cap=_XW_CAP):
     s = chunk_base[gid] + j
     spill |= keep & (s >= Wv * 8)
     keep = ~spill
+
+    # acceptance pre-check BEFORE materializing the padded arrays — the
+    # dense vals/idx allocation below is hundreds of MB for matrices the
+    # caller is about to reject anyway (measured 12 s per automatical
+    # from_data on a 3.2M-nnz SpGEMM product)
+    ell_pre = int(keep.sum())
+    tail_pre = int(spill.sum())
+    pad_pre = Gs * _BLOCKS_PER_SB * Wv * 8 * LANES / max(ell_pre, 1)
+    if ((max_pad is not None and pad_pre > max_pad)
+            or (max_tail is not None and tail_pre > max_tail * max(nnz, 1))):
+        return None, None, {"ell_nnz": ell_pre, "tail_nnz": tail_pre,
+                            "pad_ratio": pad_pre, "Wv": Wv, "XW": XW,
+                            "rejected": True}
 
     # 4. per-vreg window group qw (vreg v of block b reads x rows
     #    [8*qw, 8*qw+8)); padding vregs use group 0
