@@ -110,21 +110,7 @@ class TriangularSolveOp(LinOp):
     num_levels: int = static_field(default=1)
 
     def _apply(self, b):
-        algo = self.algorithm
-        if algo == "auto":
-            # exact either way: the strictly-triangular part is nilpotent
-            # with index num_levels, so num_levels fixed-point sweeps
-            # reproduce the substitution exactly — and when each sweep is
-            # a fast-layout SpMV that beats the level scan's per-level
-            # gathers ~17x on TPU (level-scheduling stays the pick when
-            # the off part would gather anyway, and on the CPU tier where
-            # the scan is cheap)
-            from ..ops.registry import current_tier
-            fast_off = getattr(self.off_op, "strategy",
-                               "classical") != "classical"
-            algo = ("jacobi" if (fast_off and current_tier() == "tpu")
-                    else "level")
-        if algo == "jacobi":
+        if self.algorithm == "jacobi":
             return self._solve_jacobi(b)
         return self._solve_level(b)
 
@@ -188,13 +174,33 @@ class _TrsFactory:
             diag[r[on]] = v[on]
             diag[diag == 0] = 1
         levels = compute_levels(n, r, c, self.lower)
-        (num_levels, lv_rows, ent_cols, ent_vals, ent_slot,
-         _) = _pack_levels(n, r, c, v, diag, levels)
+        num_levels = int(levels.max()) + 1 if n else 1
         off = r != c
         from ..matrix.csr import Csr
         off_op = Csr.from_data(
             MatrixData(data.shape, r[off], c[off], v[off]),
             strategy="automatical")
+        # resolve 'auto' HERE (generate time: tier + off layout known) so
+        # only the chosen algorithm's device arrays are materialized —
+        # the level schedule is ~3x the factor's nnz in padded arrays,
+        # dead weight in HBM when the sweep form runs
+        algo = self.algorithm
+        if algo == "auto":
+            from ..ops.registry import current_tier
+            fast_off = getattr(off_op, "strategy",
+                               "classical") != "classical"
+            algo = ("jacobi" if (fast_off and current_tier() == "tpu")
+                    else "level")
+        if algo == "level":
+            (num_levels, lv_rows, ent_cols, ent_vals, ent_slot,
+             _) = _pack_levels(n, r, c, v, diag, levels)
+            lvl_arrays = dict(lv_rows=jnp.asarray(lv_rows),
+                              ent_cols=jnp.asarray(ent_cols),
+                              ent_vals=jnp.asarray(ent_vals),
+                              ent_slot=jnp.asarray(ent_slot))
+        else:
+            lvl_arrays = dict(lv_rows=None, ent_cols=None, ent_vals=None,
+                              ent_slot=None)
         if (self.algorithm == "level" and num_levels > 64
                 and data.shape[0] >= 1 << 16):
             from ..log.logger import PERFORMANCE_FALLBACK, dispatch
@@ -204,12 +210,11 @@ class _TrsFactory:
                             "algorithm='jacobi' (sweeps) or an ISAI "
                             "preconditioner")
         return TriangularSolveOp(
-            lv_rows=jnp.asarray(lv_rows), ent_cols=jnp.asarray(ent_cols),
-            ent_vals=jnp.asarray(ent_vals), ent_slot=jnp.asarray(ent_slot),
+            **lvl_arrays,
             inv_diag=jnp.asarray(1.0 / diag),
             off_op=off_op,
             shape=data.shape, unit_diagonal=self.unit_diagonal,
-            algorithm=self.algorithm, sweeps=self.sweeps,
+            algorithm=algo, sweeps=self.sweeps,
             num_levels=num_levels)
 
 
