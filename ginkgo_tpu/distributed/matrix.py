@@ -178,10 +178,14 @@ class DistributedMatrix(LinOp):
             p2 = PartitionSpec(axis, None)
             dia_specs = tuple(PartitionSpec(axis, *([None] * (a.ndim - 1)))
                               for a in dia_args)
+            # check_vma=False: the Pallas local kernels' out_shape
+            # carries no vma annotation, which jax 0.9's checker rejects
+            # inside shard_map; the collective placement here is manual
+            # and tested against the single-device oracle
             return jax.shard_map(
                 shard_spmv, mesh=self.mesh,
                 in_specs=(p2, p2, p2, p2, p2, p2, p2, p2, p2) + dia_specs,
-                out_specs=PartitionSpec(axis, None))(
+                out_specs=PartitionSpec(axis, None), check_vma=False)(
                 self.loc_rows, self.loc_cols, self.loc_vals,
                 self.nl_rows, self.nl_ghost, self.nl_vals,
                 self.send_nb, self.ghost_roff, b, *dia_args)
@@ -207,7 +211,7 @@ class DistributedMatrix(LinOp):
         return jax.shard_map(
             shard_spmv, mesh=self.mesh,
             in_specs=(p2, p2, p2, p2, p2, p2, p3, p2, p2, p2) + dia_specs,
-            out_specs=PartitionSpec(axis, None))(
+            out_specs=PartitionSpec(axis, None), check_vma=False)(
             self.loc_rows, self.loc_cols, self.loc_vals,
             self.nl_rows, self.nl_ghost, self.nl_vals,
             self.send_idx, self.ghost_owner, self.ghost_slot, b,
