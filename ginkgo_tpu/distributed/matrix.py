@@ -105,7 +105,6 @@ class DistributedMatrix(LinOp):
     def _apply(self, b):
         local = self.local_size
         axis = self.axis
-        spec = PartitionSpec(axis)
 
         P = self.num_parts
         comm = self.comm

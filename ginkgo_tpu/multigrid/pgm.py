@@ -296,7 +296,6 @@ class FixedCoarsening:
         coarse_data = MatrixData((nc, nc), agg[d.row_idx[keep]],
                                  agg[d.col_idx[keep]],
                                  d.values[keep]).canonical()
-        agg_j = jnp.asarray(agg, jnp.int32)
         return MultigridLevel(
             fine_op=A if isinstance(A, LinOp) else Csr.from_data(data),
             prolong=_SelProlong(sel=jnp.asarray(sel, jnp.int32), n_fine=n),
