@@ -218,6 +218,20 @@ def pell_spmv_reference(vals, idx, qw, xbase_row, meta_items, b):
     return jnp.stack(outs, axis=1)
 
 
+def _take_along(arr, idx, axis):
+    """take_along_axis with trace-time x64 disabled: under x64 jnp's
+    index-dtype heuristic emits an i64 convert that Mosaic cannot lower
+    (the kernel's indices are int32 by construction)."""
+    try:
+        from jax._src import config as _jcfg
+        ctx = _jcfg.enable_x64(False)
+    except Exception:                      # pragma: no cover - jax internals
+        import contextlib
+        ctx = contextlib.nullcontext()
+    with ctx:
+        return jnp.take_along_axis(arr, idx, axis=axis)
+
+
 def _pell_kernel(xbase_ref, qw_ref, xp_ref, vals_ref, idx_ref, out_ref,
                  vbuf, ibuf, xbuf, ybuf, vsem, isem, xsem, ysem,
                  *, Gs, Wv, XWr, NB, K, acc_dtype):
@@ -228,20 +242,29 @@ def _pell_kernel(xbase_ref, qw_ref, xp_ref, vals_ref, idx_ref, out_ref,
     x windows and gathers repeat per column, the SpMM trick of the
     banded kernel (spmv_pallas.py) applied to the packed layout."""
 
+    # i32 index coercion: x64 lowers python ints / default counters to
+    # i64, which tpu.memref_slice rejects
+    def _i32(v):
+        return jnp.asarray(v, jnp.int32)
+
     def v_dma(t, j):
+        t, j = _i32(t), _i32(j)
         return pltpu.make_async_copy(vals_ref.at[t], vbuf.at[j],
                                      vsem.at[j])
 
     def i_dma(t, j):
+        t, j = _i32(t), _i32(j)
         return pltpu.make_async_copy(idx_ref.at[t], ibuf.at[j],
                                      isem.at[j])
 
     def x_dma(t, j, k):
+        t, j, k = _i32(t), _i32(j), _i32(k)
         return pltpu.make_async_copy(
             xp_ref.at[k, pl.ds(xbase_ref[t], XWr), :], xbuf.at[j, k],
             xsem.at[j, k])
 
     def y_dma(t, j):
+        t, j = _i32(t), _i32(j)
         return pltpu.make_async_copy(ybuf.at[j], out_ref.at[t],
                                      ysem.at[j])
 
@@ -273,8 +296,8 @@ def _pell_kernel(xbase_ref, qw_ref, xp_ref, vals_ref, idx_ref, out_ref,
                     val = vbuf[j, b * Wv + v].astype(acc_dtype)
                     for k in range(K):
                         win8 = xbuf[j, k, pl.ds(q * 8, 8), :]
-                        t1 = jnp.take_along_axis(win8, sub, axis=0)
-                        g = jnp.take_along_axis(t1, lane, axis=1)
+                        t1 = _take_along(win8, sub, 0)
+                        g = _take_along(t1, lane, 1)
                         acc[k] = acc[k] + val * g
                 for k in range(K):
                     ybuf[j, k, b, :] = jnp.sum(acc[k], axis=0).astype(
@@ -289,7 +312,8 @@ def _pell_kernel(xbase_ref, qw_ref, xp_ref, vals_ref, idx_ref, out_ref,
                     x_dma(t + NB, j, k).start()
         return 0
 
-    jax.lax.fori_loop(0, Gs // NB, outer, 0)
+    # i32 loop counter (x64 would feed i64 into tpu.memref_slice)
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(Gs // NB), outer, 0)
     for j in range(NB):
         y_dma(Gs - NB + j, j).wait()
 

@@ -79,7 +79,10 @@ def _compute_block(dblk, xw, *, by_r, S, LO, acc_dtype):
     lane = jax.lax.broadcasted_iota(jnp.int32, (S, LANES), 1)
     acc = jnp.zeros((S, LANES), acc_dtype)
     for r, entries in by_r:
-        xr = xw if r == 0 else pltpu.roll(xw, (LANES - r) % LANES, 1)
+        # explicit i32 shift: a python int becomes an i64 operand under
+        # x64, which tpu.dynamic_rotate rejects
+        xr = (xw if r == 0
+              else pltpu.roll(xw, jnp.int32((LANES - r) % LANES), 1))
         for d, q in entries:
             qq = q + LO  # static python int
             lo_part = xr[qq:qq + S, :]
@@ -100,15 +103,23 @@ def _dia_kernel(xp_ref, dvb_ref, out_ref, dbuf, xbuf, obuf, dsem, xsem, osem,
     reused across all K columns (SpMM amortisation)."""
     flat = K == 1
 
+    # indices coerced to i32: under x64 both python-int constants and
+    # default loop counters lower as i64, which tpu.memref_slice rejects
+    def _i32(v):
+        return jnp.asarray(v, jnp.int32)
+
     def d_dma(t, j):
+        t, j = _i32(t), _i32(j)
         return pltpu.make_async_copy(dvb_ref.at[t], dbuf.at[j], dsem.at[j])
 
     def x_dma(t, j):
+        t, j = _i32(t), _i32(j)
         src = (xp_ref.at[pl.ds(t * S, W), :] if flat
                else xp_ref.at[:, pl.ds(t * S, W), :])
         return pltpu.make_async_copy(src, xbuf.at[j], xsem.at[j])
 
     def o_dma(t, j):
+        t, j = _i32(t), _i32(j)
         dst = (out_ref.at[pl.ds(t * S, S), :] if flat
                else out_ref.at[:, pl.ds(t * S, S), :])
         return pltpu.make_async_copy(obuf.at[j], dst, osem.at[j])
@@ -144,7 +155,9 @@ def _dia_kernel(xp_ref, dvb_ref, out_ref, dbuf, xbuf, obuf, dsem, xsem, osem,
                 x_dma(t + NB, j).start()
         return 0
 
-    jax.lax.fori_loop(0, G // NB, outer, 0)
+    # i32 loop counter: under x64 the default i64 trip index reaches
+    # tpu.memref_slice, which requires 32-bit indices (chip-only fail)
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(G // NB), outer, 0)
     for j in range(NB):
         o_dma(G - NB + j, j).wait()
 
