@@ -60,7 +60,8 @@ class SchwarzOp(LinOp):
                 has_diag = jnp.diagonal(dense) != 0
                 dense = dense + jnp.diag(jnp.where(has_diag, 0.0, 1.0)
                                          .astype(dense.dtype))
-                return jnp.linalg.solve(dense.astype(b_loc.dtype), b_loc)
+                from ..ops.gauss_jordan import dense_solve
+                return dense_solve(dense.astype(b_loc.dtype), b_loc)
 
             p2 = PartitionSpec(axis, None)
             y = jax.shard_map(

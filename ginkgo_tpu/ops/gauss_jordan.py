@@ -68,3 +68,11 @@ def batched_solve(mats, rhs):
             return jnp.einsum("bij,bjk->bik", inv, rhs)
         return jnp.einsum("bij,bj->bi", inv, rhs)
     return jax.vmap(jnp.linalg.solve)(mats, rhs)
+
+
+def dense_solve(mat, rhs):
+    """Single dense solve A x = b; TPU-safe for every dtype (f64/c128
+    route through Gauss-Jordan instead of the f32/c64-only LU call)."""
+    if _needs_fallback(mat.dtype):
+        return _gauss_jordan_inverse_single(mat) @ rhs
+    return jnp.linalg.solve(mat, rhs)
