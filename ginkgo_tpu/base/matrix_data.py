@@ -61,16 +61,27 @@ class MatrixData:
     def nnz(self) -> int:
         return int(self.values.shape[0])
 
+    def _keys(self) -> np.ndarray:
+        """(row, col) fused into one sortable int64 key per entry."""
+        return self.row_idx.astype(np.int64) * self.shape[1] + self.col_idx
+
     def sort_row_major(self) -> "MatrixData":
-        """Stable sort by (row, col) — ``sort_row_major`` kernel analog."""
-        order = np.lexsort((self.col_idx, self.row_idx))
+        """Stable sort by (row, col) — ``sort_row_major`` kernel analog.
+        Already-sorted inputs (the common case for data that round-trips
+        through a format's ``to_matrix_data``) return self in one pass."""
+        keys = self._keys()
+        if keys.size == 0 or bool(np.all(keys[1:] >= keys[:-1])):
+            return self
+        order = np.argsort(keys, kind="stable")
         return MatrixData(self.shape, self.row_idx[order],
                           self.col_idx[order], self.values[order])
 
     def sum_duplicates(self) -> "MatrixData":
         """Combine duplicate (row, col) entries — ``sum_duplicates`` analog.
         Large f64/c128 inputs take the C++ native kernel; everything else
-        the numpy path (both produce canonical row-major order)."""
+        the numpy path (both produce canonical row-major order).  Sorted
+        duplicate runs are reduced with ``np.add.reduceat`` — no second
+        sort (np.unique) and no buffered-ufunc ``np.add.at`` scatter."""
         if self.nnz == 0:
             return self.sort_row_major()
         if (self.nnz >= 1 << 16
@@ -85,16 +96,21 @@ class MatrixData:
                                   c.astype(self.col_idx.dtype),
                                   v.astype(self.values.dtype))
         d = self.sort_row_major()
-        keys = d.row_idx.astype(np.int64) * self.shape[1] + d.col_idx
-        uniq, inv = np.unique(keys, return_inverse=True)
-        values = np.zeros(uniq.shape[0], d.values.dtype)
-        np.add.at(values, inv, d.values)
-        rows = (uniq // self.shape[1]).astype(d.row_idx.dtype)
-        cols = (uniq % self.shape[1]).astype(d.col_idx.dtype)
-        return MatrixData(self.shape, rows, cols, values)
+        keys = d._keys()
+        first = np.empty(keys.shape[0], bool)
+        first[0] = True
+        np.not_equal(keys[1:], keys[:-1], out=first[1:])
+        if first.all():
+            return d
+        starts = np.flatnonzero(first)
+        values = np.add.reduceat(d.values, starts)
+        return MatrixData(self.shape, d.row_idx[starts], d.col_idx[starts],
+                          values)
 
     def remove_zeros(self) -> "MatrixData":
         mask = self.values != 0
+        if mask.all():
+            return self
         return MatrixData(self.shape, self.row_idx[mask], self.col_idx[mask],
                           self.values[mask])
 

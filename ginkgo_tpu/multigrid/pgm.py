@@ -137,21 +137,21 @@ def pgm_aggregate(data: MatrixData, max_iterations: int = 15,
     e_cols = wc.col.astype(np.int64)
     e_vals = wc.data
 
-    def _strongest(rows, cols, vals, tb, row_ok, col_ok):
-        """Per-row argmax over edges with row_ok[row] & col_ok[col]:
-        vectorized segment-argmax via one lexsort (row asc, value desc,
-        tiebreak asc).  Replaces the former per-row Python loop — the old
-        ~7ns/element gather loop made AMG generate minutes-long at n=262k."""
+    def _strongest(rows, cols, row_ok, col_ok):
+        """Per-row argmax over edges with row_ok[row] & col_ok[col].  The
+        edge list is presorted ONCE by (row asc, value desc, tiebreak asc)
+        below, and boolean compaction preserves that order — so each round
+        is just a mask + first-occurrence-per-row scan, no per-round sort
+        (the former per-round lexsort dominated AMG generate at n=262k)."""
         keep = row_ok[rows] & col_ok[cols]
-        r, c, v, t = rows[keep], cols[keep], vals[keep], tb[keep]
+        r, c = rows[keep], cols[keep]
         out = np.full(n, -1, np.int64)
         if r.size == 0:
             return out
-        order = np.lexsort((t, -v, r))
-        r_s, c_s = r[order], c[order]
-        first = np.ones(r_s.size, bool)
-        first[1:] = r_s[1:] != r_s[:-1]
-        out[r_s[first]] = c_s[first]
+        first = np.empty(r.size, bool)
+        first[0] = True
+        np.not_equal(r[1:], r[:-1], out=first[1:])
+        out[r[first]] = c[first]
         return out
 
     # SYMMETRIC per-edge tiebreak (same value for (i,j) and (j,i)).
@@ -171,11 +171,15 @@ def pgm_aggregate(data: MatrixData, max_iterations: int = 15,
         h = rng_tb.permutation(1 << 20)
         e_tb = h[ekey % (1 << 20)]
 
+    # one-time sort establishing _strongest's per-row best-first invariant
+    order = np.lexsort((e_tb, -e_vals, e_rows))
+    e_rows, e_cols = e_rows[order], e_cols[order]
+
     agg = np.full(n, -1, np.int64)
     next_id = 0
     # live edges = both endpoints still unassigned; compacted every round
-    # so each lexsort only pays for the shrinking frontier
-    lr, lc, lv, lt = e_rows, e_cols, e_vals, e_tb
+    # so each scan only pays for the shrinking frontier
+    lr, lc = e_rows, e_cols
     ones = np.ones(n, bool)
     for _ in range(max_iterations):
         free = agg < 0
@@ -185,7 +189,7 @@ def pgm_aggregate(data: MatrixData, max_iterations: int = 15,
         # match mutual-strongest pairs (pgm.cpp find_strongest_neighbor /
         # match_edge) — ids assigned in ascending-i order like the
         # reference's sequential sweep
-        strongest = _strongest(lr, lc, lv, lt, ones, ones)
+        strongest = _strongest(lr, lc, ones, ones)
         i_arr = np.nonzero(strongest >= 0)[0]
         j_arr = strongest[i_arr]
         mutual = (strongest[j_arr] == i_arr) & (i_arr < j_arr)
@@ -197,7 +201,7 @@ def pgm_aggregate(data: MatrixData, max_iterations: int = 15,
         agg[pj] = ids
         next_id += pi.size
         live = (agg[lr] < 0) & (agg[lc] < 0)
-        lr, lc, lv, lt = lr[live], lc[live], lv[live], lt[live]
+        lr, lc = lr[live], lc[live]
     # assign leftovers to their strongest aggregated neighbor; iterate so
     # chains resolve, but only into aggregates still below the size cap —
     # unbounded cascading glued whole mesh regions together
@@ -209,16 +213,14 @@ def pgm_aggregate(data: MatrixData, max_iterations: int = 15,
         sizes = np.bincount(agg[~free], minlength=max(next_id, 1))
         ok_target = ~free
         ok_target[~free] &= sizes[agg[~free]] < max_agg_size
-        strongest = _strongest(e_rows, e_cols, e_vals, e_tb, free,
-                               ok_target)
+        strongest = _strongest(e_rows, e_cols, free, ok_target)
         attach = np.nonzero(strongest >= 0)[0]
         if attach.size == 0:
             break
         agg[attach] = agg[strongest[attach]]
         # edges from still-free rows only
         keep = agg[e_rows] < 0
-        e_rows, e_cols, e_vals, e_tb = (e_rows[keep], e_cols[keep],
-                                        e_vals[keep], e_tb[keep])
+        e_rows, e_cols = e_rows[keep], e_cols[keep]
     rest = np.nonzero(agg < 0)[0]
     agg[rest] = next_id + np.arange(rest.size)
     # renumber densely AND in fine-row order: ids in matching order are
