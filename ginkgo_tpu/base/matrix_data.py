@@ -8,6 +8,17 @@ dynamic sizes, so it lives on the host in numpy — the device tiers only ever
 see the static-shaped format arrays produced from it.  This mirrors the
 reference's split between host ``matrix_data`` (AoS, flexible) and device
 formats (static, tuned).
+
+ALIASING CONTRACT: ``sort_row_major`` / ``sum_duplicates`` /
+``remove_zeros`` / ``canonical`` MAY return ``self`` (and therefore
+*views of the caller's arrays*) when the data is already in the target
+state.  Treat every MatrixData result as IMMUTABLE.  Any code that
+mutates arrays in place (``arr[:] = ...``, native in-place kernels such
+as ``gt_ilu0``/``gt_ic0``) must first take an explicit copy
+(``np.array(x, copy=True)``); ``x.astype(dt)`` and fancy indexing
+``x[mask]`` also always copy.  Violating this silently corrupts the
+user's operator (the round-2 Ilu0 regression).  The no-mutation gate
+``tests/test_no_mutation.py`` enforces this for every factory/solver.
 """
 
 from __future__ import annotations
@@ -62,7 +73,8 @@ class MatrixData:
         return int(self.values.shape[0])
 
     def _keys(self) -> np.ndarray:
-        """(row, col) fused into one sortable int64 key per entry."""
+        """(row, col) fused into one sortable int64 key per entry.
+        Requires rows*cols < 2**63 (host-assembly sizes are far below)."""
         return self.row_idx.astype(np.int64) * self.shape[1] + self.col_idx
 
     def sort_row_major(self) -> "MatrixData":

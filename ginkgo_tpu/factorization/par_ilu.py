@@ -268,7 +268,11 @@ class Ilu0:
         ptr = np.searchsorted(d.row_idx, np.arange(n + 1)).astype(np.int64)
         dtype = d.values.dtype
         wide = (np.complex128 if np.iscomplexobj(d.values) else np.float64)
-        vals = np.ascontiguousarray(d.values, wide)
+        # MUST copy: canonical() may alias the caller's arrays (see
+        # MatrixData docstring) and gt_ilu0 factorizes IN PLACE — a
+        # no-copy view here would overwrite the user's operator with
+        # its own LU factors.
+        vals = np.array(d.values, wide, copy=True)
         if ilu0_native(n, ptr, d.col_idx.astype(np.int64), vals):
             lo = d.col_idx < d.row_idx
             return _build_factors(
