@@ -30,6 +30,11 @@ def main():
     assert bool(reduced.converged.all())
     # storage-reduced preconditioner stays effective
     assert int(reduced.iterations[0]) <= 2 * int(full.iterations[0]) + 10
+    return {"converged": bool(reduced.converged.all()),
+            "iterations": int(reduced.iterations[0]),
+            "iterations_bound": 2 * int(full.iterations[0]) + 10,
+            "residual": float(reduced.resnorm[0]),
+            "residual_bound": 1e-6 * float(jnp.linalg.norm(b))}
 
 
 if __name__ == "__main__":

@@ -28,6 +28,10 @@ def main(num_systems=32, n=24):
           f", iters min/max = {int(res.iterations.min())}/"
           f"{int(res.iterations.max())}")
     assert bool(res.converged.all())
+    return {"converged": bool(res.converged.all()),
+            "iterations": int(res.iterations.max()),
+            "residual": float(np.asarray(res.resnorm).max()),
+            "residual_bound": 1e-8 * float(np.linalg.norm(b, axis=1).max())}
 
 
 if __name__ == "__main__":

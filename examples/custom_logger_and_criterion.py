@@ -55,6 +55,11 @@ def main():
     assert bool(res.converged.all())
     assert float(res.resnorm[0]) < 1e-8
     assert logger.counts.get("solve_completed", 0) == 1
+    return {"converged": bool(res.converged.all()),
+            "iterations": int(res.iterations[0]),
+            "residual": float(res.resnorm[0]), "residual_bound": 1e-8,
+            "solve_events": logger.counts.get("solve_completed", 0),
+            "solve_events_bound": 1}
 
 
 if __name__ == "__main__":

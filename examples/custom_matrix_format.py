@@ -40,6 +40,9 @@ def main(n=64):
     print(f"matrix-free stencil CG: iters={int(res.iterations[0])}, "
           f"err={err:.2e}")
     assert err < 1e-8
+    return {"converged": bool(res.converged.all()),
+            "iterations": int(res.iterations[0]),
+            "error": err, "error_bound": 1e-8}
 
 
 if __name__ == "__main__":

@@ -38,6 +38,11 @@ def main():
     print(f"{P}-device AMG-CG: {int(amg.iterations[0])} iters; "
           f"two-level Schwarz-CG: {int(two_level.iterations[0])} iters")
     assert bool(amg.converged.all()) and bool(two_level.converged.all())
+    return {"converged": bool(amg.converged.all())
+            and bool(two_level.converged.all()),
+            "amg_residual": float(amg.resnorm[0]),
+            "amg_residual_bound": 1e-6,
+            "iterations": int(amg.iterations[0])}
 
 
 if __name__ == "__main__":

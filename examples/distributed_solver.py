@@ -54,6 +54,10 @@ def main():
         print(f"{pr}x{pc}-grid 2-D solve: iters={int(res2.iterations[0])}, "
               f"converged={bool(res2.converged.all())}")
         assert bool(res2.converged.all())
+    return {"converged": bool(res.converged.all()),
+            "iterations": int(res.iterations[0]),
+            "residual": float(res.resnorm[0]),
+            "residual_bound": 1e-6}
 
 
 if __name__ == "__main__":

@@ -48,6 +48,10 @@ def main(n=64):
     x_np = x_torch.numpy()
     assert np.allclose(x_np, x_np[::-1], atol=1e-4)
     assert (x_np > 0).all()
+    return {"converged": bool(res.converged.all()),
+            "residual": float(resid), "residual_bound": 1e-4,
+            "symmetry_error": float(np.abs(x_np - x_np[::-1]).max()),
+            "symmetry_error_bound": 1e-4}
 
 
 if __name__ == "__main__":

@@ -53,6 +53,8 @@ def main():
     res_y = float(jnp.linalg.norm(b - A.apply(yaml_solver.apply(b))))
     print(f"yaml-config solver residual: {res_y:.2e}")
     assert res_y < 1e-7
+    return {"residual": res, "residual_bound": 1e-7,
+            "yaml_residual": res_y, "yaml_residual_bound": 1e-7}
 
 
 if __name__ == "__main__":

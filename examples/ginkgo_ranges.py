@@ -28,6 +28,7 @@ def main():
     err = float(jnp.abs(s.read() - data).max())
     print(f"scaled int16 storage: max err {err:.2e}")
     assert err < 1e-3
+    return {"scaled_error": err, "scaled_error_bound": 1e-3}
 
 
 if __name__ == "__main__":

@@ -41,6 +41,9 @@ def main(nx=24, steps=20, dt=1e-3, kappa=1.0):
           f"{float(peaks[-1]):.4f} (diffusing)")
     assert float(peaks[-1]) < float(peaks[0])
     assert float(u.min()) > -1e-8   # maximum principle (no undershoot)
+    return {"final_peak": float(peaks[-1]),
+            "final_peak_bound": float(peaks[0]),
+            "undershoot": -float(u.min()), "undershoot_bound": 1e-8}
 
 
 if __name__ == "__main__":

@@ -28,6 +28,8 @@ def main(nx=12, iters=30):
     exact = np.linalg.eigvalsh(np.asarray(A.to_dense()))[0]
     print(f"smallest eigenvalue: {lam:.8f} (exact {exact:.8f})")
     assert abs(lam - exact) < 1e-6
+    return {"eigenvalue_error": abs(lam - exact),
+            "eigenvalue_error_bound": 1e-6}
 
 
 if __name__ == "__main__":

@@ -38,6 +38,9 @@ def main(n=64):
     res = Cg.solve(A, b, criteria=Iteration(500) | ResidualNorm(1e-11))
     print(f"device-assembled solve: iters={int(res.iterations[0])}")
     assert bool(res.converged.all())
+    return {"converged": bool(res.converged.all()),
+            "iterations": int(res.iterations[0]),
+            "residual": float(res.resnorm[0]), "residual_bound": 1e-7}
 
 
 if __name__ == "__main__":

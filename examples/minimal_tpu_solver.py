@@ -16,5 +16,11 @@ x = cg.solve(A, jnp.ones(3)).x
 # exact solution of this tridiagonal system is [1.5, 2, 1.5]
 assert float(jnp.abs(x.reshape(-1) - jnp.asarray([1.5, 2.0, 1.5])).max()) < 1e-8
 
+
+def main():
+    err = float(jnp.abs(x.reshape(-1) - jnp.asarray([1.5, 2.0, 1.5])).max())
+    return {"error": err, "error_bound": 1e-8}
+
+
 if __name__ == "__main__":
     print("x =", x)

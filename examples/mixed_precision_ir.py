@@ -32,6 +32,9 @@ def main(n=80):
     print(f"mixed-precision IR: outer iters={int(res.iterations[0])}, "
           f"max err={err:.2e}")
     assert bool(res.converged.all()) and err < 1e-9
+    return {"converged": bool(res.converged.all()),
+            "iterations": int(res.iterations[0]),
+            "error": float(err), "error_bound": 1e-9}
 
 
 if __name__ == "__main__":

@@ -24,6 +24,7 @@ def main():
     print(f"bf16-storage SpMV relative error: {rel:.2e} "
           f"(storage halved, arithmetic f32)")
     assert rel < 1e-2
+    return {"relative_error": float(rel), "relative_error_bound": 1e-2}
 
 
 if __name__ == "__main__":

@@ -37,6 +37,11 @@ def main():
           f"{int(amg_w.iterations[0])}")
     assert int(amg.iterations[0]) <= int(plain.iterations[0])
     assert bool(amg_w.converged.all())
+    return {"converged": bool(amg.converged.all())
+            and bool(amg_w.converged.all()),
+            "iterations": int(amg.iterations[0]),
+            "iterations_bound": int(plain.iterations[0]),
+            "residual": float(amg.resnorm[0]), "residual_bound": 1e-6}
 
 
 if __name__ == "__main__":

@@ -46,6 +46,8 @@ def main():
     print(f"apply overhead: eager {eager * 1e6:.0f}us vs jitted "
           f"{compiled * 1e6:.0f}us")
     assert compiled <= eager * 5  # jit path must not be grossly slower
+    return {"jit_slowdown": compiled / max(eager, 1e-12),
+            "jit_slowdown_bound": 5.0}
 
 
 if __name__ == "__main__":

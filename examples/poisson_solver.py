@@ -34,7 +34,9 @@ def main(n=100):
     err = np.abs(np.asarray(res.x) - u(xs)).max()
     print(f"max error vs analytic: {err:.3e}")
     assert err < 1e-4
-    return res
+    return {"converged": bool(res.converged.all()),
+            "iterations": int(res.iterations[0]),
+            "error": float(err), "error_bound": 1e-4}
 
 
 if __name__ == "__main__":

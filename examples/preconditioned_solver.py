@@ -42,6 +42,10 @@ def main():
               f"resnorm={float(r.resnorm[0]):.2e} "
               f"converged={bool(r.converged.all())}")
         assert bool(r.converged.all())
+    return {"converged": all(bool(r.converged.all())
+                             for r in (plain, jac, ilu, relaxed)),
+            "iterations": int(ilu.iterations[0]),
+            "residual": float(ilu.resnorm[0]), "residual_bound": 1e-6}
 
 
 if __name__ == "__main__":

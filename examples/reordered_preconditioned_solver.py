@@ -55,6 +55,9 @@ def main():
         back = gt.read_mtx(f.name)
         assert back.nnz == exact.l_factor.nnz
     print("factor export round-trip ok")
+    return {"residual": resid, "residual_bound": 1e-7,
+            "parilu_final_error": float(errs[-1]),
+            "parilu_final_error_bound": float(errs[0])}
 
 
 if __name__ == "__main__":

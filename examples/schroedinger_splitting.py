@@ -34,7 +34,7 @@ def main(nx=32, steps=50, dt=1e-3):
     else:
         dev_ctx = contextlib.nullcontext()
     with dev_ctx:
-        _run(nx, steps, dt)
+        return _run(nx, steps, dt)
 
 
 def _run(nx, steps, dt):
@@ -69,6 +69,7 @@ def _run(nx, steps, dt):
     norm = float(jnp.linalg.norm(psi))
     print(f"wavefunction norm after {steps} Strang steps: {norm:.6f}")
     assert abs(norm - 1.0) < tol    # unitary evolution
+    return {"norm_drift": abs(norm - 1.0), "norm_drift_bound": tol}
 
 
 if __name__ == "__main__":

@@ -27,7 +27,8 @@ def main():
     res = float(jnp.linalg.norm(b - A.apply(x)))
     print(f"residual norm: {res:.3e}")
     assert res < 1e-8 * float(jnp.linalg.norm(b))
-    return x
+    return {"residual": res,
+            "residual_bound": 1e-8 * float(jnp.linalg.norm(b))}
 
 
 if __name__ == "__main__":

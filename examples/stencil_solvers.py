@@ -45,6 +45,9 @@ def main():
     res = Cg.solve(A, b, criteria=Iteration(2000) | ResidualNorm(1e-10))
     print(f"9-pt stencil: iters={int(res.iterations[0])}")
     assert bool(res.converged.all())
+    return {"converged": bool(res.converged.all()),
+            "order": float(rate), "order_low": 1.8, "order_high": 2.2,
+            "residual": float(res.resnorm[0]), "residual_bound": 1e-6}
 
 
 if __name__ == "__main__":

@@ -235,12 +235,13 @@ class BatchEll:
                     or not np.array_equal(o.col_idx, d0.col_idx)):
                 raise ValueError(
                     "batch entries must share one sparsity pattern")
-        ells = [Ell.from_data(it, dtype, index_dtype) for it in ds]
+        ells = [Ell.from_data(it, dtype, index_dtype, fast=False)
+                for it in ds]
         e0 = ells[0]
         w = max(e.width for e in ells)
         # rebuild with common width
-        ells = [Ell.from_data(it, dtype, index_dtype, width=w)
-                for it in ds]
+        ells = [Ell.from_data(it, dtype, index_dtype, width=w,
+                              fast=False) for it in ds]
         return cls(col_idx=ells[0].col_idx,
                    values=jnp.stack([e.values for e in ells]),
                    row_lengths=ells[0].row_lengths, shape=e0.shape,

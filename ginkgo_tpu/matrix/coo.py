@@ -27,15 +27,18 @@ class Coo(LinOp):
     values: jnp.ndarray    # (nnz_stored,)
     shape: tuple = static_field()
     nnz: int = static_field()
+    fast_op: object = None  # SpmvPlan TPU fast path (matrix/fastpath.py)
 
     def _apply(self, b):
+        if self.fast_op is not None:
+            return self.fast_op._apply(b)
         return lookup("coo_spmv")(self.row_idx, self.col_idx, self.values,
                                   b, self.shape[0])
 
     # -- construction ---------------------------------------------------------
     @classmethod
     def from_data(cls, data: MatrixData, dtype=None, index_dtype=jnp.int32,
-                  pad_multiple: int = 8):
+                  pad_multiple: int = 8, fast: bool = True):
         d = data.canonical()
         nnz = d.nnz
         cap = pad_nnz(nnz, pad_multiple)
@@ -45,9 +48,15 @@ class Coo(LinOp):
         rows[:nnz] = d.row_idx
         cols[:nnz] = d.col_idx
         vals[:nnz] = d.values
+        fast_op = None
+        if fast and nnz:
+            from .fastpath import plan_fast_spmv
+            fast_op = plan_fast_spmv(
+                d, d.values.astype(vals.dtype), index_dtype)
         return cls(row_idx=jnp.asarray(rows, index_dtype),
                    col_idx=jnp.asarray(cols, index_dtype),
-                   values=jnp.asarray(vals), shape=d.shape, nnz=nnz)
+                   values=jnp.asarray(vals), shape=d.shape, nnz=nnz,
+                   fast_op=fast_op)
 
     # -- conversions ------------------------------------------------------------
     def to_dense(self):

@@ -33,6 +33,50 @@ from ..ops.registry import lookup
 from .coo import pad_nnz
 
 
+def fast_spmv_apply(op, b):
+    """Banded/packed + COO-tail SpMV dispatch over the aux attributes
+    shared by ``Csr`` and ``fastpath.SpmvPlan``.  Returns None when the
+    operator carries no fast-path layout (caller falls back)."""
+    if op.strategy == "banded" and op.diag_values is not None:
+        y = lookup("dia_spmv")(op.diag_offsets, op.diag_values,
+                               dict(op.band_meta), b)
+    elif op.strategy == "packed" and op.pell_vals is not None:
+        y = lookup("pell_spmv")(op.pell_vals, op.pell_idx,
+                                op.pell_qw, op.pell_xbase,
+                                op.pell_meta, b)
+    else:
+        return None
+    if op.tail_rows is not None:
+        y = y + lookup("coo_spmv")(op.tail_rows, op.tail_cols,
+                                   op.tail_vals, b, op.shape[0])
+    return y
+
+
+def aux_device_kw(n, value_dtype, index_dtype, tail, pell):
+    """Pad + device-place the COO tail and packed layout produced by
+    ``_process_strategy`` (shared by Csr and fastpath.SpmvPlan builds)."""
+    kw = {}
+    if tail is not None:
+        tr, tc, tv = tail
+        tcap = pad_nnz(len(tr), 8)
+        tro = np.full(tcap, n, np.int64)
+        tco = np.zeros(tcap, np.int64)
+        tvo = np.zeros(tcap, value_dtype)
+        tro[:len(tr)] = tr
+        tco[:len(tr)] = tc
+        tvo[:len(tr)] = tv
+        kw.update(tail_rows=jnp.asarray(tro, index_dtype),
+                  tail_cols=jnp.asarray(tco, index_dtype),
+                  tail_vals=jnp.asarray(tvo))
+    if pell is not None:
+        kw.update(pell_meta=pell["meta"],
+                  pell_vals=jnp.asarray(pell["vals"]),
+                  pell_idx=jnp.asarray(pell["idx"]),
+                  pell_qw=jnp.asarray(pell["qw"]),
+                  pell_xbase=jnp.asarray(pell["xbase_row"]))
+    return kw
+
+
 @linop_dataclass
 class Csr(LinOp):
     row_ptr: jnp.ndarray   # (n+1,) int
@@ -63,20 +107,8 @@ class Csr(LinOp):
 
     # -- SpMV ------------------------------------------------------------------
     def _apply(self, b):
-        if self.strategy == "banded" and self.diag_values is not None:
-            y = lookup("dia_spmv")(self.diag_offsets, self.diag_values,
-                                   dict(self.band_meta), b)
-            if self.tail_rows is not None:
-                y = y + lookup("coo_spmv")(self.tail_rows, self.tail_cols,
-                                           self.tail_vals, b, self.shape[0])
-            return y
-        if self.strategy == "packed" and self.pell_vals is not None:
-            y = lookup("pell_spmv")(self.pell_vals, self.pell_idx,
-                                    self.pell_qw, self.pell_xbase,
-                                    self.pell_meta, b)
-            if self.tail_rows is not None:
-                y = y + lookup("coo_spmv")(self.tail_rows, self.tail_cols,
-                                           self.tail_vals, b, self.shape[0])
+        y = fast_spmv_apply(self, b)
+        if y is not None:
             return y
         return lookup("coo_spmv")(self.row_idx, self.col_idx, self.values,
                                   b, self.shape[0])
@@ -114,27 +146,7 @@ class Csr(LinOp):
         cols[:nnz] = d.col_idx
         vals[:nnz] = values_np
         row_ptr = d.row_ptrs()
-        tail_kw = {}
-        if tail is not None:
-            tr, tc, tv = tail
-            tcap = pad_nnz(len(tr), 8)
-            tro = np.full(tcap, n, np.int64)
-            tco = np.zeros(tcap, np.int64)
-            tvo = np.zeros(tcap, values_np.dtype)
-            tro[:len(tr)] = tr
-            tco[:len(tr)] = tc
-            tvo[:len(tr)] = tv
-            tail_kw = dict(tail_rows=jnp.asarray(tro, index_dtype),
-                           tail_cols=jnp.asarray(tco, index_dtype),
-                           tail_vals=jnp.asarray(tvo))
-        pell_kw = {}
-        if pell is not None:
-            pell_kw = dict(
-                pell_meta=pell["meta"],
-                pell_vals=jnp.asarray(pell["vals"]),
-                pell_idx=jnp.asarray(pell["idx"]),
-                pell_qw=jnp.asarray(pell["qw"]),
-                pell_xbase=jnp.asarray(pell["xbase_row"]))
+        aux_kw = aux_device_kw(n, values_np.dtype, index_dtype, tail, pell)
         return cls(row_ptr=jnp.asarray(row_ptr, index_dtype),
                    col_idx=jnp.asarray(cols, index_dtype),
                    values=jnp.asarray(vals),
@@ -142,7 +154,7 @@ class Csr(LinOp):
                    shape=(n, m), nnz=nnz, strategy=strategy,
                    diag_offsets=diag_offsets, band_meta=band_meta,
                    diag_values=None if diag_values is None
-                   else jnp.asarray(diag_values), **tail_kw, **pell_kw)
+                   else jnp.asarray(diag_values), **aux_kw)
 
     @classmethod
     def from_dense(cls, dense, **kwargs):

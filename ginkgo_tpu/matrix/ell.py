@@ -22,19 +22,23 @@ class Ell(LinOp):
     row_lengths: jnp.ndarray  # (n,) int
     shape: tuple = static_field()
     nnz: int = static_field()
+    fast_op: object = None    # SpmvPlan TPU fast path (matrix/fastpath.py)
 
     @property
     def width(self):
         return self.values.shape[1]
 
     def _apply(self, b):
+        if self.fast_op is not None:
+            return self.fast_op._apply(b)
         mask = (jnp.arange(self.width)[None, :]
                 < self.row_lengths[:, None])
         return lookup("ell_spmv")(self.col_idx, self.values, b, mask)
 
     @classmethod
     def from_data(cls, data: MatrixData, dtype=None, index_dtype=jnp.int32,
-                  width: int | None = None, allow_truncate: bool = False):
+                  width: int | None = None, allow_truncate: bool = False,
+                  fast: bool = True):
         d = data.canonical()
         n, m = d.shape
         lengths = np.diff(d.row_ptrs())
@@ -52,10 +56,16 @@ class Ell(LinOp):
         keep = pos < w
         cols[d.row_idx[keep], pos[keep]] = d.col_idx[keep]
         vals[d.row_idx[keep], pos[keep]] = d.values[keep]
+        fast_op = None
+        if fast:
+            from .fastpath import plan_fast_spmv
+            kept = MatrixData((n, m), d.row_idx[keep], d.col_idx[keep],
+                              d.values[keep].astype(vals.dtype))
+            fast_op = plan_fast_spmv(kept, kept.values, index_dtype)
         return cls(col_idx=jnp.asarray(cols, index_dtype),
                    values=jnp.asarray(vals),
                    row_lengths=jnp.asarray(np.minimum(lengths, w), index_dtype),
-                   shape=(n, m), nnz=int(keep.sum()))
+                   shape=(n, m), nnz=int(keep.sum()), fast_op=fast_op)
 
     def to_dense(self):
         mask = (jnp.arange(self.width)[None, :] < self.row_lengths[:, None])

@@ -45,14 +45,17 @@ class Hybrid(LinOp):
     coo: Coo
     shape: tuple = static_field()
     nnz: int = static_field()
+    fast_op: object = None  # SpmvPlan TPU fast path (matrix/fastpath.py)
 
     def _apply(self, b):
+        if self.fast_op is not None:
+            return self.fast_op._apply(b)
         return self.ell._apply(b) + self.coo._apply(b)
 
     @classmethod
     def from_data(cls, data: MatrixData, dtype=None, index_dtype=jnp.int32,
                   strategy: str = "automatic", percent: float = 0.8,
-                  column_limit: int | None = None):
+                  column_limit: int | None = None, fast: bool = True):
         d = data.canonical()
         n, m = d.shape
         lengths = np.diff(d.row_ptrs())
@@ -64,9 +67,18 @@ class Hybrid(LinOp):
                               d.values[in_ell])
         coo_part = MatrixData((n, m), d.row_idx[~in_ell], d.col_idx[~in_ell],
                               d.values[~in_ell])
-        return cls(ell=Ell.from_data(ell_part, dtype, index_dtype, width=w),
-                   coo=Coo.from_data(coo_part, dtype, index_dtype),
-                   shape=(n, m), nnz=d.nnz)
+        fast_op = None
+        if fast and d.nnz:
+            # one plan over the FULL pattern: the packed layout's own
+            # ELL+tail split subsumes the hybrid partition strategy
+            from .fastpath import plan_fast_spmv
+            vdt = d.values.dtype if dtype is None else np.dtype(dtype)
+            fast_op = plan_fast_spmv(d, d.values.astype(vdt), index_dtype)
+        return cls(ell=Ell.from_data(ell_part, dtype, index_dtype, width=w,
+                                     fast=False),
+                   coo=Coo.from_data(coo_part, dtype, index_dtype,
+                                     fast=False),
+                   shape=(n, m), nnz=d.nnz, fast_op=fast_op)
 
     def to_dense(self):
         return self.ell.to_dense() + self.coo.to_dense()

@@ -30,6 +30,7 @@ class Sellp(LinOp):
     slice_size: int = static_field(default=64)
     slice_offsets: tuple = static_field(default=())   # per-slice start
     slice_widths: tuple = static_field(default=())    # per-slice stride
+    fast_op: object = None  # SpmvPlan TPU fast path (matrix/fastpath.py)
 
     @property
     def num_slices(self):
@@ -40,12 +41,15 @@ class Sellp(LinOp):
         return self.val_flat.shape[0]
 
     def _apply(self, b):
+        if self.fast_op is not None:
+            return self.fast_op._apply(b)
         return lookup("coo_spmv")(self.row_flat, self.col_flat,
                                   self.val_flat, b, self.shape[0])
 
     @classmethod
     def from_data(cls, data: MatrixData, dtype=None, index_dtype=jnp.int32,
-                  slice_size: int = 64, stride_factor: int = 8):
+                  slice_size: int = 64, stride_factor: int = 8,
+                  fast: bool = True):
         d = data.canonical()
         n, m = d.shape
         ss = int(slice_size)
@@ -68,12 +72,18 @@ class Sellp(LinOp):
             cols[flat] = d.col_idx
             vals[flat] = d.values
             rows[flat] = d.row_idx
+        fast_op = None
+        if fast and d.nnz:
+            from .fastpath import plan_fast_spmv
+            fast_op = plan_fast_spmv(
+                d, d.values.astype(vals.dtype), index_dtype)
         return cls(col_flat=jnp.asarray(cols, index_dtype),
                    val_flat=jnp.asarray(vals),
                    row_flat=jnp.asarray(rows, index_dtype),
                    shape=(n, m), nnz=d.nnz, slice_size=ss,
                    slice_offsets=tuple(int(o) for o in offsets[:-1]),
-                   slice_widths=tuple(int(w) for w in widths))
+                   slice_widths=tuple(int(w) for w in widths),
+                   fast_op=fast_op)
 
     def to_dense(self):
         return jnp.zeros(self.shape, self.val_flat.dtype).at[

@@ -118,6 +118,10 @@ def _bind(lib):
     lib.gt_parict_sweep.argtypes = [ctypes.c_int64, i64p, i64p, f64p,
                                     i64p, i64p, f64p, ctypes.c_int64,
                                     ctypes.c_int32]
+    lib.gt_isai_fill.restype = ctypes.c_int
+    lib.gt_isai_fill.argtypes = [ctypes.c_int64, ctypes.c_int64, i64p,
+                                 i64p, f64p, i64p, i64p, f64p, f64p,
+                                 ctypes.c_int32]
     return lib
 
 
@@ -442,3 +446,22 @@ def coo_canonicalize_native(rows, cols, vals):
         vals.view(np.float64).ctypes.data_as(
             ctypes.POINTER(ctypes.c_double)), int(is_cpx))
     return rows[:out], cols[:out], vals[:out]
+
+
+def isai_fill_native(S, a_ptr, a_cols, a_vals, p_ptr, p_cols, subs, rhs):
+    """Fill the (n, S, S) ISAI blocks subs[i,a,b] = A(J_b, J_a) and rhs
+    e_i(J) IN PLACE (subs identity-initialized, rhs zeroed; f64/c128
+    contiguous).  Returns True, or None when native is unavailable."""
+    L = lib()
+    if L is None:
+        return None
+    n = p_ptr.shape[0] - 1
+    is_cpx = np.iscomplexobj(a_vals)
+    rc = L.gt_isai_fill(
+        n, int(S), _ptr(a_ptr, ctypes.c_int64), _ptr(a_cols, ctypes.c_int64),
+        a_vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        _ptr(p_ptr, ctypes.c_int64), _ptr(p_cols, ctypes.c_int64),
+        subs.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        rhs.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        1 if is_cpx else 0)
+    return rc == 0 or None

@@ -1501,3 +1501,44 @@ extern "C" int gt_ic0(int64_t n, const int64_t* ptr, const int64_t* cols,
     }
     return 0;
 }
+
+// ISAI batched-block fill (reference: the per-row gather half of
+// common/cuda_hip/preconditioner/isai_kernels.cpp generate_*_inverse —
+// here only the A(J,J)^T gather; the batched solve itself runs on the
+// MXU).  For every row i with pattern columns J[0..m): write
+// subs[i, a, b] = A(J[b], J[a]) by a sorted two-pointer merge of J with
+// A's row J[b] (both ascending) — O(sum_b (m + deg(J[b]))) total, no
+// hashing.  subs must arrive identity-initialized ((n, S, S), row-major,
+// w doubles per value); rhs (n, S) zero-initialized gets e_i(J).
+extern "C" int gt_isai_fill(int64_t n, int64_t S,
+                            const int64_t* a_ptr, const int64_t* a_cols,
+                            const double* a_vals,
+                            const int64_t* p_ptr, const int64_t* p_cols,
+                            double* subs, double* rhs,
+                            int32_t is_complex) {
+    const int64_t w = is_complex ? 2 : 1;
+    for (int64_t i = 0; i < n; ++i) {
+        const int64_t ps = p_ptr[i], pe = p_ptr[i + 1], m = pe - ps;
+        if (m > S) return 1;
+        double* block = subs + i * S * S * w;
+        // clear the live (m, m) region (identity base stays in padding)
+        for (int64_t a = 0; a < m; ++a)
+            for (int64_t b = 0; b < m; ++b)
+                for (int64_t c = 0; c < w; ++c)
+                    block[(a * S + b) * w + c] = 0.0;
+        for (int64_t b = 0; b < m; ++b) {
+            const int64_t jb = p_cols[ps + b];
+            int64_t e = a_ptr[jb];
+            const int64_t ee = a_ptr[jb + 1];
+            for (int64_t a = 0; a < m && e < ee; ++a) {
+                const int64_t ja = p_cols[ps + a];
+                while (e < ee && a_cols[e] < ja) ++e;
+                if (e < ee && a_cols[e] == ja)
+                    for (int64_t c = 0; c < w; ++c)
+                        block[(a * S + b) * w + c] = a_vals[e * w + c];
+            }
+            if (jb == i) rhs[(i * S + b) * w] = 1.0;
+        }
+    }
+    return 0;
+}

@@ -48,43 +48,79 @@ def _restrict_triangular(p: MatrixData, mode: str) -> MatrixData:
 
 def generate_isai(A, sparsity_power: int = 1, mode: str = "general") -> Csr:
     """Build the approximate-inverse Csr for A (host symbolic + one
-    batched device solve)."""
+    batched device solve).
+
+    The (n, S, S) block fill has no Python loops (the reference generates
+    these blocks on device, ``common/cuda_hip/preconditioner/
+    isai_kernels.cpp``): the native ``gt_isai_fill`` merges each pattern
+    row against A's rows with two sorted pointers — O(Σ_b (m + deg(J_b)))
+    — and the numpy fallback materializes the Σ mᵢ² pair list with
+    repeat/arange group arithmetic and looks it up in A by sorted
+    (row, col) key."""
     data = A.to_matrix_data() if hasattr(A, "to_matrix_data") else A
     d = data.canonical()
     n = d.shape[0]
     dtype = d.values.dtype
     pattern = _restrict_triangular(_power_pattern(d, sparsity_power), mode)
 
-    # per-row pattern lists
-    rows_of = [[] for _ in range(n)]
-    for i, j in zip(pattern.row_idx, pattern.col_idx):
-        rows_of[int(i)].append(int(j))
-    # make sure the diagonal is in every pattern
-    for i in range(n):
-        if i not in rows_of[i]:
-            rows_of[i].append(i)
-        rows_of[i].sort()
-    S = max(len(r) for r in rows_of)
+    # ensure the diagonal is in every row's pattern, re-sort row-major
+    diag = np.arange(n, dtype=np.int64)
+    pattern = MatrixData(
+        (n, n), np.concatenate([pattern.row_idx.astype(np.int64), diag]),
+        np.concatenate([pattern.col_idx.astype(np.int64), diag]),
+        np.ones(pattern.nnz + n, dtype)).canonical()
 
-    dense_a = {(int(i), int(j)): v
-               for i, j, v in zip(d.row_idx, d.col_idx, d.values)}
-    subs = np.tile(np.eye(S, dtype=dtype), (n, 1, 1))
-    rhs = np.zeros((n, S), dtype)
+    ptr = pattern.row_ptrs()                       # (n+1,)
+    lens = np.diff(ptr)                            # (n,) >= 1 (diagonal)
+    S = int(lens.max())
+    prow = pattern.row_idx.astype(np.int64)        # (nnzp,)
+    pcol = pattern.col_idx.astype(np.int64)
+    nnzp = prow.shape[0]
+    a_slot = np.arange(nnzp) - ptr[prow]           # position within row
+
     cols_pad = np.zeros((n, S), np.int64)
     valid = np.zeros((n, S), bool)
-    for i, J in enumerate(rows_of):
-        m = len(J)
-        cols_pad[i, :m] = J
-        valid[i, :m] = True
-        # A(J, J) transposed: solving A(J,J)^T m = e_i(J)
-        for a, ja in enumerate(J):
-            for b, jb in enumerate(J):
-                subs[i, a, b] = dense_a.get((jb, ja), 0.0)
-            if ja == i:
-                rhs[i, a] = 1.0
-        # guard singular padding
-        for a in range(m, S):
-            subs[i, a, a] = 1.0
+    cols_pad[prow, a_slot] = pcol
+    valid[prow, a_slot] = True
+
+    wide = np.complex128 if np.iscomplexobj(d.values) else np.float64
+    subs = rhs = None
+    if d.nnz:
+        from ..native import isai_fill_native
+        # identity base guards singular padding; the kernel clears and
+        # fills each live (m, m) region in place
+        subs_w = np.tile(np.eye(S, dtype=wide), (n, 1, 1))
+        rhs_w = np.zeros((n, S), wide)
+        if isai_fill_native(S, d.row_ptrs(),
+                            np.ascontiguousarray(d.col_idx, np.int64),
+                            np.array(d.values, wide, copy=True),
+                            ptr, pcol, subs_w, rhs_w):
+            subs = subs_w.astype(dtype)
+            rhs = rhs_w.astype(dtype)
+    if subs is None:
+        # numpy fallback: pair list — every entry e (slot a of row i)
+        # against every slot b of the same row, Σ mᵢ² pairs via group
+        # repeat/arange, then one sorted-key lookup into canonical d
+        cnt = lens[prow]                           # pairs per entry
+        pair_a = np.repeat(np.arange(nnzp), cnt)   # entry index for slot a
+        total = int(cnt.sum())
+        b_local = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        row_of = prow[pair_a]
+        ja = pcol[pair_a]
+        jb = pcol[ptr[row_of] + b_local]
+        if d.nnz:
+            akeys = d.row_idx.astype(np.int64) * n + d.col_idx
+            qkeys = jb * n + ja
+            loc = np.minimum(np.searchsorted(akeys, qkeys), d.nnz - 1)
+            pair_vals = np.where(akeys[loc] == qkeys,
+                                 d.values[loc], 0.0).astype(dtype)
+        else:
+            pair_vals = np.zeros(total, dtype)
+        subs = np.tile(np.eye(S, dtype=dtype), (n, 1, 1))
+        subs[row_of, a_slot[pair_a], b_local] = pair_vals
+        rhs = np.zeros((n, S), dtype)
+        on_diag = pcol == prow
+        rhs[prow[on_diag], a_slot[on_diag]] = 1.0
 
     from ..ops.gauss_jordan import batched_solve
     sols = batched_solve(jnp.asarray(subs), jnp.asarray(rhs))   # (n, S)

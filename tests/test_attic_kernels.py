@@ -14,7 +14,7 @@ import pytest
 import scipy.sparse as sp
 
 from ginkgo_tpu.base.matrix_data import MatrixData
-from ginkgo_tpu.ops import spmv_windowed as W
+from ginkgo_tpu.ops.attic import spmv_windowed as W
 
 
 def _random_local(n, lo_deg, hi_deg, bw, seed=0):
