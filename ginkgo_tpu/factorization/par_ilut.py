@@ -3,20 +3,26 @@
 Analog of ``core/factorization/par_ilut.cpp:262-350`` (SURVEY.md A.3) and
 ``par_ict.hpp:69``.  Each outer iteration:
 
-1. LU = spgemm(L, U)                              (host, scipy SMMP)
-2. add_candidates ∪ sweep, fused: the candidate seed (residual
-   (A - LU)_ij, L part scaled by u_jj) applied to ALL entries of
-   pattern(A) ∪ pattern(LU) is exactly one Jacobi Chow-Patel sweep
-   evaluated at the current iterate — see ``_sweep``'s identity
+1+2. product + add_candidates + seed, FUSED: one native pass
+   (``gt_parilut_candidates``) accumulates each (I+L)@U row, merges it
+   with A's row and emits the union with seed = one Jacobi Chow-Patel
+   sweep evaluated at the current iterate (new entries start from the
+   residual) — replaces the scipy spgemm, the union sort and every
+   sorted-key staging pass.  Candidates are written directly into
+   reusable numpy buffers (capacity hint + exact retry).
 3. threshold_select: k-th smallest |value| so nnz shrinks back to
    ``fill_in_limit * nnz(ILU0 pattern)`` (numpy partition)
 4. threshold_filter: drop below-threshold entries (diagonal always kept)
-5. second sweep on the filtered pattern (one more product)
+5. second sweep on the filtered pattern — ``sweep_mode='host'``: native
+   row-major Gauss-Seidel (U^T built in-kernel); ``'device'``: the
+   ParILU pair-list segment_sum kernel on the accelerator (the
+   reference's parallel GPU sweeps are likewise Jacobi-with-races).
 
-Pattern evolution is inherently dynamic-shape, so generation is
-host-driven (like Ginkgo's, which re-allocates per iteration); every
-step is a vectorized sorted-key merge or a scipy C-level product — no
-per-entry Python.  The produced factors solve on device as usual.
+Pattern evolution is inherently dynamic-shape, so the symbolics stay
+host-driven (like Ginkgo's, which re-allocates per iteration) in O(flops)
+native single passes; numeric sweeps run wherever ``sweep_mode`` says.
+The produced factors solve on device as usual.  Numpy fallbacks cover
+every native call.
 """
 
 from __future__ import annotations
@@ -88,50 +94,107 @@ def _csr_ptr(rows, n):
     return np.searchsorted(rows, np.arange(n + 1)).astype(np.int64)
 
 
+def _rowmajor_perm(r, c, n):
+    """Permutation making (r, c) row-major ascending, or None when the
+    arrays already are (O(nnz) check; avoids materializing a 100MB+
+    identity permutation on multi-million-entry patterns)."""
+    key = r * n + c
+    if key.size < 2 or (np.diff(key) > 0).all():
+        return None
+    return np.lexsort((c, r))
+
+
+def _take(x, perm):
+    return x if perm is None else x[perm]
+
+
+def _sweep_device(n, lr, lc, lv, ur, uc, uv, la, ua, iterations):
+    """Device pair-list Chow-Patel sweeps on an arbitrary split pattern:
+    the ParILU gather-multiply-``segment_sum`` kernel
+    (par_ilu._sweeps_kernel) with contribution pairs enumerated for THIS
+    pattern — the TPU answer to the reference's parallel sweep kernels
+    (common/cuda_hip/factorization/par_ilut_sweep_kernels.cpp).  Jacobi
+    (synchronous) semantics; one jitted fori_loop for all iterations.
+    Returns (lv, uv) or None when pair enumeration is unavailable."""
+    import jax.numpy as jnp
+
+    from ..native import ilu_pairs_native
+    from .par_ilu import _run_sweeps
+    lo = _rowmajor_perm(lr, lc, n)
+    uo = _rowmajor_perm(ur, uc, n)
+    lrs, lcs = _take(lr, lo), _take(lc, lo)
+    urs, ucs = _take(ur, uo), _take(uc, uo)
+    pairs = ilu_pairs_native(n, lrs, lcs, urs, ucs)
+    if pairs is None:
+        return None
+    pl, pu, po = pairs
+    on_diag = urs == ucs
+    udiag_pos = np.full(n, 0, np.int64)
+    udiag_pos[urs[on_diag]] = np.flatnonzero(on_diag)
+    lvs, uvs = _run_sweeps(
+        jnp.asarray(_take(lv, lo)), jnp.asarray(_take(uv, uo)),
+        jnp.asarray(_take(la, lo)), jnp.asarray(_take(ua, uo)),
+        jnp.asarray(pl), jnp.asarray(pu), jnp.asarray(po),
+        jnp.asarray(lcs), jnp.asarray(udiag_pos), int(iterations))
+    lv_out = np.asarray(lvs)
+    uv_out = np.asarray(uvs)
+    if lo is not None:
+        tmp = np.empty_like(lv_out)
+        tmp[lo] = lv_out
+        lv_out = tmp
+    if uo is not None:
+        tmp = np.empty_like(uv_out)
+        tmp[uo] = uv_out
+        uv_out = tmp
+    return lv_out, uv_out
+
+
 def _sweep(n, lr, lc, lv, ur, uc, uv, la, ua, iterations,
-           a_csr=None):
+           a_csr=None, mode="host"):
     """Run Chow-Patel sweeps on the given split pattern; returns values.
 
-    Primary path: the native C++ in-place Gauss-Seidel sweep — exact
-    semantics of the reference's ``compute_l_u_factors``
+    ``mode='host'`` (default): the native C++ in-place Gauss-Seidel
+    sweep — exact semantics of the reference's ``compute_l_u_factors``
     (``reference/factorization/par_ilut_kernels.cpp:239``), row-major
-    sequential updates, which converge robustly.  ``a_csr`` is
-    (a_ptr, a_cols, a_vals) of A; when None, it is reconstructed from
-    ``la``/``ua`` (the A-values on the pattern, zeros where A has no
-    entry — equivalent lookups).  Falls back to the Jacobi form when
-    the native tier is unavailable."""
-    from ..native import parilut_sweep_native
+    sequential updates, which converge robustly.  ``mode='device'``:
+    the pair-list segment_sum kernel on the accelerator (Jacobi
+    semantics — the reference's GPU sweeps are likewise parallel with
+    benign races); ``'auto'`` picks device when the default backend is
+    an accelerator.  ``a_csr`` is (a_ptr, a_cols, a_vals) of A; when
+    None, it is reconstructed from ``la``/``ua`` (the A-values on the
+    pattern, zeros where A has no entry — equivalent lookups).  Falls
+    back to the Jacobi form when the native tier is unavailable."""
+    if mode == "auto":
+        import jax
+        mode = "device" if jax.default_backend() != "cpu" else "host"
+    if mode == "device" and int(iterations) > 0 and len(lr) + len(ur):
+        out = _sweep_device(n, lr, lc, lv, ur, uc, uv, la, ua, iterations)
+        if out is not None:
+            return out
+    from ..native import parilut_sweep_csr_native
     if int(iterations) <= 0 or len(lr) + len(ur) == 0:
         return lv, uv
     work_dtype = (np.complex128 if np.iscomplexobj(lv) else np.float64)
 
-    def rowmajor_order(r, c):
-        # patterns here are usually already row-major: O(nnz) check
-        # beats an unconditional O(nnz log nnz) lexsort
-        key = r * n + c
-        if key.size < 2 or (np.diff(key) > 0).all():
-            return np.arange(key.size)
-        return np.lexsort((c, r))
-
-    # sort L and U row-major; U^T (by column) for the column walks
-    lo = rowmajor_order(lr, lc)
-    lrs, lcs = lr[lo], lc[lo]
-    lvs = np.ascontiguousarray(lv[lo].astype(work_dtype))
-    uo = rowmajor_order(ur, uc)
-    urs, ucs = ur[uo], uc[uo]
-    uvs = uv[uo].astype(work_dtype)
-    ot = np.lexsort((urs, ucs))          # U^T order (col, row)
-    ut_rows = np.ascontiguousarray(urs[ot])
-    ut_vals = np.ascontiguousarray(uvs[ot])
-    u2ut = np.empty(len(ot), np.int64)
-    u2ut[ot] = np.arange(len(ot))
-    ut_ptr = _csr_ptr(ucs[ot], n)
+    # sort L and U row-major (usually already are — O(nnz) check);
+    # the native kernel builds U^T in-kernel at memcpy speed
+    lo = _rowmajor_perm(lr, lc, n)
+    lrs, lcs = _take(lr, lo), _take(lc, lo)
+    lvs = np.ascontiguousarray(_take(lv, lo), work_dtype)
+    if lvs is lv:
+        lvs = lv.astype(work_dtype, copy=True)   # kernel mutates in place
+    uo = _rowmajor_perm(ur, uc, n)
+    urs, ucs = _take(ur, uo), _take(uc, uo)
+    uvs = np.ascontiguousarray(_take(uv, uo), work_dtype)
+    if uvs is uv:
+        uvs = uv.astype(work_dtype, copy=True)
 
     if a_csr is None:
         # A-on-pattern proxy: exact for the lookups the sweep performs
         ar = np.concatenate([lrs, urs])
         ac = np.concatenate([lcs, ucs])
-        av = np.concatenate([la[lo], ua[uo]]).astype(work_dtype)
+        av = np.concatenate([_take(la, lo), _take(ua, uo)]).astype(
+            work_dtype, copy=False)
         ao = np.lexsort((ac, ar))
         ar, ac, av = ar[ao], ac[ao], av[ao]
         a_ptr = _csr_ptr(ar, n)
@@ -139,23 +202,28 @@ def _sweep(n, lr, lc, lv, ur, uc, uv, la, ua, iterations,
         a_vals = np.ascontiguousarray(av)
     else:
         a_ptr, a_cols, a_vals = a_csr
-        a_vals = np.ascontiguousarray(a_vals.astype(work_dtype))
+        a_vals = np.ascontiguousarray(a_vals, work_dtype)
         a_ptr = np.ascontiguousarray(a_ptr, dtype=np.int64)
         a_cols = np.ascontiguousarray(a_cols, dtype=np.int64)
 
-    ok = parilut_sweep_native(
+    ok = parilut_sweep_csr_native(
         n, a_ptr, a_cols, a_vals, _csr_ptr(lrs, n),
-        np.ascontiguousarray(lcs), lvs, _csr_ptr(urs, n),
-        np.ascontiguousarray(ucs), u2ut, ut_ptr, ut_rows, ut_vals,
-        iterations)
+        np.ascontiguousarray(lcs, np.int64), lvs, _csr_ptr(urs, n),
+        np.ascontiguousarray(ucs, np.int64), uvs, iterations)
     if ok is None:
         return _sweep_jacobi(n, lr, lc, lv, ur, uc, uv, la, ua,
                              iterations)
     dtype = lv.dtype
-    lv_out = np.empty_like(lv)
-    lv_out[lo] = lvs.astype(dtype)
-    uv_out = np.empty_like(uv)
-    uv_out[uo[ot]] = ut_vals.astype(dtype)
+    if lo is None:
+        lv_out = lvs.astype(dtype, copy=False)
+    else:
+        lv_out = np.empty_like(lv)
+        lv_out[lo] = lvs.astype(dtype, copy=False)
+    if uo is None:
+        uv_out = uvs.astype(dtype, copy=False)
+    else:
+        uv_out = np.empty_like(uv)
+        uv_out[uo] = uvs.astype(dtype, copy=False)
     return lv_out, uv_out
 
 
@@ -183,10 +251,13 @@ class ParIlut:
     """Factory (par_ilut.hpp:72 params): ``iterations``, ``fill_in_limit``."""
 
     def __init__(self, iterations: int = 5, fill_in_limit: float = 2.0,
-                 sweeps_per_iteration: int = 1):
+                 sweeps_per_iteration: int = 1, sweep_mode: str = "host"):
+        if sweep_mode not in ("host", "device", "auto"):
+            raise ValueError(f"unknown sweep_mode {sweep_mode!r}")
         self.iterations = iterations
         self.fill_in_limit = fill_in_limit
         self.sweeps = sweeps_per_iteration
+        self.sweep_mode = sweep_mode
 
     @classmethod
     def build(cls, **kw):
@@ -213,46 +284,65 @@ class ParIlut:
         lv = a_at(lr, lc)
         uv = a_at(ur, uc)
         lv, uv = _sweep(n, lr, lc, lv, ur, uc, uv, lv.copy(),
-                        uv.copy(), 3, a_csr=a_csr)
+                        uv.copy(), 3, a_csr=a_csr, mode=self.sweep_mode)
         nnz_l0, nnz_u0 = len(lr), len(ur)
         keep_l = int(np.ceil(self.fill_in_limit * nnz_l0))
         keep_u = int(np.ceil(self.fill_in_limit * nnz_u0))
 
+        from ..native import parilut_candidates_native
+        scratch = {}
         for _ in range(self.iterations):
-            # 1. LU product (unit diag L)
-            lukey, luval = _lu_product(n, lr, lc, lv, ur, uc, uv, dtype)
+            # 1+2. fused product + add_candidates + Jacobi seed
+            # (par_ilut.cpp:262): primary path is ONE native pass over
+            # the (I+L)@U row merges (gt_parilut_candidates) — no scipy
+            # product, no union1d sort, no repeated searchsorted staging.
+            lo = _rowmajor_perm(lr, lc, n)
+            uo = _rowmajor_perm(ur, uc, n)
+            nat = parilut_candidates_native(
+                n, a_csr[0], a_csr[1], a_csr[2],
+                _csr_ptr(_take(lr, lo), n), _take(lc, lo), _take(lv, lo),
+                _csr_ptr(_take(ur, uo), n), _take(uc, uo), _take(uv, uo),
+                scratch=scratch)
+            if nat is not None:
+                ci, cj, seed, a_c = nat
+                low = ci > cj
+                lr2, lc2 = ci[low], cj[low]
+                lv2 = seed[low].astype(dtype, copy=False)
+                ur2, uc2 = ci[~low], cj[~low]
+                uv2 = seed[~low].astype(dtype, copy=False)
+                a_low = a_c[low].astype(dtype, copy=False)
+                a_up = a_c[~low].astype(dtype, copy=False)
+            else:
+                # numpy fallback: scipy product + sorted-key merges
+                lukey, luval = _lu_product(n, lr, lc, lv, ur, uc, uv,
+                                           dtype)
+                cand = np.union1d(akey, lukey)
+                ci = cand // n
+                cj = cand % n
+                a_c = np.zeros(cand.size, dtype)
+                a_c[np.searchsorted(cand, akey)] = aval
+                r_c = a_c - _sorted_lookup(lukey, luval,
+                                           cand).astype(dtype, copy=False)
+                udiag = np.ones(n, dtype)
+                on_diag = ur == uc
+                udiag[ur[on_diag]] = uv[on_diag]
+                udiag[udiag == 0] = 1.0
 
-            # 2. add_candidates (par_ilut.cpp:262): pattern(A) ∪
-            #    pattern(LU); all sorted-key numpy merges, no per-entry
-            #    host loops.  Lookups scatter from the SMALL side
-            #    (existing pattern into the candidate set) — cheaper
-            #    than querying every candidate.
-            cand = np.union1d(akey, lukey)
-            ci = cand // n
-            cj = cand % n
-            a_c = np.zeros(cand.size, dtype)
-            a_c[np.searchsorted(cand, akey)] = aval
-            r_c = a_c - _sorted_lookup(lukey, luval,
-                                       cand).astype(dtype, copy=False)
-            udiag = np.ones(n, dtype)
-            on_diag = ur == uc
-            udiag[ur[on_diag]] = uv[on_diag]
-            udiag[udiag == 0] = 1.0
-
-            # The seed IS one Jacobi Chow-Patel sweep over the enlarged
-            # pattern evaluated at the current iterate (new entries have
-            # old value 0): l + (A - LU)_ij/u_jj resp. u + (A - LU)_ij.
-            # Fusing seed+sweep reuses the step-1 product and saves the
-            # enlarged-pattern spgemm — the largest product of the
-            # iteration (its fill is ~2.5x nnz(A)).
-            old_c = np.zeros(cand.size, dtype)
-            old_c[np.searchsorted(cand, lr * n + lc)] = lv
-            old_c[np.searchsorted(cand, ur * n + uc)] = uv
-            low = ci > cj
-            lr2, lc2 = ci[low], cj[low]
-            lv2 = old_c[low] + r_c[low] / udiag[cj[low]]
-            ur2, uc2 = ci[~low], cj[~low]
-            uv2 = old_c[~low] + r_c[~low]
+                # The seed IS one Jacobi Chow-Patel sweep over the
+                # enlarged pattern evaluated at the current iterate (new
+                # entries have old value 0): l + (A - LU)_ij/u_jj resp.
+                # u + (A - LU)_ij.  Fusing seed+sweep reuses the step-1
+                # product and saves the enlarged-pattern spgemm.
+                old_c = np.zeros(cand.size, dtype)
+                old_c[np.searchsorted(cand, lr * n + lc)] = lv
+                old_c[np.searchsorted(cand, ur * n + uc)] = uv
+                low = ci > cj
+                lr2, lc2 = ci[low], cj[low]
+                lv2 = old_c[low] + r_c[low] / udiag[cj[low]]
+                ur2, uc2 = ci[~low], cj[~low]
+                uv2 = old_c[~low] + r_c[~low]
+                a_low = a_c[low]
+                a_up = a_c[~low]
 
             # 4+5. select + filter back to the fill budget
             lkeep = _threshold_select(lr2, lc2, lv2, keep_l,
@@ -264,10 +354,9 @@ class ParIlut:
 
             # 6. second sweep on the filtered pattern (A values ride
             # along from the candidate array — no fresh lookups)
-            a_low = a_c[low]
-            a_up = a_c[~low]
             lv, uv = _sweep(n, lr, lc, lv, ur, uc, uv, a_low[lkeep],
-                            a_up[ukeep], self.sweeps, a_csr=a_csr)
+                            a_up[ukeep], self.sweeps, a_csr=a_csr,
+                            mode=self.sweep_mode)
 
         return _build_factors(n, lr, lc, lv, ur, uc, uv, dtype)
 
@@ -374,31 +463,44 @@ class ParIct:
         lv = _ict_sweep(n, lr, lc, lv, a_ptr, a_cols, a_vals, 3)
         keep_n = int(np.ceil(self.fill_in_limit * len(lr)))
 
+        from ..native import parict_candidates_native
         for _ in range(self.iterations):
-            # 1. tril(L @ L^H) product (add_candidates pattern source)
-            Ls = sp.csr_matrix((lv, (lr, lc)), shape=(n, n))
-            C = sp.tril(Ls @ Ls.conj().T).tocsr()
-            C.sum_duplicates()
-            crows = np.repeat(np.arange(n, dtype=np.int64),
-                              np.diff(C.indptr))
-            ckey = crows * n + C.indices
-            cand = np.union1d(akey, ckey)
-            # 2. residual-seeded enlarged values (existing keep value)
-            lkey = lr * n + lc
-            old = np.zeros(cand.size, dtype)
-            old[np.searchsorted(cand, lkey)] = lv
-            isold = np.zeros(cand.size, bool)
-            isold[np.searchsorted(cand, lkey)] = True
-            r_c = (a_at(cand)
-                   - _sorted_lookup(ckey, C.data, cand).astype(dtype))
-            dl = np.ones(n, dtype)
-            dl[lr[lr == lc]] = lv[lr == lc]
-            dl[dl == 0] = 1.0
-            ci, cj = cand // n, cand % n
-            lv2 = np.where(isold, old, (r_c / dl[cj]).astype(dtype))
-            lr2, lc2 = ci, cj
-            # 3. sweep on the enlarged pattern
-            lv2 = _ict_sweep(n, lr2, lc2, lv2, a_ptr, a_cols, a_vals, 1)
+            # 1-3. fused product + add_candidates + one Jacobi-IC sweep
+            # on the enlarged pattern (gt_parict_candidates): one native
+            # pass over the tril(L L^H) row merges replaces the scipy
+            # product, the union sort and the separate enlarged-pattern
+            # sweep.  (The fused Jacobi seed and the GS enlarged sweep
+            # are both single Chow-Patel iterations; quality-equivalent.)
+            nat = parict_candidates_native(
+                n, a_ptr, a_cols, a_vals, _csr_ptr(lr, n), lc, lv)
+            if nat is not None:
+                lr2, lc2, seed, _ = nat
+                lv2 = seed.astype(dtype)
+            else:
+                # numpy fallback: scipy product + sorted-key merges,
+                # then a GS sweep on the enlarged pattern
+                Ls = sp.csr_matrix((lv, (lr, lc)), shape=(n, n))
+                C = sp.tril(Ls @ Ls.conj().T).tocsr()
+                C.sum_duplicates()
+                crows = np.repeat(np.arange(n, dtype=np.int64),
+                                  np.diff(C.indptr))
+                ckey = crows * n + C.indices
+                cand = np.union1d(akey, ckey)
+                lkey = lr * n + lc
+                old = np.zeros(cand.size, dtype)
+                old[np.searchsorted(cand, lkey)] = lv
+                isold = np.zeros(cand.size, bool)
+                isold[np.searchsorted(cand, lkey)] = True
+                r_c = (a_at(cand)
+                       - _sorted_lookup(ckey, C.data, cand).astype(dtype))
+                dl = np.ones(n, dtype)
+                dl[lr[lr == lc]] = lv[lr == lc]
+                dl[dl == 0] = 1.0
+                ci, cj = cand // n, cand % n
+                lv2 = np.where(isold, old, (r_c / dl[cj]).astype(dtype))
+                lr2, lc2 = ci, cj
+                lv2 = _ict_sweep(n, lr2, lc2, lv2, a_ptr, a_cols, a_vals,
+                                 1)
             # 4+5. select + filter
             keep = _threshold_select(lr2, lc2, lv2, keep_n,
                                      keep_diag=True)

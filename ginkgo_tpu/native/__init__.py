@@ -122,6 +122,21 @@ def _bind(lib):
     lib.gt_isai_fill.argtypes = [ctypes.c_int64, ctypes.c_int64, i64p,
                                  i64p, f64p, i64p, i64p, f64p, f64p,
                                  ctypes.c_int32]
+    lib.gt_parilut_candidates.restype = ctypes.c_int64
+    lib.gt_parilut_candidates.argtypes = [ctypes.c_int64, i64p, i64p, f64p,
+                                          i64p, i64p, f64p, i64p, i64p,
+                                          f64p, ctypes.c_int64, i64p, i64p,
+                                          f64p, f64p, ctypes.c_int32]
+    lib.gt_parict_candidates.restype = ctypes.c_int64
+    lib.gt_parict_candidates.argtypes = [ctypes.c_int64, i64p, i64p, f64p,
+                                         i64p, i64p, f64p, ctypes.c_int64,
+                                         i64p, i64p, f64p, f64p,
+                                         ctypes.c_int32]
+    lib.gt_parilut_sweep_csr.restype = ctypes.c_int
+    lib.gt_parilut_sweep_csr.argtypes = [ctypes.c_int64, i64p, i64p, f64p,
+                                         i64p, i64p, f64p, i64p, i64p,
+                                         f64p, ctypes.c_int64,
+                                         ctypes.c_int32]
     return lib
 
 
@@ -464,4 +479,125 @@ def isai_fill_native(S, a_ptr, a_cols, a_vals, p_ptr, p_cols, subs, rhs):
         subs.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         rhs.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         1 if is_cpx else 0)
+    return rc == 0 or None
+
+
+def _cand_alloc(count, is_cpx):
+    wide = np.complex128 if is_cpx else np.float64
+    return (np.empty(count, np.int64), np.empty(count, np.int64),
+            np.empty(count, wide), np.empty(count, wide))
+
+
+def parilut_candidates_native(n, a_ptr, a_cols, a_vals, l_ptr, l_cols,
+                              l_vals, u_ptr, u_cols, u_vals,
+                              scratch=None):
+    """Fused ParILUT add_candidates + Jacobi seed: one pass over the
+    (I+L)@U product merged with A, written DIRECTLY into numpy buffers.
+    ``scratch`` (a dict the caller keeps across outer iterations) reuses
+    the output buffers and remembers the last candidate count, so the
+    common path is ONE kernel call with zero staging copies.  Returns
+    (rows, cols, seed, a_val) row-major ascending — VIEWS into the
+    scratch buffers, invalidated by the next call — or None."""
+    L = lib()
+    if L is None:
+        return None
+    is_cpx = np.iscomplexobj(a_vals)
+    wide = np.complex128 if is_cpx else np.float64
+
+    def prep(x, dt=np.int64):
+        return np.ascontiguousarray(x, dt)
+
+    av = prep(a_vals, wide)
+    lv = prep(l_vals, wide)
+    uv = prep(u_vals, wide)
+    ap, ac = prep(a_ptr), prep(a_cols)
+    lp, lcc = prep(l_ptr), prep(l_cols)
+    up, ucc = prep(u_ptr), prep(u_cols)
+    if scratch is None:
+        scratch = {}
+    cap = scratch.get("cap") or int(2.8 * max(len(a_cols), 1)) + n
+
+    def run(cap):
+        bufs = scratch.get("bufs")
+        if bufs is None or bufs[0].shape[0] < cap or bufs[2].dtype != wide:
+            bufs = _cand_alloc(cap, is_cpx)
+            scratch["bufs"] = bufs
+        r, c, seed, a = bufs
+        cap = r.shape[0]
+        tot = L.gt_parilut_candidates(
+            n, _ptr(ap, ctypes.c_int64), _ptr(ac, ctypes.c_int64),
+            _ptr(av.view(np.float64), ctypes.c_double),
+            _ptr(lp, ctypes.c_int64), _ptr(lcc, ctypes.c_int64),
+            _ptr(lv.view(np.float64), ctypes.c_double),
+            _ptr(up, ctypes.c_int64), _ptr(ucc, ctypes.c_int64),
+            _ptr(uv.view(np.float64), ctypes.c_double),
+            cap, _ptr(r, ctypes.c_int64), _ptr(c, ctypes.c_int64),
+            _ptr(seed.view(np.float64), ctypes.c_double),
+            _ptr(a.view(np.float64), ctypes.c_double), int(is_cpx))
+        return tot, cap, r, c, seed, a
+
+    tot, cap, r, c, seed, a = run(cap)
+    if tot < 0:
+        return None
+    if tot > cap:
+        tot, cap, r, c, seed, a = run(int(tot * 1.1) + 64)
+    scratch["cap"] = max(int(tot * 1.1) + 64, cap)
+    return r[:tot], c[:tot], seed[:tot], a[:tot]
+
+
+def parict_candidates_native(n, a_ptr, a_cols, a_vals, l_ptr, l_cols,
+                             l_vals):
+    """Fused ParICT add_candidates + Jacobi-IC seed over tril(L L^H)
+    merged with tril(A).  Returns (rows, cols, seed, a_val) or None."""
+    L = lib()
+    if L is None:
+        return None
+    is_cpx = np.iscomplexobj(a_vals)
+    wide = np.complex128 if is_cpx else np.float64
+
+    def prep(x, dt=np.int64):
+        return np.ascontiguousarray(x, dt)
+
+    av = prep(a_vals, wide)
+    lv = prep(l_vals, wide)
+    ap, ac = prep(a_ptr), prep(a_cols)
+    lp, lcc = prep(l_ptr), prep(l_cols)
+    cap = int(2.8 * max(len(a_cols), 1)) + n
+
+    def run(cap):
+        r, c, seed, a = _cand_alloc(cap, is_cpx)
+        tot = L.gt_parict_candidates(
+            n, _ptr(ap, ctypes.c_int64), _ptr(ac, ctypes.c_int64),
+            _ptr(av.view(np.float64), ctypes.c_double),
+            _ptr(lp, ctypes.c_int64), _ptr(lcc, ctypes.c_int64),
+            _ptr(lv.view(np.float64), ctypes.c_double),
+            cap, _ptr(r, ctypes.c_int64), _ptr(c, ctypes.c_int64),
+            _ptr(seed.view(np.float64), ctypes.c_double),
+            _ptr(a.view(np.float64), ctypes.c_double), int(is_cpx))
+        return tot, r, c, seed, a
+
+    tot, r, c, seed, a = run(cap)
+    if tot < 0:
+        return None
+    if tot > cap:
+        tot, r, c, seed, a = run(tot)
+    return r[:tot], c[:tot], seed[:tot], a[:tot]
+
+
+def parilut_sweep_csr_native(n, a_ptr, a_cols, a_vals, l_ptr, l_cols,
+                             l_vals, u_ptr, u_cols, u_vals, iterations):
+    """Row-major GS Chow-Patel sweeps; U^T built in-kernel.  Updates
+    l_vals/u_vals IN PLACE (contiguous f64/c128).  True or None."""
+    L = lib()
+    if L is None:
+        return None
+    is_cpx = np.iscomplexobj(l_vals)
+    rc = L.gt_parilut_sweep_csr(
+        n, _ptr(a_ptr, ctypes.c_int64), _ptr(a_cols, ctypes.c_int64),
+        _ptr(a_vals.view(np.float64), ctypes.c_double),
+        _ptr(l_ptr, ctypes.c_int64), _ptr(l_cols, ctypes.c_int64),
+        _ptr(l_vals.view(np.float64), ctypes.c_double),
+        _ptr(u_ptr, ctypes.c_int64), _ptr(u_cols, ctypes.c_int64),
+        _ptr(u_vals.view(np.float64), ctypes.c_double),
+        int(iterations), int(is_cpx))
     return rc == 0 or None

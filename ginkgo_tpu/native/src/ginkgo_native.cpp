@@ -23,6 +23,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <limits>
 #include <numeric>
 #include <type_traits>
 #include <vector>
@@ -1540,5 +1541,276 @@ extern "C" int gt_isai_fill(int64_t n, int64_t S,
             if (jb == i) rhs[(i * S + b) * w] = 1.0;
         }
     }
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
+// ParILUT fused candidates (core/factorization/par_ilut.cpp:262
+// add_candidates + the repo's fused-Jacobi seeding, one pass):
+// per row i accumulate (I+L)@U into a dense workspace, merge with A's
+// row, and emit the union with
+//     seed = old + r/u_jj   (col < i)      seed = old + r   (col >= i)
+// where r = a - (LU) and old is the current l/u iterate (0 for new
+// entries) — exactly one Jacobi Chow-Patel sweep evaluated on the
+// enlarged pattern.  Emits (rows, cols, seed) into g_hold_l and
+// (rows, cols, a_value) into g_hold_u (same order); fetch both with
+// gt_factor_fetch.  L is strict lower (unit diag implicit), U upper
+// with full diagonal; all CSR row-major with ascending columns.
+// ---------------------------------------------------------------------------
+namespace {
+
+template <class V>
+int64_t parilut_candidates_impl(
+    int64_t n, const int64_t* a_ptr, const int64_t* a_cols, const V* a_vals,
+    const int64_t* l_ptr, const int64_t* l_cols, const V* l_vals,
+    const int64_t* u_ptr, const int64_t* u_cols, const V* u_vals,
+    int64_t cap, int64_t* out_r, int64_t* out_c, V* out_seed, V* out_a) {
+    std::vector<V> acc(n, V(0));       // LU row accumulator
+    std::vector<V> oldv(n, V(0));      // current iterate on row i
+    std::vector<uint8_t> touched(n, 0);
+    std::vector<int64_t> touch_list;
+    touch_list.reserve(256);
+    // u diagonal (first entry of each U row by construction: upper CSR
+    // with ascending cols has the diagonal first when present)
+    std::vector<V> udiag(n, V(1));
+    for (int64_t j = 0; j < n; ++j) {
+        int64_t e = u_ptr[j];
+        if (e < u_ptr[j + 1] && u_cols[e] == j && u_vals[e] != V(0))
+            udiag[j] = u_vals[e];
+    }
+    int64_t total = 0;
+
+    auto touch = [&](int64_t j) {
+        if (!touched[j]) { touched[j] = 1; touch_list.push_back(j); }
+    };
+    for (int64_t i = 0; i < n; ++i) {
+        touch_list.clear();
+        // (I + L) @ U row i: U row i ...
+        for (int64_t e = u_ptr[i]; e < u_ptr[i + 1]; ++e) {
+            touch(u_cols[e]);
+            acc[u_cols[e]] += u_vals[e];
+            oldv[u_cols[e]] += u_vals[e];       // old u value
+        }
+        // ... plus l_ik * U row k
+        for (int64_t e = l_ptr[i]; e < l_ptr[i + 1]; ++e) {
+            const int64_t k = l_cols[e];
+            const V lik = l_vals[e];
+            touch(k);
+            oldv[k] += lik;                     // old l value
+            for (int64_t f = u_ptr[k]; f < u_ptr[k + 1]; ++f) {
+                touch(u_cols[f]);
+                acc[u_cols[f]] += lik * u_vals[f];
+            }
+        }
+        // union with A's row
+        for (int64_t e = a_ptr[i]; e < a_ptr[i + 1]; ++e) touch(a_cols[e]);
+        std::sort(touch_list.begin(), touch_list.end());
+        int64_t ae = a_ptr[i];
+        const int64_t aend = a_ptr[i + 1];
+        for (int64_t j : touch_list) {
+            while (ae < aend && a_cols[ae] < j) ++ae;
+            const V a = (ae < aend && a_cols[ae] == j) ? a_vals[ae] : V(0);
+            const V r = a - acc[j];
+            if (total < cap) {
+                out_r[total] = i;
+                out_c[total] = j;
+                out_seed[total] = oldv[j] + (j < i ? r / udiag[j] : r);
+                out_a[total] = a;
+            }
+            ++total;                 // past cap: keep counting, stop writing
+            acc[j] = V(0); oldv[j] = V(0); touched[j] = 0;
+        }
+    }
+    return total;
+}
+
+// ParICT fused candidates (core/factorization/par_ict.cpp
+// add_candidates): per row i accumulate tril(L @ L^H) via a CSC view of
+// L, merge with tril(A)'s row, emit the union with the fused Jacobi-IC
+// sweep seed:
+//     seed = old + r / l_jj         (j < i)
+//     seed = sqrt(max(old^2 + r, 0)) (j == i; falls back to old when
+//                                     the sqrt argument is <= 0)
+// where r = a - (L L^H)_ij.
+template <class V>
+int64_t parict_candidates_impl(
+    int64_t n, const int64_t* a_ptr, const int64_t* a_cols, const V* a_vals,
+    const int64_t* l_ptr, const int64_t* l_cols, const V* l_vals,
+    int64_t cap, int64_t* out_r, int64_t* out_c, V* out_seed, V* out_a) {
+    // CSC of L (strict order preserved)
+    std::vector<int64_t> csc_ptr(n + 1, 0), csc_row(l_ptr[n]);
+    std::vector<V> csc_val(l_ptr[n]);
+    for (int64_t e = 0; e < l_ptr[n]; ++e) ++csc_ptr[l_cols[e] + 1];
+    for (int64_t j = 0; j < n; ++j) csc_ptr[j + 1] += csc_ptr[j];
+    {
+        std::vector<int64_t> w(csc_ptr.begin(), csc_ptr.end() - 1);
+        for (int64_t i = 0; i < n; ++i)
+            for (int64_t e = l_ptr[i]; e < l_ptr[i + 1]; ++e) {
+                int64_t j = l_cols[e];
+                csc_row[w[j]] = i;
+                csc_val[w[j]++] = l_vals[e];
+            }
+    }
+    std::vector<V> acc(n, V(0)), oldv(n, V(0));
+    std::vector<uint8_t> touched(n, 0);
+    std::vector<int64_t> touch_list;
+    std::vector<V> ldiag(n, V(1));
+    for (int64_t i = 0; i < n; ++i) {
+        int64_t e = l_ptr[i + 1] - 1;   // diag last in row (ascending)
+        if (e >= l_ptr[i] && l_cols[e] == i && l_vals[e] != V(0))
+            ldiag[i] = l_vals[e];
+    }
+    int64_t total = 0;
+    auto touch = [&](int64_t j) {
+        if (!touched[j]) { touched[j] = 1; touch_list.push_back(j); }
+    };
+    auto conj_v = [](V x) {
+        if constexpr (std::is_same_v<V, std::complex<double>>)
+            return std::conj(x);
+        else
+            return x;
+    };
+    for (int64_t i = 0; i < n; ++i) {
+        touch_list.clear();
+        // tril(L L^H) row i: for k in L row i, walk CSC col k (rows j),
+        // keep j <= i
+        for (int64_t e = l_ptr[i]; e < l_ptr[i + 1]; ++e) {
+            const int64_t k = l_cols[e];
+            const V lik = l_vals[e];
+            oldv[k] += lik;
+            touch(k);
+            for (int64_t f = csc_ptr[k]; f < csc_ptr[k + 1]; ++f) {
+                const int64_t j = csc_row[f];
+                if (j > i) break;              // rows ascending in col
+                touch(j);
+                acc[j] += lik * conj_v(csc_val[f]);
+            }
+        }
+        for (int64_t e = a_ptr[i]; e < a_ptr[i + 1]; ++e) touch(a_cols[e]);
+        std::sort(touch_list.begin(), touch_list.end());
+        int64_t ae = a_ptr[i];
+        const int64_t aend = a_ptr[i + 1];
+        for (int64_t j : touch_list) {
+            while (ae < aend && a_cols[ae] < j) ++ae;
+            const V a = (ae < aend && a_cols[ae] == j) ? a_vals[ae] : V(0);
+            const V r = a - acc[j];
+            V seed;
+            if (j == i) {
+                V s = oldv[j] * conj_v(oldv[j]) + r;
+                double mag = std::sqrt(std::abs(s));
+                seed = (mag > 0 && std::isfinite(mag)) ? V(mag) : oldv[j];
+            } else {
+                seed = oldv[j] + r / ldiag[j];
+            }
+            if (!(std::abs(seed) < std::numeric_limits<double>::infinity()))
+                seed = oldv[j];
+            if (total < cap) {
+                out_r[total] = i;
+                out_c[total] = j;
+                out_seed[total] = seed;
+                out_a[total] = a;
+            }
+            ++total;
+            acc[j] = V(0); oldv[j] = V(0); touched[j] = 0;
+        }
+    }
+    return total;
+}
+
+}  // namespace
+
+extern "C" int64_t gt_parilut_candidates(
+    int64_t n, const int64_t* a_ptr, const int64_t* a_cols,
+    const double* a_vals, const int64_t* l_ptr, const int64_t* l_cols,
+    const double* l_vals, const int64_t* u_ptr, const int64_t* u_cols,
+    const double* u_vals, int64_t cap, int64_t* out_r, int64_t* out_c,
+    double* out_seed, double* out_a, int32_t is_complex) {
+    if (is_complex)
+        return parilut_candidates_impl<std::complex<double>>(
+            n, a_ptr, a_cols,
+            reinterpret_cast<const std::complex<double>*>(a_vals),
+            l_ptr, l_cols,
+            reinterpret_cast<const std::complex<double>*>(l_vals),
+            u_ptr, u_cols,
+            reinterpret_cast<const std::complex<double>*>(u_vals),
+            cap, out_r, out_c,
+            reinterpret_cast<std::complex<double>*>(out_seed),
+            reinterpret_cast<std::complex<double>*>(out_a));
+    return parilut_candidates_impl<double>(n, a_ptr, a_cols, a_vals, l_ptr,
+                                           l_cols, l_vals, u_ptr, u_cols,
+                                           u_vals, cap, out_r, out_c,
+                                           out_seed, out_a);
+}
+
+extern "C" int64_t gt_parict_candidates(
+    int64_t n, const int64_t* a_ptr, const int64_t* a_cols,
+    const double* a_vals, const int64_t* l_ptr, const int64_t* l_cols,
+    const double* l_vals, int64_t cap, int64_t* out_r, int64_t* out_c,
+    double* out_seed, double* out_a, int32_t is_complex) {
+    if (is_complex)
+        return parict_candidates_impl<std::complex<double>>(
+            n, a_ptr, a_cols,
+            reinterpret_cast<const std::complex<double>*>(a_vals),
+            l_ptr, l_cols,
+            reinterpret_cast<const std::complex<double>*>(l_vals),
+            cap, out_r, out_c,
+            reinterpret_cast<std::complex<double>*>(out_seed),
+            reinterpret_cast<std::complex<double>*>(out_a));
+    return parict_candidates_impl<double>(n, a_ptr, a_cols, a_vals, l_ptr,
+                                          l_cols, l_vals, cap, out_r,
+                                          out_c, out_seed, out_a);
+}
+
+// Row-major-U convenience wrapper around the GS sweep: builds U^T (CSC,
+// rows ascending per column, diag last) and the u2ut map in-kernel at
+// memcpy speed, runs parilut_sweep_impl, and scatters the updated
+// values back into the caller's row-major u_vals — replaces the host
+// lexsort + three staging copies per sweep call.
+namespace {
+template <class V>
+void parilut_sweep_csr_impl(int64_t n, const int64_t* a_ptr,
+                            const int64_t* a_cols, const V* a_vals,
+                            const int64_t* l_ptr, const int64_t* l_cols,
+                            V* l_vals, const int64_t* u_ptr,
+                            const int64_t* u_cols, V* u_vals,
+                            int64_t iterations) {
+    const int64_t nnzu = u_ptr[n];
+    std::vector<int64_t> ut_ptr(n + 1, 0), ut_rows(nnzu), u2ut(nnzu);
+    std::vector<V> ut_vals(nnzu);
+    for (int64_t e = 0; e < nnzu; ++e) ++ut_ptr[u_cols[e] + 1];
+    for (int64_t j = 0; j < n; ++j) ut_ptr[j + 1] += ut_ptr[j];
+    {
+        std::vector<int64_t> w(ut_ptr.begin(), ut_ptr.end() - 1);
+        for (int64_t i = 0; i < n; ++i)
+            for (int64_t e = u_ptr[i]; e < u_ptr[i + 1]; ++e) {
+                const int64_t pos = w[u_cols[e]]++;
+                ut_rows[pos] = i;
+                ut_vals[pos] = u_vals[e];
+                u2ut[e] = pos;
+            }
+    }
+    parilut_sweep_impl<V>(n, a_ptr, a_cols, a_vals, l_ptr, l_cols, l_vals,
+                          u_ptr, u_cols, u2ut.data(), ut_ptr.data(),
+                          ut_rows.data(), ut_vals.data(), iterations);
+    for (int64_t e = 0; e < nnzu; ++e) u_vals[e] = ut_vals[u2ut[e]];
+}
+}  // namespace
+
+extern "C" int gt_parilut_sweep_csr(
+    int64_t n, const int64_t* a_ptr, const int64_t* a_cols,
+    const double* a_vals, const int64_t* l_ptr, const int64_t* l_cols,
+    double* l_vals, const int64_t* u_ptr, const int64_t* u_cols,
+    double* u_vals, int64_t iterations, int32_t is_complex) {
+    if (is_complex)
+        parilut_sweep_csr_impl<std::complex<double>>(
+            n, a_ptr, a_cols,
+            reinterpret_cast<const std::complex<double>*>(a_vals), l_ptr,
+            l_cols, reinterpret_cast<std::complex<double>*>(l_vals), u_ptr,
+            u_cols, reinterpret_cast<std::complex<double>*>(u_vals),
+            iterations);
+    else
+        parilut_sweep_csr_impl<double>(n, a_ptr, a_cols, a_vals, l_ptr,
+                                       l_cols, l_vals, u_ptr, u_cols,
+                                       u_vals, iterations);
     return 0;
 }

@@ -88,8 +88,10 @@ def generate_isai(A, sparsity_power: int = 1, mode: str = "general") -> Csr:
     if d.nnz:
         from ..native import isai_fill_native
         # identity base guards singular padding; the kernel clears and
-        # fills each live (m, m) region in place
-        subs_w = np.tile(np.eye(S, dtype=wide), (n, 1, 1))
+        # fills each live (m, m) region in place.  zeros + one strided
+        # diagonal write beats np.tile's full (n, S, S) broadcast copy.
+        subs_w = np.zeros((n, S, S), wide)
+        subs_w[:, np.arange(S), np.arange(S)] = 1.0
         rhs_w = np.zeros((n, S), wide)
         if isai_fill_native(S, d.row_ptrs(),
                             np.ascontiguousarray(d.col_idx, np.int64),

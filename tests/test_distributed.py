@@ -316,10 +316,52 @@ def test_neighborhood_schedule_memory_is_o_neighbors():
     A = DistributedMatrix.from_data(data, part, mesh="schedule-only",
                                     comm="auto")
     assert A.comm == "neighborhood"
-    P = 64
     assert len(A.shifts) <= 8                  # banded graph, few shifts
-    dense_elems = A.send_idx.shape[1] * A.send_idx.shape[2]
+    # the dense (P, P, S) schedule must NOT be in the pytree at all
+    assert A.send_idx is None and A.ghost_owner is None
     nb_elems = A.send_nb.shape[1]
     assert nb_elems == sum(A.shift_sizes)
-    # the compressed schedule is ~P/len(shifts) smaller than dense
+    # a dense-comm build of the same operator carries the (P, P, S) cube;
+    # compressed is ~P/len(shifts) smaller
+    Ad = DistributedMatrix.from_data(data, part, mesh="schedule-only",
+                                     comm="dense")
+    assert Ad.send_nb is None
+    dense_elems = Ad.send_idx.shape[1] * Ad.send_idx.shape[2]
     assert nb_elems * 8 <= dense_elems
+
+
+def test_neighborhood_device_bytes_scale_with_neighbors_p256():
+    """P=256 schedule-only build: total schedule bytes in the operator
+    pytree scale with sum_s S_s (per part), never with P^2
+    (neighborhood_communicator.cpp:139-152 parity at pod scale)."""
+    import jax as _jax
+    from ginkgo_tpu.distributed.matrix import DistributedMatrix
+    from ginkgo_tpu.utils.generators import stencil_3d
+
+    data = stencil_3d(32, points=27)          # n = 32768, P=256 -> local 128
+    P = 256
+    part = Partition.build_from_global_size_uniform(P, data.shape[0])
+    A = DistributedMatrix.from_data(data, part, mesh="schedule-only",
+                                    comm="neighborhood")
+    assert A.send_idx is None                 # dense cube absent entirely
+    sched_elems = sum(
+        int(np.prod(x.shape)) for x in
+        [A.send_nb, A.ghost_roff] if x is not None)
+    per_part = sum(A.shift_sizes) + A.ghost_roff.shape[1]
+    assert sched_elems == P * per_part        # O(P * sum_s S_s) total
+    # vs the dense-comm (P, P, S) cube the same operator would carry
+    assert sched_elems * 8 <= P * P * max(A.shift_sizes)
+
+
+def test_neighborhood_to_dense_reconstructs_schedule():
+    """to_dense under 'neighborhood' rebuilds (owner, src row) lazily from
+    the compressed schedule and must equal the assembled data."""
+    from ginkgo_tpu.distributed.matrix import DistributedMatrix
+    from ginkgo_tpu.utils.generators import stencil_2d
+
+    data = stencil_2d(8, points=9)            # n = 64
+    part = Partition.build_from_global_size_uniform(8, 64)
+    A = DistributedMatrix.from_data(data, part, mesh="schedule-only",
+                                    comm="neighborhood")
+    np.testing.assert_allclose(A.to_dense()[:64, :64], data.to_dense(),
+                               rtol=1e-14)

@@ -214,3 +214,27 @@ def test_gauss_jordan_needs_pivoting_and_singular_convention():
     sing = jnp.zeros((3, 3))
     out = np.asarray(_gauss_jordan_inverse_single(sing))
     assert np.isfinite(out).all()
+
+
+def test_par_ilut_device_sweep_mode_quality():
+    """sweep_mode='device' (pair-list segment_sum Jacobi sweeps, the
+    common/cuda_hip par_ilut_sweep_kernels analog) must reach the same
+    factorization quality as the host Gauss-Seidel path."""
+    A, data = _spd(48, seed=5)
+    dense = np.asarray(A.to_dense())
+
+    def resid(f):
+        return np.linalg.norm(dense
+                              - np.asarray(f.l_factor.to_dense())
+                              @ np.asarray(f.u_factor.to_dense()))
+
+    host = ParIlut(iterations=4, fill_in_limit=2.0,
+                   sweep_mode="host").generate(A)
+    dev = ParIlut(iterations=4, fill_in_limit=2.0,
+                  sweep_mode="device").generate(A)
+    r_h, r_d = resid(host), resid(dev)
+    assert r_d <= max(1.5 * r_h, r_h + 1e-8), (r_d, r_h)
+    # both factorizations share the fill budget
+    assert abs((dev.l_factor.nnz + dev.u_factor.nnz)
+               - (host.l_factor.nnz + host.u_factor.nnz)) \
+        <= 0.2 * (host.l_factor.nnz + host.u_factor.nnz)
