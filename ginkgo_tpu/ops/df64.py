@@ -233,6 +233,16 @@ def _apply_df64(A, xh, xl):
                                    xh, xl)
             yh, yl = df_add(yh, yl, th, tl)
         return yh, yl
+    if getattr(A, "strategy", None) == "packed" \
+            and A.pell_vals is not None:
+        yh, yl = pell_spmv_df64(A.pell_vals, A.pell_idx, A.pell_qw,
+                                A.pell_xbase, A.pell_meta, xh, xl)
+        if A.tail_rows is not None:
+            th, tl = csr_spmv_df64(A.tail_rows, A.tail_cols,
+                                   A.tail_vals.astype(jnp.float32), n,
+                                   xh, xl)
+            yh, yl = df_add(yh, yl, th, tl)
+        return yh, yl
     return csr_spmv_df64(A.row_idx, A.col_idx,
                          A.values.astype(jnp.float32), n, xh, xl)
 
@@ -264,3 +274,75 @@ def ir_df64(A, b, inner_solve, iterations=4):
     guarantee (residual at working precision^2 ~ 1e-14)."""
     b = jnp.asarray(b, jnp.float32).reshape(-1)
     return _ir_df64_loop(A, b, inner_solve, int(iterations))
+
+
+# ---------------------------------------------------------------------------
+# df64 packed-slot SpMV: full df64 accumulation over the static (Wv, 8)
+# slot axes of the windowed-ELL layout (ops/spmv_packed.py) — the
+# general-unstructured analog of dia_spmv_df64 (SURVEY §7(e); VERDICT r2
+# task 8).  Per element: one two_prod + the log2(Wv*8)-depth df64 tree.
+# ---------------------------------------------------------------------------
+
+def pell_spmv_df64(vals, idx, qw, xbase_row, meta_items, xh, xl):
+    """y_(hi,lo) = A x for a packed-layout matrix with df64 x and df64
+    accumulation.  Same arrays as ``pell_spmv``; f32 values."""
+    from .spmv_packed import _pad_x, LANES, _BLOCKS_PER_SB
+    meta = dict(meta_items)
+    Gs, Wv, n = meta["Gs"], meta["Wv"], meta["n"]
+    qw2 = qw.reshape(Gs, _BLOCKS_PER_SB * Wv)
+    xph = _pad_x(xh, meta).reshape(-1)
+    xpl = _pad_x(xl, meta).reshape(-1)
+    i32 = idx.astype(jnp.int32)
+    row_abs = (xbase_row[:, None].astype(jnp.int32)
+               + 8 * qw2)[:, :, None, None] + (i32 >> 7)
+    flat = row_abs * LANES + (i32 & 127)
+    v = vals.astype(jnp.float32)
+    ph, pe = two_prod(v, xph[flat])
+    pe = pe + v * xpl[flat]
+    # df64 pairwise tree over the (Wv, 8) slot axes per (sb, block, lane)
+    m = _BLOCKS_PER_SB * Wv * 8 // _BLOCKS_PER_SB          # Wv * 8
+    ph = ph.reshape(Gs, _BLOCKS_PER_SB, Wv, 8, LANES).reshape(
+        Gs, _BLOCKS_PER_SB, m, LANES)
+    pe = pe.reshape(Gs, _BLOCKS_PER_SB, m, LANES)
+    M = 1 << max(m - 1, 0).bit_length()
+    if M != m:
+        pad = [(0, 0), (0, 0), (0, M - m), (0, 0)]
+        ph = jnp.pad(ph, pad)
+        pe = jnp.pad(pe, pad)
+    while M > 1:
+        M //= 2
+        ph, pe = df_add(ph[:, :, :M], pe[:, :, :M],
+                        ph[:, :, M:2 * M], pe[:, :, M:2 * M])
+    yh = ph[:, :, 0].reshape(Gs * _BLOCKS_PER_SB * LANES)[:n]
+    yl = pe[:, :, 0].reshape(Gs * _BLOCKS_PER_SB * LANES)[:n]
+    return yh, yl
+
+
+# ---------------------------------------------------------------------------
+# Compensated distributed dot: per-shard Ogita dot2 inside shard_map,
+# (hi, lo) pairs combined by psum — fp64-quality global reductions over
+# the mesh (SURVEY §7(e); VERDICT r2 task 8 "compensated distributed
+# dots").  Error ~ u^2 * (n * cond + P).
+# ---------------------------------------------------------------------------
+
+def df64_dot_dist(x, y, mesh, axis="rows"):
+    """dot(x, y) of f32 vectors sharded over ``mesh[axis]`` with df64
+    accumulation; the P per-shard (hi, lo) partials ride ONE all_gather
+    of two scalars and combine in an error-free df64 tree (a plain psum
+    would round the hi parts at f32 and forfeit the compensation).
+    Returns a replicated df64 scalar (hi, lo)."""
+    from jax.sharding import PartitionSpec
+
+    def local_dot(xs, ys):
+        h, l_ = df64_dot(xs.reshape(-1), ys.reshape(-1))
+        hs = jax.lax.all_gather(h, axis)     # (P,) tiny
+        ls = jax.lax.all_gather(l_, axis)
+        return _pairwise_df(hs, ls)
+
+    spec = PartitionSpec(axis) if x.ndim == 1 \
+        else PartitionSpec(axis, *([None] * (x.ndim - 1)))
+    # check_vma=False: the df64 tree's replication over the gathered
+    # (P,) partials is manual; verified vs the serial oracle in tests
+    return jax.shard_map(local_dot, mesh=mesh, in_specs=(spec, spec),
+                         out_specs=(PartitionSpec(), PartitionSpec()),
+                         check_vma=False)(x, y)

@@ -63,12 +63,17 @@ def generate_isai(A, sparsity_power: int = 1, mode: str = "general") -> Csr:
     dtype = d.values.dtype
     pattern = _restrict_triangular(_power_pattern(d, sparsity_power), mode)
 
-    # ensure the diagonal is in every row's pattern, re-sort row-major
-    diag = np.arange(n, dtype=np.int64)
-    pattern = MatrixData(
-        (n, n), np.concatenate([pattern.row_idx.astype(np.int64), diag]),
-        np.concatenate([pattern.col_idx.astype(np.int64), diag]),
-        np.ones(pattern.nnz + n, dtype)).canonical()
+    # ensure the diagonal is in every row's pattern (skip the re-sort
+    # entirely when it already is — the power-1 case on PDE matrices)
+    have = np.zeros(n, bool)
+    have[pattern.row_idx[pattern.row_idx == pattern.col_idx]] = True
+    if not have.all():
+        diag = np.flatnonzero(~have).astype(np.int64)
+        pattern = MatrixData(
+            (n, n),
+            np.concatenate([pattern.row_idx.astype(np.int64), diag]),
+            np.concatenate([pattern.col_idx.astype(np.int64), diag]),
+            np.ones(pattern.nnz + diag.size, dtype)).canonical()
 
     ptr = pattern.row_ptrs()                       # (n+1,)
     lens = np.diff(ptr)                            # (n,) >= 1 (diagonal)
@@ -97,8 +102,8 @@ def generate_isai(A, sparsity_power: int = 1, mode: str = "general") -> Csr:
                             np.ascontiguousarray(d.col_idx, np.int64),
                             np.array(d.values, wide, copy=True),
                             ptr, pcol, subs_w, rhs_w):
-            subs = subs_w.astype(dtype)
-            rhs = rhs_w.astype(dtype)
+            subs = subs_w.astype(dtype, copy=False)
+            rhs = rhs_w.astype(dtype, copy=False)
     if subs is None:
         # numpy fallback: pair list — every entry e (slot a of row i)
         # against every slot b of the same row, Σ mᵢ² pairs via group
