@@ -90,12 +90,19 @@ def run_iteration_loop(step_fn, make_check_args, state0, criterion: Criterion,
                        trip_cap: int | None = None):
     """The while_loop driver shared by every Krylov solver.
 
+    On first use the persistent XLA compilation cache is switched on
+    (utils/compile_cache.py): the minutes-long first TPU compile of the
+    nested-loop solvers (GMRES/GCR) is paid once per machine, not once
+    per process.
+
     step_fn(state) -> state'        one fused iteration (unmasked)
     make_check_args(state, it) -> CheckArgs
 
     With ``trace=True`` runs a fixed-trip ``lax.scan`` instead and returns
     per-iteration residual norms (the SolverProgress logger analog).
     """
+    from ..utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
     criterion = as_criterion(criterion)
     crit_state = criterion.init(b, r0_norm, b_norm)
     cap = trip_cap if trip_cap is not None else (
@@ -198,6 +205,8 @@ def run_restarted_loop(inner_step, cycle_done, restart_fn, make_check_args,
     Iteration counts tick per inner step only (restarts are free), which
     matches the reference's counting.
     """
+    from ..utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
     criterion = as_criterion(criterion)
     crit_state = criterion.init(b, r0_norm, b_norm)
     cap = trip_cap if trip_cap is not None else (
