@@ -601,3 +601,39 @@ def parilut_sweep_csr_native(n, a_ptr, a_cols, a_vals, l_ptr, l_cols,
         _ptr(u_vals.view(np.float64), ctypes.c_double),
         int(iterations), int(is_cpx))
     return rc == 0 or None
+
+
+def pairs_unique_native(n, pair_ptr, pair_j, cap_hint=None):
+    """Row-grouped unique of SpGEMM contribution pairs: returns
+    (inv, rows, cols) — inv maps each pair to its slot in the row-major
+    output pattern — without a global O(flops log flops) sort.  None
+    when native is unavailable."""
+    L = lib()
+    if L is None:
+        return None
+    if not hasattr(L, "gt_pairs_unique"):    # stale .so
+        return None
+    L.gt_pairs_unique.restype = ctypes.c_int64
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    L.gt_pairs_unique.argtypes = [ctypes.c_int64, i64p, i64p, i64p,
+                                  ctypes.c_int64, i64p, i64p]
+    pair_ptr = np.ascontiguousarray(pair_ptr, np.int64)
+    pair_j = np.ascontiguousarray(pair_j, np.int64)
+    total = int(pair_ptr[-1])
+    inv = np.empty(total, np.int64)
+    cap = int(cap_hint) if cap_hint else min(total, 4 * total // 5 + 64)
+
+    def run(cap):
+        rows = np.empty(cap, np.int64)
+        cols = np.empty(cap, np.int64)
+        nnz_c = L.gt_pairs_unique(n, _ptr(pair_ptr, ctypes.c_int64),
+                                  _ptr(pair_j, ctypes.c_int64),
+                                  _ptr(inv, ctypes.c_int64), cap,
+                                  _ptr(rows, ctypes.c_int64),
+                                  _ptr(cols, ctypes.c_int64))
+        return nnz_c, rows, cols
+
+    nnz_c, rows, cols = run(cap)
+    if nnz_c > cap:
+        nnz_c, rows, cols = run(nnz_c)
+    return inv, rows[:nnz_c], cols[:nnz_c]

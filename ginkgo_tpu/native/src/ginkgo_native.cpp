@@ -1814,3 +1814,55 @@ extern "C" int gt_parilut_sweep_csr(
                                        u_vals, iterations);
     return 0;
 }
+
+// SpGEMM symbolic finisher (csr_lookup analog,
+// common/cuda_hip/matrix/csr_kernels.template.cpp:1247 — the reference
+// builds per-row hash tables; here a per-row dense-scratch unique):
+// given the contribution pairs grouped by output row (pair_ptr) and each
+// pair's output column (pair_j), assign every pair its slot in the
+// row-major-sorted output pattern WITHOUT the global O(flops log flops)
+// sort+unique.  Writes inv (pair -> output slot), rows/cols (the output
+// pattern, capacity `cap`; counting continues past cap so the caller can
+// retry exactly).  Returns nnz_c.
+extern "C" int64_t gt_pairs_unique(int64_t n, const int64_t* pair_ptr,
+                                   const int64_t* pair_j, int64_t* inv,
+                                   int64_t cap, int64_t* rows,
+                                   int64_t* cols) {
+    std::vector<int64_t> slot;       // cols touched this row (unsorted)
+    std::vector<int64_t> scratch;    // col -> local slot id (+1), lazy
+    int64_t maxj = 0;
+    for (int64_t e = 0; e < pair_ptr[n]; ++e)
+        maxj = std::max(maxj, pair_j[e]);
+    scratch.assign(maxj + 1, 0);
+    std::vector<int64_t> order, remap;
+    int64_t nnz_c = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        slot.clear();
+        const int64_t ps = pair_ptr[i], pe = pair_ptr[i + 1];
+        for (int64_t e = ps; e < pe; ++e) {
+            const int64_t j = pair_j[e];
+            if (!scratch[j]) {
+                slot.push_back(j);
+                scratch[j] = (int64_t)slot.size();
+            }
+            inv[e] = scratch[j] - 1;          // local id for now
+        }
+        const int64_t m = (int64_t)slot.size();
+        order.resize(m);
+        for (int64_t t = 0; t < m; ++t) order[t] = t;
+        std::sort(order.begin(), order.end(),
+                  [&](int64_t x, int64_t y) { return slot[x] < slot[y]; });
+        remap.resize(m);
+        for (int64_t t = 0; t < m; ++t) remap[order[t]] = t;
+        for (int64_t e = ps; e < pe; ++e) inv[e] = nnz_c + remap[inv[e]];
+        for (int64_t t = 0; t < m; ++t) {
+            if (nnz_c + t < cap) {
+                rows[nnz_c + t] = i;
+                cols[nnz_c + t] = slot[order[t]];
+            }
+        }
+        for (int64_t j : slot) scratch[j] = 0;
+        nnz_c += m;
+    }
+    return nnz_c;
+}

@@ -15,6 +15,6 @@ CSR strategy:
 
 The packed kernel subsumes both (sorted slots, aligned 8-chunk windows,
 ~1.1-1.5x padding, 689-846 GB/s measured).  These modules are NOT
-imported by the package and register nothing; import them explicitly
-from tests/experiments only.
+imported by the package; their kernels enter the registry only if you
+import them explicitly (tests/experiments).
 """

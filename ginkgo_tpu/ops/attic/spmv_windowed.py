@@ -38,7 +38,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .registry import register
+from ..registry import register
 
 LANES = 128
 _ROWS_PER_BLOCK = 128
