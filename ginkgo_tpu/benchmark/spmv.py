@@ -42,6 +42,15 @@ def make_operator(fmt: str, data, dtype=np.float32):
 def storage_bytes(fmt, A):
     vb = np.dtype(np.float32).itemsize
     ib = 4
+    fast = getattr(A, "fast_op", None)
+    if fast is not None:
+        # the format delegates its apply to the shared banded/packed
+        # plan (matrix/fastpath.py): the streamed bytes are the plan's
+        tail = (0 if fast.tail_vals is None
+                else int(fast.tail_vals.size * (vb + 2 * ib)))
+        if fast.strategy == "banded":
+            return int(fast.diag_values.size * vb) + tail
+        return int(fast.pell_vals.size * (vb + 2)) + tail
     if fmt == "csr_banded":
         if getattr(A, "strategy", "") == "banded":
             tail = (0 if A.tail_vals is None

@@ -33,6 +33,10 @@ def test_cache_writes_an_executable(tmp_path, monkeypatch):
     import ginkgo_tpu.utils.compile_cache as cc
     monkeypatch.setattr(cc, "_enabled", False)
     path = enable_compilation_cache()
+    # jax pins the cache backend at first use; earlier tests in the
+    # session may already have initialized it at another directory.
+    from jax._src import compilation_cache as jax_cc
+    jax_cc.reset_cache()
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.01)
     try:
         import jax.numpy as jnp
@@ -46,3 +50,4 @@ def test_cache_writes_an_executable(tmp_path, monkeypatch):
     finally:
         jax.config.update("jax_persistent_cache_min_compile_time_secs",
                           5.0)
+        jax_cc.reset_cache()
