@@ -251,13 +251,17 @@ class ParIlut:
     """Factory (par_ilut.hpp:72 params): ``iterations``, ``fill_in_limit``."""
 
     def __init__(self, iterations: int = 5, fill_in_limit: float = 2.0,
-                 sweeps_per_iteration: int = 1, sweep_mode: str = "host"):
+                 sweeps_per_iteration: int = 1, sweep_mode: str = "host",
+                 algorithm: str = "auto"):
         if sweep_mode not in ("host", "device", "auto"):
             raise ValueError(f"unknown sweep_mode {sweep_mode!r}")
+        if algorithm not in ("auto", "dia", "general"):
+            raise ValueError(f"unknown algorithm {algorithm!r}")
         self.iterations = iterations
         self.fill_in_limit = fill_in_limit
         self.sweeps = sweeps_per_iteration
         self.sweep_mode = sweep_mode
+        self.algorithm = algorithm
 
     @classmethod
     def build(cls, **kw):
@@ -268,6 +272,22 @@ class ParIlut:
         d = data.canonical()
         n = d.shape[0]
         dtype = d.values.dtype
+
+        # device-resident DIA path for diagonal-structured matrices:
+        # the whole loop (candidates/select/filter/sweeps) is one jitted
+        # fori_loop on (num_diags, n) slabs — see par_ilut_dia.py.
+        if self.algorithm != "general":
+            import jax
+            want = (self.algorithm == "dia"
+                    or jax.default_backend() != "cpu")
+            if want:
+                from .par_ilut_dia import generate_dia
+                out = generate_dia(d, self.iterations, self.fill_in_limit,
+                                   self.sweeps)
+                if out is not None:
+                    lr, lc, lv, ur, uc, uv = out
+                    return _build_factors(n, lr, lc, lv.astype(dtype),
+                                          ur, uc, uv.astype(dtype), dtype)
         # canonical order == ascending (row, col) keys: a sorted map
         akey = d.row_idx.astype(np.int64) * n + d.col_idx
         aval = d.values
