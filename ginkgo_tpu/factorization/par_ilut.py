@@ -278,8 +278,10 @@ class ParIlut:
         # fori_loop on (num_diags, n) slabs — see par_ilut_dia.py.
         if self.algorithm != "general":
             import jax
+            # auto: device path pays off above ~16k rows (below that the
+            # host GS path finishes before one device dispatch round)
             want = (self.algorithm == "dia"
-                    or jax.default_backend() != "cpu")
+                    or (jax.default_backend() != "cpu" and n >= 16384))
             if want:
                 from .par_ilut_dia import generate_dia
                 out = generate_dia(d, self.iterations, self.fill_in_limit,
@@ -438,9 +440,13 @@ class ParIct:
     ``gt_parict_sweep``), threshold select/filter back to
     ``fill_in_limit * nnz(tril(A))``, final sweep.  U = Lᴴ."""
 
-    def __init__(self, iterations: int = 5, fill_in_limit: float = 2.0):
+    def __init__(self, iterations: int = 5, fill_in_limit: float = 2.0,
+                 algorithm: str = "auto"):
+        if algorithm not in ("auto", "dia", "general"):
+            raise ValueError(f"unknown algorithm {algorithm!r}")
         self.iterations = iterations
         self.fill_in_limit = fill_in_limit
+        self.algorithm = algorithm
 
     @classmethod
     def build(cls, **kw):
@@ -452,6 +458,25 @@ class ParIct:
         d = data.canonical()
         n = d.shape[0]
         dtype = d.values.dtype
+
+        # device-resident DIA path (see par_ilut_dia.generate_dia_ict)
+        if self.algorithm != "general":
+            import jax
+            if (self.algorithm == "dia"
+                    or (jax.default_backend() != "cpu" and n >= 16384)):
+                from .par_ilut_dia import generate_dia_ict
+                out = generate_dia_ict(d, self.iterations,
+                                       self.fill_in_limit)
+                if out is not None:
+                    from ..matrix.csr import Csr
+                    lr, lc, lv = out
+                    l_data = MatrixData((n, n), lr, lc, lv.astype(dtype))
+                    Lic = Csr.from_data(l_data, strategy="classical")
+                    Lt = Csr.from_data(
+                        l_data.conj_transpose().sort_row_major(),
+                        strategy="classical")
+                    return Factorization(l_factor=Lic, u_factor=Lt,
+                                         symmetric=True)
         low = d.row_idx >= d.col_idx
         lr = d.row_idx[low].astype(np.int64)
         lc = d.col_idx[low].astype(np.int64)

@@ -92,14 +92,32 @@ def plan_dia(d, *, cap: int = 384, max_slots: int = 200_000_000):
             "n_low": int((universe < 0).sum())}
 
 
-def _dia_slab(d, universe, dtype):
-    """A's values scattered onto the (ND, n) diagonal slab (host)."""
-    n = d.shape[0]
-    slab = np.zeros((universe.size, n), dtype)
-    off = d.col_idx.astype(np.int64) - d.row_idx
-    p = np.searchsorted(universe, off)
-    slab[p, d.row_idx] = d.values
-    return slab
+@partial(jax.jit, static_argnames=("nd", "n"))
+def _dia_slab_device(values, p, rows, nd, n):
+    """Device slab build from COO triplets: ships nnz*(4+4+4) bytes
+    instead of the nd*n*4 dense slab (2x less host->device traffic on
+    the fill-2x workloads; the tunnel in this environment moves
+    ~16 MB/s, so transfer volume IS the setup time)."""
+    import jax.numpy as jnp
+    return jnp.zeros((nd, n), values.dtype).at[p, rows].set(values)
+
+
+@partial(jax.jit, static_argnames=("kmax",))
+def _compact_device(V, M, kmax):
+    """Stable stream-compaction of the masked slab into a static
+    (kmax,) buffer: (values, flat slab index, count).  kmax is the
+    static fill budget bound, so shapes stay XLA-friendly; the result
+    is 2x less device->host traffic than shipping V and M whole."""
+    import jax.numpy as jnp
+    from jax import lax
+    flatm = M.ravel().astype(jnp.int32)
+    pos = jnp.cumsum(flatm) - 1
+    idx = jnp.where(flatm == 1, pos, kmax)
+    vals = jnp.zeros((kmax,), V.dtype).at[idx].set(
+        V.ravel(), mode="drop")
+    slots = jnp.zeros((kmax,), jnp.int32).at[idx].set(
+        lax.iota(jnp.int32, flatm.shape[0]), mode="drop")
+    return vals, slots, jnp.sum(flatm)
 
 
 # ---------------------------------------------------------------------------
@@ -116,34 +134,48 @@ def _shift(x, s, n):
     return jnp.where(ok, y, jnp.zeros((), y.dtype))
 
 
-def _product(V, M, ols, tmap, n_low, want_mask):
+def _product(V, M, ols, oh, n_low, pad, want_mask):
     """C = (I+L)@U on the slab; optionally the product pattern mask.
 
     V: (ND, n) values (inactive slots MUST be zero), M: (ND, n) uint8.
-    ols: (n_low,) offsets; tmap: (n_low, n_up) target row in [0, ND]
-    (ND = dropped).  Rows [0, n_low) are strictly-lower offsets, row
-    n_low is the main diagonal, the rest upper.
-    """
+    ols: (n_low,) offsets; oh: (n_low, ND, n_up) one-hot target tensor
+    (oh[a, t, u] = 1 iff ols[a] + upper_offset[u] == universe[t]).
+    Rows [0, n_low) are strictly-lower offsets, row n_low the main
+    diagonal, the rest upper; pad = max |offset| (static).
+
+    TPU formulation: the per-offset contribution is a dense matmul
+    ``oh[a] @ (l_a * U_shifted)`` — the (ND, n_up) one-hot contraction
+    replaces a row scatter-add, turning the accumulation into MXU work
+    (measured 287-448 ms -> MXU-bound per product at n=262k, ND=161),
+    and the shift is a dynamic_slice from a zero-padded slab (boundary
+    zeros come from the padding, no roll+where)."""
     import jax.numpy as jnp
     from jax import lax
     ND, n = V.shape
-    VU, MU = V[n_low:], M[n_low:]
-    C0 = jnp.zeros((ND + 1, n), V.dtype).at[n_low:ND].set(VU)
-    Cm0 = jnp.zeros((ND + 1, n), jnp.uint8).at[n_low:ND].set(MU)
+    n_up = ND - n_low
+    VU = V[n_low:]
+    Upad = jnp.pad(VU, ((0, 0), (pad, pad)))
+    C = jnp.zeros((ND, n), V.dtype).at[n_low:].set(VU)     # I @ U seed
+    if want_mask:
+        MUf = M[n_low:].astype(jnp.float32)
+        Mpad = jnp.pad(MUf, ((0, 0), (pad, pad)))
+        Cm = jnp.zeros((ND, n), jnp.float32).at[n_low:].set(MUf)
+    else:
+        Cm = jnp.zeros((), jnp.float32)
 
     def body(carry, xs):
         C, Cm = carry
-        vl, ml, t, ol = xs
-        ush = _shift(VU, ol, n)
-        C = C.at[t].add(vl[None, :] * ush)
+        vl, ml, oh_a, ol = xs
+        sl = lax.dynamic_slice(Upad, (0, pad + ol), (n_up, n))
+        C = C + oh_a @ (vl[None, :] * sl)
         if want_mask:
-            msh = _shift(MU, ol, n)
-            Cm = Cm.at[t].max(ml[None, :] * msh)
+            msl = lax.dynamic_slice(Mpad, (0, pad + ol), (n_up, n))
+            Cm = Cm + oh_a @ (ml.astype(jnp.float32)[None, :] * msl)
         return (C, Cm), None
 
-    (C, Cm), _ = lax.scan(body, (C0, Cm0),
-                          (V[:n_low], M[:n_low], tmap, ols))
-    return C[:ND], Cm[:ND]
+    (C, Cm), _ = lax.scan(body, (C, Cm),
+                          (V[:n_low], M[:n_low], oh, ols))
+    return C, ((Cm > 0.5).astype(jnp.uint8) if want_mask else None)
 
 
 def _lower_den(V, ols, n_low):
@@ -159,29 +191,61 @@ def _lower_den(V, ols, n_low):
 
 
 def _topk_mask(mag, active, k):
-    """Exact top-k mask of mag over active slots (k static).  Ties are
-    broken by slab position (argsort order), so the kept count is
-    EXACTLY min(k, #active) — a magnitude threshold would keep every
-    tie, blowing the fill budget on stencils where magnitudes repeat.
-    The reference's sampleselect threshold has the same tie overshoot;
-    exact-k is the stronger contract and is one device sort here."""
+    """Top-k mask of mag over active slots (k static), AT MOST k kept.
+
+    A plain magnitude threshold keeps every tie — on stencils where
+    magnitudes repeat that blows the fill budget — so ties are first
+    broken by a deterministic slot-hash jitter (relative 2^-10 scale:
+    reorders only near-equal magnitudes, which threshold selection
+    treats as interchangeable anyway; the reference's sampleselect is
+    likewise approximate).  The k-th key is then found by 40 bisection
+    steps on count(key > t): O(N) streaming passes instead of an
+    O(N log N) device sort, with the invariant count(> hi) <= k so the
+    budget can never overshoot (undershoot is bounded by f32 tie
+    resolution).  Zero-magnitude ties may all drop — free, they carry
+    no information."""
     import jax.numpy as jnp
-    flat = jnp.where(active.astype(bool), mag,
-                     -jnp.ones((), mag.dtype)).ravel()
+    from jax import lax
     if k <= 0:
         return jnp.zeros(mag.shape, jnp.uint8)
-    if k >= flat.size:
+    size = mag.size
+    act = active.ravel().astype(bool)
+    if k >= size:
         return active.astype(jnp.uint8)
-    idx = jnp.argsort(-flat)
-    keep = jnp.zeros(flat.size, bool).at[idx[:k]].set(True)
-    keep &= flat >= 0                     # never resurrect inactive slots
+    big = jnp.float32(jnp.finfo(jnp.float32).max / 8)
+    m32 = jnp.minimum(jnp.abs(mag).astype(jnp.float32).ravel(), big)
+    slot = lax.iota(jnp.uint32, size)
+    u = (slot * jnp.uint32(2654435761) >> 9).astype(jnp.float32)
+    keyf = m32 * (jnp.float32(1.0) + u * jnp.float32(2.0**-33))
+    keyf = jnp.where(act, keyf, -jnp.ones((), jnp.float32))
+    # bisect in the monotone sortable-bit space (magnitudes span ~40
+    # decades from zero to the pinned diagonal — a linear float
+    # bisection cannot cross that in bounded steps; 32 integer steps
+    # resolve it exactly)
+    bits = lax.bitcast_convert_type(keyf, jnp.uint32)
+    neg = (bits >> 31).astype(bool)
+    key = bits ^ jnp.where(neg, jnp.uint32(0xFFFFFFFF),
+                           jnp.uint32(0x80000000))
+
+    def body(_, st):
+        lo, hi = st
+        mid = lo + (hi - lo) // jnp.uint32(2)
+        c = jnp.sum((key > mid).astype(jnp.int32))
+        take = c > k
+        return (jnp.where(take, mid, lo), jnp.where(take, hi, mid))
+
+    lo0 = jnp.uint32(0)
+    hi0 = jnp.uint32(0xFFFFFFFF)
+    _, hi = lax.fori_loop(0, 32, body, (lo0, hi0))
+    keep = (key > hi) & act
     return keep.reshape(mag.shape).astype(jnp.uint8)
 
 
 @partial(
     jax.jit,
-    static_argnames=("n_low", "iterations", "sweeps", "keep_l", "keep_u"))
-def _run_dia(AV, ols, tmap, n_low, iterations, sweeps, keep_l, keep_u):
+    static_argnames=("n_low", "pad", "iterations", "sweeps",
+                     "keep_l", "keep_u"))
+def _run_dia(AV, ols, oh, n_low, pad, iterations, sweeps, keep_l, keep_u):
     """The whole ParILUT loop on device: init sweeps + ``iterations`` x
     (candidates -> select -> filter -> sweeps).  Returns (V, M)."""
     import jax.numpy as jnp
@@ -190,7 +254,7 @@ def _run_dia(AV, ols, tmap, n_low, iterations, sweeps, keep_l, keep_u):
 
     def sweep_block(V, M, count):
         for _ in range(count):
-            C, _ = _product(V, M, ols, tmap, n_low, want_mask=False)
+            C, _ = _product(V, M, ols, oh, n_low, pad, want_mask=False)
             R = AV - C
             D = _lower_den(V, ols, n_low)
             upd = jnp.concatenate([R[:n_low] / D, R[n_low:]], axis=0)
@@ -200,13 +264,13 @@ def _run_dia(AV, ols, tmap, n_low, iterations, sweeps, keep_l, keep_u):
     def iteration(_, carry):
         V, M = carry
         # 1+2. product + add_candidates + Jacobi seed on the union
-        C, Cm = _product(V, M, ols, tmap, n_low, want_mask=True)
+        C, Cm = _product(V, M, ols, oh, n_low, pad, want_mask=True)
         cand = jnp.maximum(Cm, Am)
         R = AV - C
         D = _lower_den(V, ols, n_low)
         upd = jnp.concatenate([R[:n_low] / D, R[n_low:]], axis=0)
         V2 = jnp.where(cand.astype(bool), V + upd, jnp.zeros((), V.dtype))
-        # 3+4. select + filter: exact top-k by magnitude per factor
+        # 3+4. select + filter: top-k by magnitude per factor
         # (diagonal pinned to +inf so it is always kept within budget)
         mag = jnp.abs(V2)
         mag_u = mag[n_low:].at[0].set(jnp.inf)
@@ -243,11 +307,15 @@ def generate_dia(d, iterations, fill_in_limit, sweeps, *, cap=384):
     universe, n_low = plan["universe"], plan["n_low"]
     n = d.shape[0]
     ND = universe.size
-    # build the slab directly in the device dtype (f64 -> f32 when x64
-    # is off): half the host memory and half the transfer
+    # ship COO triplets in the device dtype (f64 -> f32 when x64 is
+    # off) and scatter on device — not the dense slab
     cdtype = dtypes.canonicalize_dtype(d.values.dtype)
-    AVh = _dia_slab(d, universe, cdtype)
-    AV = jnp.asarray(AVh)
+    off = d.col_idx.astype(np.int64) - d.row_idx
+    p = np.searchsorted(universe, off).astype(np.int32)
+    AV = _dia_slab_device(jnp.asarray(d.values.astype(cdtype)),
+                          jnp.asarray(p),
+                          jnp.asarray(d.row_idx.astype(np.int32)),
+                          ND, n)
 
     # static budgets from A's split pattern (diag always present in U)
     low = d.row_idx > d.col_idx
@@ -262,20 +330,199 @@ def generate_dia(d, iterations, fill_in_limit, sweeps, *, cap=384):
     targets = universe[:n_low, None] + up[None, :]
     tpos = np.searchsorted(universe, targets)
     tpos_c = np.minimum(tpos, ND - 1)
-    tmap = np.where(universe[tpos_c] == targets, tpos_c, ND)
-    tmap = jnp.asarray(tmap.astype(np.int32))
+    valid = universe[tpos_c] == targets
+    oh = np.zeros((n_low, ND, ND - n_low), np.float32)
+    a, u = np.nonzero(valid)
+    oh[a, tpos_c[a, u], u] = 1.0
+    pad = int(max(np.abs(universe).max(), 1))
 
-    V, M = _run_dia(AV, ols, tmap, n_low, int(iterations), int(sweeps),
-                    keep_l, keep_u)
-    Vh = np.asarray(V)
-    Mh = np.asarray(M)
-    # compact in slab (C) order — Csr.from_data canonicalizes, so COO
-    # order is free and flatnonzero beats the transposed nonzero ~30x
-    flat = np.flatnonzero(Mh)
-    p, r = np.divmod(flat, n)
+    V, M = _run_dia(AV, ols, jnp.asarray(oh), n_low, pad,
+                    int(iterations), int(sweeps), keep_l, keep_u)
+    # device stream-compaction (static kmax bound), then one small pull
+    kmax = keep_l + keep_u + n
+    vals, slots, count = _compact_device(V, M, kmax)
+    nk = int(count)
+    v = np.asarray(vals)[:nk]
+    flat = np.asarray(slots)[:nk]
+    p, r = np.divmod(flat.astype(np.int64), n)
     off = universe[p]
     c = r + off
-    v = Vh.reshape(-1)[flat]
     lowm = off < 0
     return (r[lowm], c[lowm], v[lowm],
             r[~lowm], c[~lowm], v[~lowm])
+
+
+# ---------------------------------------------------------------------------
+# ParICT on diagonal slabs (A SPD/HPD, factor A ~= L L^H)
+# ---------------------------------------------------------------------------
+# Reference: core/factorization/par_ict.cpp (driver) and the shared
+# par_ilut_{select,filter,sweep} device kernels.  Same reformulation as
+# ParILUT above, but only the lower universe is stored; the product
+# L @ L^H is the ILUT-style shifted-MAC scan against a MIRRORED slab
+# U[a, m] = conj(L[a, m - o_a]) (i.e. U = L^H realigned to diagonals),
+# and the Chow-Patel IC sweep updates are
+#   l_ij += (A - L L^H)_ij / l_jj          (off-diagonal)
+#   l_jj  = sqrt(l_jj^2 + Re(A - L L^H)_jj) (diagonal).
+
+
+def plan_dia_ict(d, *, cap: int = 256, max_slots: int = 200_000_000):
+    """Lower-triangular offset-universe plan (0 included, ascending, all
+    offsets <= 0 so the diagonal is the LAST row), or None."""
+    n, m = d.shape
+    if n != m or d.nnz == 0 or n < 2:
+        return None
+    off = d.col_idx.astype(np.int64) - d.row_idx.astype(np.int64)
+    oa = np.unique(off[off <= 0])
+    if oa.size > 64:
+        return None
+    tier0 = np.union1d(oa, [0])
+    s1 = np.unique(tier0[:, None] - tier0[None, :]).ravel()
+    u1 = np.union1d(tier0, s1[s1 <= 0])
+    s2 = np.unique(u1[:, None] - u1[None, :]).ravel()
+    universe = np.union1d(u1, s2[s2 <= 0])
+    universe = universe[universe > -n]
+    if universe.size > cap:
+        tiers = (tier0, np.setdiff1d(u1, tier0),
+                 np.setdiff1d(universe, u1))
+        chosen = []
+        room = cap
+        for t in tiers:
+            t = t[t > -n]
+            if t.size > room:
+                t = t[np.argsort(np.abs(t), kind="stable")[:room]]
+            chosen.append(t)
+            room -= t.size
+            if room <= 0:
+                break
+        universe = np.unique(np.concatenate(chosen))
+    if tier0.size > cap or universe.size * n > max_slots:
+        return None
+    return {"universe": universe.astype(np.int64)}
+
+
+def _product_ict(V, M, ols, oh, pad, want_mask):
+    """C = tril(L @ L^H) on the lower slab (V rows = offsets <= 0,
+    ascending, diag last).  oh: (ND, ND, ND) one-hot target tensor
+    (oh[a, t, b] = 1 iff ols[a] - ols[b] == ols[t]); the second factor
+    is the MIRRORED slab U[b, m] = conj(L[b, m - o_b]) = L^H realigned
+    to diagonals.  Same matmul-over-one-hot structure as ``_product``."""
+    import jax.numpy as jnp
+    from jax import lax
+    ND, n = V.shape
+    U = jax.vmap(lambda row, o: _shift(jnp.conj(row), -o, n))(V, ols)
+    Upad = jnp.pad(U, ((0, 0), (pad, pad)))
+    C = jnp.zeros((ND, n), V.dtype)
+    if want_mask:
+        Um = jax.vmap(
+            lambda row, o: _shift(row, -o, n))(M.astype(jnp.float32), ols)
+        Mpad = jnp.pad(Um, ((0, 0), (pad, pad)))
+        Cm = jnp.zeros((ND, n), jnp.float32)
+    else:
+        Cm = jnp.zeros((), jnp.float32)
+
+    def body(carry, xs):
+        C, Cm = carry
+        vl, ml, oh_a, ol = xs
+        sl = lax.dynamic_slice(Upad, (0, pad + ol), (ND, n))
+        C = C + oh_a @ (vl[None, :] * sl)
+        if want_mask:
+            msl = lax.dynamic_slice(Mpad, (0, pad + ol), (ND, n))
+            Cm = Cm + oh_a @ (ml.astype(jnp.float32)[None, :] * msl)
+        return (C, Cm), None
+
+    (C, Cm), _ = lax.scan(body, (C, Cm), (V, M, oh, ols))
+    return C, ((Cm > 0.5).astype(jnp.uint8) if want_mask else None)
+
+
+def _ict_den(V, ols):
+    """l_jj aligned to each lower diagonal (diag row is V[-1])."""
+    import jax
+    import jax.numpy as jnp
+    n = V.shape[1]
+    D = jax.vmap(lambda o: _shift(V[-1], o, n))(ols)
+    return jnp.where(D == 0, jnp.ones((), D.dtype), D)
+
+
+@partial(jax.jit,
+         static_argnames=("pad", "iterations", "sweeps", "keep_n"))
+def _run_dia_ict(AV, ols, oh, pad, iterations, sweeps, keep_n):
+    import jax.numpy as jnp
+    from jax import lax
+    ND, n = AV.shape
+    rdt = jnp.real(AV).dtype
+    Am = (AV != 0).astype(jnp.uint8).at[-1].set(1)
+
+    def ic_update(V, R):
+        D = _ict_den(V, ols)
+        off = V[:-1] + R[:-1] / jnp.conj(D[:-1])
+        dsq = jnp.real(V[-1] * jnp.conj(V[-1])) + jnp.real(R[-1])
+        dnew = jnp.sqrt(jnp.maximum(dsq, jnp.finfo(rdt).tiny))
+        return jnp.concatenate([off, dnew[None, :].astype(V.dtype)], 0)
+
+    def sweep_block(V, M, count):
+        for _ in range(count):
+            C, _ = _product_ict(V, M, ols, oh, pad, want_mask=False)
+            V = ic_update(V, (AV - C) * M)
+            V = V * M
+        return V
+
+    def iteration(_, carry):
+        V, M = carry
+        C, Cm = _product_ict(V, M, ols, oh, pad, want_mask=True)
+        cand = jnp.maximum(Cm, Am).at[-1].set(1)
+        V2 = ic_update(V, (AV - C) * cand) * cand
+        mag = jnp.abs(V2).at[-1].set(jnp.inf)
+        M3 = _topk_mask(mag, cand, keep_n).at[-1].set(1)
+        V3 = sweep_block(V2 * M3, M3, sweeps)
+        return V3, M3
+
+    # scaled init: l_jj = sqrt(|a_jj|), l_ij = a_ij / l_jj
+    d0 = jnp.sqrt(jnp.abs(AV[-1]))
+    d0 = jnp.where(d0 == 0, jnp.ones((), rdt), d0).astype(AV.dtype)
+    den0 = _ict_den(AV.at[-1].set(d0), ols)
+    V0 = jnp.concatenate(
+        [AV[:-1] / jnp.conj(den0[:-1]), d0[None, :]], 0) * Am
+    V0 = sweep_block(V0, Am, 3)
+    return lax.fori_loop(0, iterations, iteration, (V0, Am))
+
+
+def generate_dia_ict(d, iterations, fill_in_limit, sweeps=1, *, cap=256):
+    """Device-resident ParICT; returns (lr, lc, lv) of the lower factor
+    (diagonal included) or None when not diagonal-structured."""
+    plan = plan_dia_ict(d, cap=cap)
+    if plan is None:
+        return None
+    import jax.numpy as jnp
+    from jax import dtypes
+    universe = plan["universe"]
+    n = d.shape[0]
+    cdtype = dtypes.canonicalize_dtype(d.values.dtype)
+    lowm = d.row_idx >= d.col_idx
+    ND = universe.size
+    offl = (d.col_idx[lowm].astype(np.int64) - d.row_idx[lowm])
+    pl = np.searchsorted(universe, offl).astype(np.int32)
+    AV = _dia_slab_device(
+        jnp.asarray(d.values[lowm].astype(cdtype)), jnp.asarray(pl),
+        jnp.asarray(d.row_idx[lowm].astype(np.int32)), ND, n)
+    ols = jnp.asarray(universe)
+    targets = universe[:, None] - universe[None, :]
+    tpos = np.searchsorted(universe, targets)
+    tpos_c = np.minimum(tpos, ND - 1)
+    valid = universe[tpos_c] == targets
+    oh = np.zeros((ND, ND, ND), np.float32)
+    a, b = np.nonzero(valid)
+    oh[a, tpos_c[a, b], b] = 1.0
+    pad = int(max(np.abs(universe).max(), 1))
+    nnz_low = int(lowm.sum()) + n - int(
+        ((d.row_idx == d.col_idx) & lowm).sum())
+    keep_n = int(np.ceil(fill_in_limit * max(nnz_low, 1)))
+
+    V, M = _run_dia_ict(AV, ols, jnp.asarray(oh), pad,
+                        int(iterations), int(sweeps), keep_n)
+    vals, slots, count = _compact_device(V, M, keep_n + n)
+    nk = int(count)
+    v = np.asarray(vals)[:nk]
+    flat = np.asarray(slots)[:nk]
+    p, r = np.divmod(flat.astype(np.int64), n)
+    c = r + universe[p]
+    return r, c, v

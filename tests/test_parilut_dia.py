@@ -92,6 +92,44 @@ def test_dia_requested_but_unstructured_falls_back():
     assert np.isfinite(r)
 
 
+def test_dia_ict_tracks_host_and_budget():
+    """ParICT on slabs (generate_dia_ict): tril(L L^H) via the mirrored
+    slab matches the host Gauss-Seidel ParICT's quality and budget."""
+    from ginkgo_tpu.factorization.par_ilut import ParIct
+    data = stencil_3d(8, points=27)
+    A = Csr.from_data(data)
+    dense = np.asarray(A.to_dense())
+    f_dia = ParIct(iterations=4, fill_in_limit=2.0,
+                   algorithm="dia").generate(A)
+    f_host = ParIct(iterations=4, fill_in_limit=2.0,
+                    algorithm="general").generate(A)
+    r_dia, r_host = _full_resid(dense, f_dia), _full_resid(dense, f_host)
+    assert r_dia <= 1.5 * r_host + 1e-10, (r_dia, r_host)
+    d = data.canonical()
+    low_budget = int(np.ceil(2.0 * (d.row_idx >= d.col_idx).sum()))
+    assert f_dia.l_factor.nnz <= low_budget + 2
+    # U = L^H exactly
+    U = np.asarray(f_dia.u_factor.to_dense())
+    L = np.asarray(f_dia.l_factor.to_dense())
+    np.testing.assert_allclose(U, L.conj().T, rtol=0, atol=0)
+
+
+def test_dia_ict_preconditions_spd():
+    from ginkgo_tpu.factorization.par_ilut import ParIct
+    from ginkgo_tpu.preconditioner.ilu import Ic
+    from ginkgo_tpu.solver import Cg
+    data = stencil_3d(8, points=7)
+    A = Csr.from_data(data)
+    b = jnp.ones(A.shape[0])
+    crit = Iteration(400) | ResidualNorm(1e-10)
+    plain = Cg.solve(A, b, criteria=crit)
+    prec = Cg.solve(A, b, criteria=crit,
+                    preconditioner=Ic(ParIct(iterations=3,
+                                             algorithm="dia")))
+    assert bool(np.asarray(prec.converged).all())
+    assert int(prec.iterations[0]) < int(plain.iterations[0])
+
+
 def test_dia_generate_is_pure():
     """The DIA driver must not mutate the canonical MatrixData it reads
     (the round-2 Ilu0 aliasing regression class)."""
