@@ -130,6 +130,27 @@ def test_dia_ict_preconditions_spd():
     assert int(prec.iterations[0]) < int(plain.iterations[0])
 
 
+def test_dia_complex_values():
+    """Complex (Helmholtz-like shifted) stencil through the forced DIA
+    path: factors stay complex, residual beats the no-fill baseline."""
+    data = stencil_3d(6, points=7)
+    d = data.canonical()
+    vals = d.values.astype(np.complex128) * (1.0 + 0.3j)
+    vals[d.row_idx == d.col_idx] = np.abs(
+        d.values[d.row_idx == d.col_idx]) * (1.2 + 0.1j)
+    from ginkgo_tpu.base.matrix_data import MatrixData
+    dc = MatrixData(d.shape, d.row_idx, d.col_idx, vals)
+    A = Csr.from_data(dc)
+    dense = np.asarray(A.to_dense())
+    f = ParIlut(iterations=3, fill_in_limit=2.0,
+                algorithm="dia").generate(A)
+    L = np.asarray(f.l_factor.to_dense())
+    U = np.asarray(f.u_factor.to_dense())
+    assert np.iscomplexobj(L) and np.iscomplexobj(U)
+    r = np.linalg.norm(dense - L @ U)
+    assert np.isfinite(r) and r < 0.1 * np.linalg.norm(dense)
+
+
 def test_dia_generate_is_pure():
     """The DIA driver must not mutate the canonical MatrixData it reads
     (the round-2 Ilu0 aliasing regression class)."""
