@@ -15,6 +15,8 @@ excess path is needed because padding is identity-filled).
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -44,6 +46,89 @@ def _restrict_triangular(p: MatrixData, mode: str) -> MatrixData:
         return p
     return MatrixData(p.shape, p.row_idx[keep], p.col_idx[keep],
                       p.values[keep])
+
+
+@partial(jax.jit, static_argnames=("pad", "diag_slot"))
+def _isai_subs_kernel(slab, vm, qmap, ob, pad, diag_slot):
+    """(n, S, S) ISAI blocks from the DIA slab: S^2 row-gathers +
+    shifts.  vm (n, S) is the pattern-slot validity mask (pattern
+    entries can be missing at stencil boundaries — 'holes' in a
+    diagonal); invalid slots get zeroed rows/columns and an identity
+    pin so the batched solve stays nonsingular and returns 0 there."""
+    from jax import lax
+    n = slab.shape[1]
+    S = ob.shape[0]
+    slabz = jnp.concatenate(
+        [slab, jnp.zeros((1, n), slab.dtype)], axis=0)
+    slabp = jnp.pad(slabz, ((0, 0), (pad, pad)))
+
+    def per_b(qcol, o):
+        rows = slabp[qcol]                             # (S, n+2pad)
+        return lax.dynamic_slice(
+            rows, (jnp.int32(0), (pad + o).astype(jnp.int32)), (S, n))
+
+    SUBS = jax.vmap(per_b, in_axes=(1, 0))(qmap, ob)   # (b, a, n)
+    subs = jnp.transpose(SUBS, (2, 1, 0))              # (n, a, b)
+    vmv = vm.astype(slab.dtype)
+    subs = subs * (vmv[:, :, None] * vmv[:, None, :])
+    subs = subs + (jnp.eye(S, dtype=slab.dtype)[None]
+                   * (1 - vmv)[:, :, None])
+    rhs = jnp.zeros((n, S), slab.dtype).at[:, diag_slot].set(1)
+    return subs, rhs
+
+
+def _isai_fill_dia(d, prow, pcol, nnzp):
+    """Device-resident block fill for diagonal-structured matrices.
+
+    When A and the ISAI pattern are both diagonal-structured (<= 64
+    distinct diagonal offsets; boundary holes in a diagonal are fine —
+    they come back as a validity mask), every row's block is the same
+    offset-indexed gather
+    ``subs[i, a, b] = A[i+o_b, i+o_a] = slab[q(o_a - o_b), i + o_b]``
+    — S^2 row-gathers + shifts from the zero-padded DIA slab, no host
+    (n, S, S) materialization and no 8-bytes-per-slot transfer (the
+    reference fills these blocks on device too,
+    common/cuda_hip/preconditioner/isai_kernels.cpp:160-210).
+
+    Returns (subs, rhs, offs_pat) device arrays or None when the
+    pattern does not qualify."""
+    import jax.numpy as jnp
+    from jax import dtypes
+    n = d.shape[0]
+    poff = pcol - prow
+    offs_pat = np.unique(poff)
+    if offs_pat.size > 64 or d.nnz == 0 or nnzp == 0:
+        return None
+    offsA = np.unique(d.col_idx.astype(np.int64) - d.row_idx)
+    if offsA.size > 64:
+        return None
+    from ..factorization.par_ilut_dia import _dia_slab_device
+    cdtype = dtypes.canonicalize_dtype(d.values.dtype)
+    p = np.searchsorted(offsA, d.col_idx.astype(np.int64)
+                        - d.row_idx).astype(np.int32)
+    slab = _dia_slab_device(jnp.asarray(d.values.astype(cdtype)),
+                            jnp.asarray(p),
+                            jnp.asarray(d.row_idx.astype(np.int32)),
+                            offsA.size, n)
+    S = offs_pat.size
+    # pattern validity mask (n, S): pattern diagonals have holes at
+    # stencil boundaries, so slot validity comes from the pattern
+    # itself, not a range check
+    p_pat = np.searchsorted(offs_pat, poff).astype(np.int32)
+    vm = _dia_slab_device(
+        jnp.ones(nnzp, jnp.float32), jnp.asarray(p_pat),
+        jnp.asarray(prow.astype(np.int32)), S, n).T
+    diff = offs_pat[:, None] - offs_pat[None, :]       # (a, b)
+    q = np.searchsorted(offsA, diff)
+    qc = np.minimum(q, offsA.size - 1)
+    qmap = np.where(offsA[qc] == diff, qc, offsA.size)  # -> zero row
+    pad = int(max(int(np.abs(offs_pat).max()), 1))
+
+    subs, rhs = _isai_subs_kernel(
+        slab, vm, jnp.asarray(qmap.astype(np.int32)),
+        jnp.asarray(offs_pat.astype(np.int32)), pad=pad,
+        diag_slot=int(np.searchsorted(offs_pat, 0)))
+    return subs, rhs, offs_pat
 
 
 def generate_isai(A, sparsity_power: int = 1, mode: str = "general") -> Csr:
@@ -81,6 +166,19 @@ def generate_isai(A, sparsity_power: int = 1, mode: str = "general") -> Csr:
     prow = pattern.row_idx.astype(np.int64)        # (nnzp,)
     pcol = pattern.col_idx.astype(np.int64)
     nnzp = prow.shape[0]
+
+    # diagonal-structured fast path: device-resident block fill from
+    # the DIA slab (no host (n, S, S) materialization, no transfer)
+    dia = _isai_fill_dia(d, prow, pcol, nnzp)
+    if dia is not None:
+        from ..ops.gauss_jordan import batched_solve
+        subs_d, rhs_d, offs_pat = dia
+        sols = np.asarray(batched_solve(subs_d, rhs_d))    # (n, S)
+        slot = np.searchsorted(offs_pat, pcol - prow)
+        m_data = MatrixData((n, n), prow, pcol,
+                            sols[prow, slot].astype(dtype))
+        return Csr.from_data(m_data.canonical(), strategy="automatical")
+
     a_slot = np.arange(nnzp) - ptr[prow]           # position within row
 
     cols_pad = np.zeros((n, S), np.int64)

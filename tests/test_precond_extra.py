@@ -102,6 +102,33 @@ def test_isai_rows_satisfy_local_equations():
         np.testing.assert_allclose(resid, 0, atol=1e-10)
 
 
+def test_isai_dia_fill_matches_host_fill(monkeypatch):
+    """The device-resident DIA block fill (banded matrices) must agree
+    bit-for-bit with the native/numpy host fill across modes and
+    sparsity powers (isai_kernels.cpp on-device generate analog)."""
+    import ginkgo_tpu.preconditioner.isai as isai_mod
+    from ginkgo_tpu.utils.generators import stencil_2d, stencil_3d
+    cases = [(stencil_3d(6, points=27), "general", 1),
+             (stencil_2d(16, points=9), "lower", 1),
+             (stencil_2d(10, points=5), "general", 2)]
+    for data, mode, power in cases:
+        A = Csr.from_data(data)
+        M_dia = isai_mod.generate_isai(A, power, mode)
+        assert isai_mod._isai_fill_dia(
+            data.canonical(), M_dia.to_matrix_data().row_idx.astype(
+                np.int64), M_dia.to_matrix_data().col_idx.astype(
+                np.int64), M_dia.nnz) is not None  # the fast path fired
+        with monkeypatch.context() as m:
+            m.setattr(isai_mod, "_isai_fill_dia", lambda *a, **k: None)
+            M_host = isai_mod.generate_isai(A, power, mode)
+        assert M_dia.nnz == M_host.nnz
+        # identical systems, different padding layout -> ULP-level
+        # arithmetic-order differences in the batched solve
+        np.testing.assert_allclose(np.asarray(M_dia.to_dense()),
+                                   np.asarray(M_host.to_dense()),
+                                   rtol=1e-12, atol=1e-13)
+
+
 def test_isai_preconditions_cg():
     A, data = _spd(60, seed=7)
     b = jnp.ones(60)
