@@ -27,12 +27,21 @@ def _factory(name):
         "ilu": lambda: Ilu(), "ic": lambda: Ic(),
         "parilu": None,  # filled below to avoid import cycle cost
         "isai": lambda: Isai(mode="general"),
+        "isai-spd": lambda: Isai(mode="spd"),
         "sor": lambda: Sor(), "gs": lambda: GaussSeidel(),
     }
     if name == "parilu":
         from ..factorization.par_ilu import ParIlu
         from ..preconditioner.ilu import Ilu as _Ilu
         return lambda: _Ilu(factorization=ParIlu(iterations=5))
+    if name == "parilut":
+        from ..factorization.par_ilut import ParIlut
+        from ..preconditioner.ilu import Ilu as _Ilu
+        return lambda: _Ilu(factorization=ParIlut(iterations=5))
+    if name == "parict":
+        from ..factorization.par_ilut import ParIct
+        from ..preconditioner.ilu import Ic as _Ic
+        return lambda: _Ic(factorization=ParIct(iterations=5))
     return table[name]
 
 
@@ -50,7 +59,10 @@ def run_case(case, preconds, args):
         entry = {"completed": False}
         try:
             make = _factory(name)
-            t_gen = time_blocking(lambda: make().generate(A), warmup=0,
+            # reference protocol (BASELINE.md): >=1 warmup run, so the
+            # recorded generate time is warm (XLA compile excluded)
+            t_gen = time_blocking(lambda: make().generate(A),
+                                  warmup=args.warmup,
                                   reps=max(args.repetitions // 2, 1))
             M = make().generate(A)
             nrm = float(jnp.abs(M._apply(b)).max())

@@ -1,4 +1,4 @@
-"""Device-resident ParILUT for diagonal-structured matrices.
+"""Device-resident ParILUT/ParICT for diagonal-structured matrices.
 
 The reference runs the whole ParILUT loop on the device
 (``common/cuda_hip/factorization/par_ilut_{spgeam,select,filter,sweep}_
@@ -12,14 +12,16 @@ thing XLA cannot express, so the TPU-native reformulation fixes the
   matrix (stencil/banded, the class where TPUs win) has few diagonals.
 * The product ``(I+L)@U`` restricted to diagonals is exact and
   gather-free: for offsets ``ol + ou = oc``,
-  ``C[oc, i] += L[ol, i] * U[ou, i+ol]`` — a *static shift* and an
-  elementwise MAC, pure VPU work (one ``lax.scan`` over the lower
-  offsets).
+  ``C[oc, i] += L[ol, i] * U[ou, i+ol]`` — per lower offset this is a
+  shifted slab slice times a one-hot target matrix, i.e. a dense
+  **matmul on the MXU** (one ``lax.scan`` over the lower offsets; see
+  ``_product``).
 * ``add_candidates`` = the union mask of A's pattern and the product
-  pattern (same scan, OR instead of MAC).
-* ``threshold_select`` = exact k-th largest magnitude via one on-device
-  sort of the masked slab (the reference's sampleselect is an
-  approximation of the same quantity).
+  pattern (same scan on the mask slabs).
+* ``threshold_select`` = top-k magnitude by a 32-step bisection on
+  sortable-bit keys with deterministic tie-jitter (``_topk_mask``; at
+  most k survive — the reference's sampleselect is an approximation of
+  the same quantity with tie overshoot).
 * ``threshold_filter`` = a mask update; no compaction, no reallocation.
 * Chow-Patel **sweeps** are the elementwise Jacobi updates
   ``l += (A - LU)/u_jj``, ``u += (A - LU)`` on the masked slabs.  The

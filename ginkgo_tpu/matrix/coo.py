@@ -8,6 +8,7 @@ XLA-static (Ginkgo's dynamic nnz becomes a build-time padded capacity).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -109,6 +110,18 @@ class Coo(LinOp):
 
     def extract_diagonal(self):
         from .diagonal import Diagonal
+        # concrete data on the CPU backend: one numpy pass beats paying
+        # an XLA scatter compile per level shape (AMG hierarchies hit
+        # this once per level at generate time)
+        if (jax.default_backend() == "cpu"
+                and not isinstance(self.values, jax.core.Tracer)):
+            rows = np.asarray(self.row_idx)[:self.nnz]
+            cols = np.asarray(self.col_idx)[:self.nnz]
+            vals = np.asarray(self.values)[:self.nnz]
+            m = rows == cols
+            diag = np.zeros(min(self.shape), vals.dtype)
+            np.add.at(diag, rows[m], vals[m])
+            return Diagonal(values=jnp.asarray(diag))
         on_diag = (self.row_idx == self.col_idx)
         diag = jnp.zeros(min(self.shape), self.values.dtype).at[
             jnp.where(on_diag, self.row_idx, min(self.shape))].add(
