@@ -25,8 +25,11 @@ class Fbcsr(LinOp):
     shape: tuple = static_field()
     block_size: int = static_field()
     nnzb: int = static_field()
+    fast_op: object = None    # SpmvPlan TPU fast path (matrix/fastpath.py)
 
     def _apply(self, b):
+        if self.fast_op is not None:
+            return self.fast_op._apply(b)
         n, m = self.shape
         bs = self.block_size
         nbr = -(-n // bs)
@@ -46,7 +49,8 @@ class Fbcsr(LinOp):
 
     @classmethod
     def from_data(cls, data: MatrixData, block_size: int = 4, dtype=None,
-                  index_dtype=jnp.int32, pad_multiple: int = 8):
+                  index_dtype=jnp.int32, pad_multiple: int = 8,
+                  fast: bool = True):
         d = data.canonical()
         n, m = d.shape
         bs = int(block_size)
@@ -66,10 +70,15 @@ class Fbcsr(LinOp):
         cols = np.zeros(cap, np.int64)
         rows[:nnzb] = uniq // (-(-m // bs))
         cols[:nnzb] = uniq % (-(-m // bs))
+        fast_op = None
+        if fast and d.nnz:
+            from .fastpath import plan_fast_spmv
+            fast_op = plan_fast_spmv(d, d.values.astype(vdtype),
+                                     index_dtype)
         return cls(block_rows=jnp.asarray(rows, index_dtype),
                    block_cols=jnp.asarray(cols, index_dtype),
                    blocks=jnp.asarray(blocks), shape=(n, m),
-                   block_size=bs, nnzb=nnzb)
+                   block_size=bs, nnzb=nnzb, fast_op=fast_op)
 
     def to_dense(self):
         n, m = self.shape

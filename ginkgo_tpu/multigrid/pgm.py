@@ -119,13 +119,40 @@ class MultigridLevel(LinOp):
         return self.fine_op._apply(b)
 
 
+def _renumber(agg: np.ndarray, n: int) -> np.ndarray:
+    """Dense ids in fine-row-first-appearance order: ids in matching
+    order are spatially scattered, which strips the coarse Galerkin
+    operator (and P/R) of the column locality the banded/packed layouts
+    need — with first-appearance ordering a banded fine matrix stays
+    banded on every coarse level."""
+    uniq, inv = np.unique(agg, return_inverse=True)
+    first = np.full(uniq.size, n, np.int64)
+    np.minimum.at(first, inv, np.arange(n))
+    rank = np.empty(uniq.size, np.int64)
+    rank[np.argsort(first, kind="stable")] = np.arange(uniq.size)
+    return rank[inv].astype(np.int64)
+
+
 def pgm_aggregate(data: MatrixData, max_iterations: int = 15,
                   max_unassigned_ratio: float = 0.05,
-                  deterministic: bool = True, seed: int = 0) -> np.ndarray:
+                  deterministic: bool = True, seed: int = 0,
+                  algorithm: str = "auto") -> np.ndarray:
     """Size-2 mutual-strongest-edge aggregation. Returns agg id per row."""
     import scipy.sparse as sp
     d = data.canonical()
     n = d.shape[0]
+
+    # device slab matching for diagonal-structured matrices (pgm_dia.py)
+    if algorithm not in ("auto", "dia", "general"):
+        raise ValueError(f"unknown algorithm {algorithm!r}")
+    if algorithm != "general" and deterministic:
+        import jax
+        if (algorithm == "dia"
+                or (jax.default_backend() != "cpu" and n >= 16384)):
+            from .pgm_dia import aggregate_dia
+            root = aggregate_dia(d, max_iterations)
+            if root is not None:
+                return _renumber(root, n)
     # symmetrised off-diagonal weight matrix (pgm.cpp builds 0.5(A+Aᵀ))
     off = d.row_idx != d.col_idx
     w = sp.csr_matrix((np.abs(d.values[off]),
@@ -223,17 +250,7 @@ def pgm_aggregate(data: MatrixData, max_iterations: int = 15,
         e_rows, e_cols = e_rows[keep], e_cols[keep]
     rest = np.nonzero(agg < 0)[0]
     agg[rest] = next_id + np.arange(rest.size)
-    # renumber densely AND in fine-row order: ids in matching order are
-    # spatially scattered, which strips the coarse Galerkin operator (and
-    # P/R) of the column locality the banded/packed layouts need — with
-    # first-appearance ordering a banded fine matrix stays banded on
-    # every coarse level
-    uniq, inv = np.unique(agg, return_inverse=True)
-    first = np.full(uniq.size, n, np.int64)
-    np.minimum.at(first, inv, np.arange(n))
-    rank = np.empty(uniq.size, np.int64)
-    rank[np.argsort(first, kind="stable")] = np.arange(uniq.size)
-    return rank[inv].astype(np.int64)
+    return _renumber(agg, n)
 
 
 def galerkin_coarse(data: MatrixData, agg: np.ndarray,
@@ -249,10 +266,11 @@ class Pgm:
 
     def __init__(self, max_iterations: int = 15,
                  max_unassigned_ratio: float = 0.05,
-                 deterministic: bool = True):
+                 deterministic: bool = True, algorithm: str = "auto"):
         self.max_iterations = max_iterations
         self.max_unassigned_ratio = max_unassigned_ratio
         self.deterministic = deterministic
+        self.algorithm = algorithm
 
     @classmethod
     def build(cls, **kw):
@@ -261,7 +279,8 @@ class Pgm:
     def generate(self, A) -> MultigridLevel:
         data = A.to_matrix_data() if hasattr(A, "to_matrix_data") else A
         agg = pgm_aggregate(data, self.max_iterations,
-                            self.max_unassigned_ratio, self.deterministic)
+                            self.max_unassigned_ratio, self.deterministic,
+                            algorithm=self.algorithm)
         nc = int(agg.max()) + 1 if agg.size else 1
         coarse = _coarse_csr(galerkin_coarse(data, agg, nc))
         agg_j = jnp.asarray(agg, jnp.int32)

@@ -17,11 +17,12 @@ import pytest
 from ginkgo_tpu.base.matrix_data import MatrixData
 from ginkgo_tpu.matrix.coo import Coo
 from ginkgo_tpu.matrix.ell import Ell
+from ginkgo_tpu.matrix.fbcsr import Fbcsr
 from ginkgo_tpu.matrix.hybrid import Hybrid
 from ginkgo_tpu.matrix.sellp import Sellp
 from ginkgo_tpu.utils.generators import stencil_3d
 
-FORMATS = [Coo, Ell, Sellp, Hybrid]
+FORMATS = [Coo, Ell, Sellp, Hybrid, Fbcsr]
 
 
 def _fem_like(n, n_off=24, spread=500, seed=0):
