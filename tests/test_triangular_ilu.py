@@ -242,7 +242,9 @@ def test_ic0_scales_to_262k():
     elapsed = time.time() - t0
     L, _ = f.unpack()
     assert L.nnz > 3_000_000
-    assert elapsed < 60, f"IC(0) too slow: {elapsed:.0f}s"
+    # generous bound that still catches the O(n^2) fallback (hours);
+    # measured 28 s idle, but xdist + concurrent compiles can double it
+    assert elapsed < 120, f"IC(0) too slow: {elapsed:.0f}s"
 
 
 def test_trisolve_jacobi_full_sweeps_is_exact():
