@@ -34,16 +34,25 @@ __all__ = ["from_scipy", "to_scipy", "from_bcoo", "to_bcoo",
 
 
 def _data_of(op) -> MatrixData:
+    """Canonical (row-major sorted, duplicate-free) data of an export source.
+
+    Formats like Coo expose ``to_matrix_data`` in *stored* order, which may
+    be unsorted or contain duplicates; the exporters below stamp
+    ``indices_sorted``/``unique_indices`` and compute ``row_ptrs``, both of
+    which require canonical order.  ``sum_duplicates`` is a cheap
+    one-pass no-op for already-canonical data and, unlike ``canonical()``,
+    keeps explicit zeros (pattern entries survive the round-trip)."""
     if isinstance(op, MatrixData):
-        return op.canonical()
-    return op.to_matrix_data()
+        return op.sum_duplicates()
+    return op.to_matrix_data().sum_duplicates()
 
 
 def from_scipy(m, cls=None, **kwargs):
     """Build a ginkgo_tpu operator from any scipy.sparse matrix/array.
 
     Duplicate entries are summed (scipy COO semantics); explicit zeros
-    are kept as pattern entries, matching ``Csr.from_data``.  ``cls``
+    are dropped (``Csr.from_data`` canonicalizes, which includes
+    ``remove_zeros`` — matching the reference's read path).  ``cls``
     picks the target format (default :class:`~ginkgo_tpu.Csr`); extra
     kwargs reach its ``from_data`` (``strategy=...``, ``dtype=...``).
     """

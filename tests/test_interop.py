@@ -85,6 +85,35 @@ def test_bcsr_roundtrip(rng):
     np.testing.assert_allclose(np.asarray(out.todense()), dense, rtol=1e-14)
 
 
+def test_export_canonicalizes_unsorted_coo():
+    """Coo stores entries in assembly order; exporters must not stamp
+    indices_sorted/unique_indices (or build row_ptrs) on raw stored order
+    (advisor round-3 finding)."""
+    # deliberately unsorted + duplicated assembly order
+    data = gt.MatrixData((3, 3),
+                         np.array([2, 0, 1, 0, 2]),
+                         np.array([1, 2, 0, 2, 0]),
+                         np.array([4.0, 1.5, 2.0, 0.5, 3.0]))
+    A = gt.Coo.from_data(data)
+    dense = np.asarray(A.to_dense())
+
+    out = to_bcoo(data)  # raw MatrixData path
+    np.testing.assert_allclose(np.asarray(out.todense()), dense)
+    idx = np.asarray(out.indices)
+    keys = idx[:, 0] * 3 + idx[:, 1]
+    assert np.all(keys[1:] > keys[:-1])  # sorted AND unique
+
+    outc = to_bcsr(data)
+    np.testing.assert_allclose(np.asarray(outc.todense()), dense)
+    indptr = np.asarray(outc.indptr)
+    assert indptr[-1] == outc.data.shape[0]
+    # per-row column indices strictly increasing
+    cols = np.asarray(outc.indices)
+    for r in range(3):
+        seg = cols[indptr[r]:indptr[r + 1]]
+        assert np.all(seg[1:] > seg[:-1])
+
+
 def test_bcoo_batched_rejected():
     batched = jsparse.BCOO.fromdense(jnp.ones((2, 3, 3)), n_batch=1)
     with pytest.raises(gt.NotSupportedError):
