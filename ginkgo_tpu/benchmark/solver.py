@@ -86,15 +86,30 @@ def run_case(case, solvers, args):
             from .runner import dispatch_overhead
             t_null = dispatch_overhead()
             t_apply = max(min(ts) - t_null, min(ts) * 0.05)
+            # record recurrent AND true residuals separately and derive
+            # `converged` from the TRUE one, like the reference benchmark
+            # (benchmark/solver/solver_common.hpp:560,634) — a criterion
+            # firing on a recurrent estimate is not a convergence claim
+            true_res = float(jnp.max(jnp.linalg.norm(
+                b[:, None] - A.apply(res.x if res.x.ndim == 2
+                                     else res.x[:, None]), axis=0)))
+            stag = res.stagnated
             entry.update(
                 generate={"time": t_gen},
                 dispatch_overhead=t_null,
                 apply={"time": t_apply,
                        "iterations": int(np.max(np.asarray(
                            res.iterations)))},
-                residual_norm=float(np.max(np.asarray(res.resnorm))),
+                recurrent_residual_norm=float(np.max(np.asarray(
+                    res.resnorm))),
+                true_residual_norm=true_res,
                 rhs_norm=rhs_norm,
-                converged=bool(np.asarray(res.converged).all()),
+                converged=bool(np.asarray(res.converged).all()
+                               and true_res <= args.rel_res_goal * rhs_norm),
+                solver_reported_converged=bool(
+                    np.asarray(res.converged).all()),
+                stagnated=(bool(np.asarray(stag).any())
+                           if stag is not None else None),
                 completed=True)
             if args.detailed:
                 # per-iteration residual norms (iteration_timestamps analog)

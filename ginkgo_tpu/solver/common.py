@@ -38,6 +38,10 @@ class SolveResult:
     resnorm: jnp.ndarray      # (k,) final recurrent residual norm
     converged: jnp.ndarray    # (k,) bool
     resnorm_history: jnp.ndarray | None = None  # (trips+1, k) if trace=True
+    # (k,) bool: the estimate-based criterion fired but the TRUE residual
+    # missed the tolerance and retries ran out (restarted solvers).  None
+    # for solvers whose recurrent residual is the criterion input.
+    stagnated: jnp.ndarray | None = None
 
 
 def mask_cols(active, new, old):
@@ -191,7 +195,7 @@ def run_iteration_loop(step_fn, make_check_args, state0, criterion: Criterion,
 
 def run_restarted_loop(inner_step, cycle_done, restart_fn, make_check_args,
                        state0, criterion: Criterion, b, r0_norm, b_norm,
-                       trip_cap: int | None = None):
+                       trip_cap: int | None = None, verify_retries: int = 2):
     """Two-level while_loop driver for restarted solvers (GMRES-style).
 
     The hot inner loop runs ONLY ``inner_step`` + the criterion check — no
@@ -199,8 +203,21 @@ def run_restarted_loop(inner_step, cycle_done, restart_fn, make_check_args,
     place.  A per-iteration cond(restart, step) instead forces the buffers
     through branch-merge copies every trip (measured ~3x on TPU for
     GMRES(30), worse for larger krylov_dim).  ``restart_fn`` runs in the
-    outer loop, once per cycle, guarded by a cond that executes at most
-    once every ``m`` iterations.
+    outer loop, once per cycle.
+
+    CONVERGENCE IS VERIFIED ON THE TRUE RESIDUAL.  Inner steps stop columns
+    on the solver's recurrent estimate (GMRES' ``|g[j+1]|``), which is
+    structurally optimistic — especially with a compressed Krylov basis.
+    The reference recomputes the residual at every restart
+    (``core/solver/gmres.cpp`` residual update in the restart branch); here
+    that recompute also *audits* mid-cycle stops: a column whose estimate
+    fired is re-checked against the restart's true residual before
+    ``converged`` becomes final.  On a miss the column is reactivated for
+    another cycle (up to ``verify_retries`` times — restarting from the
+    recomputed residual is exactly the restarted-method continuation, so
+    retries make real progress); when retries run out it is reported
+    ``stagnated`` (converged=False) instead of claiming convergence the
+    true residual contradicts.
 
     Iteration counts tick per inner step only (restarts are free), which
     matches the reference's counting.
@@ -214,10 +231,14 @@ def run_restarted_loop(inner_step, cycle_done, restart_fn, make_check_args,
     k = b.shape[1]
     single_col = k == 1
 
+    # state0 comes fresh from the solver's restart_fields, so the initial
+    # check runs on the TRUE residual: columns converging here are verified.
     args0 = make_check_args(state0, jnp.int32(0))
     stop0, conv0, crit_state = criterion.check(crit_state, args0)
     carry0 = dict(state=state0, crit=crit_state, it=jnp.int32(0),
-                  active=~stop0, converged=conv0,
+                  active=~stop0, converged=conv0, verified=conv0,
+                  retries=jnp.zeros((k,), jnp.int32),
+                  stagnated=jnp.zeros((k,), bool),
                   iters=jnp.zeros((k,), jnp.int32))
 
     def inner_body(carry):
@@ -229,8 +250,9 @@ def run_restarted_loop(inner_step, cycle_done, restart_fn, make_check_args,
         stop, conv, crit = criterion.check(carry["crit"], args)
         newly = carry["active"] & stop
         return dict(
-            state=state, crit=crit, it=it,
+            carry, state=state, crit=crit, it=it,
             active=carry["active"] & ~stop,
+            # provisional: estimate-based, audited at the next restart
             converged=carry["converged"] | (newly & conv),
             iters=carry["iters"] + carry["active"].astype(jnp.int32))
 
@@ -240,25 +262,43 @@ def run_restarted_loop(inner_step, cycle_done, restart_fn, make_check_args,
 
     def outer_body(carry):
         carry = jax.lax.while_loop(inner_cond, inner_body, carry)
-        cont = jnp.any(carry["active"]) & (carry["it"] < cap)
-        state = jax.lax.cond(cont, restart_fn, lambda s: s, carry["state"])
+        # columns whose estimate-based stop awaits a true-residual audit
+        pending = carry["converged"] & ~carry["verified"]
+        # outer_cond == (work for active columns) | (pending audits), so
+        # whenever this body runs the restart is needed — no cond guard.
+        state = restart_fn(carry["state"])
+        sel = carry["active"] | pending
         if not single_col:
-            state = mask_cols(carry["active"], state, carry["state"])
-        # re-check on the restart's TRUE residual (restart_fields computes
-        # it): a column already below tolerance stops here instead of
-        # paying one extra inner step; does not tick `it` (restarts are
-        # free in the iteration count)
+            state = mask_cols(sel, state, carry["state"])
+        # the restart recomputes r = b - A x, so this check is on the TRUE
+        # residual; it does not tick `it` (restarts are free)
         args = make_check_args(state, carry["it"])
         stop, conv, crit = criterion.check(carry["crit"], args)
+        hit = stop & conv
+        # active columns stopping at the boundary are verified by
+        # construction (their stop IS the true-residual check)
         newly = carry["active"] & stop
+        converged = carry["converged"] | (newly & conv)
+        verified = carry["verified"] | (newly & conv)
+        active = carry["active"] & ~stop
+        # pending columns: confirm, retry another cycle, or give up
+        ok = pending & hit
+        miss = pending & ~hit
+        give_up = miss & (carry["retries"] >= verify_retries)
+        redo = miss & ~give_up
         return dict(
             state=state, crit=crit, it=carry["it"],
-            active=carry["active"] & ~stop,
-            converged=carry["converged"] | (newly & conv),
+            active=active | redo,
+            converged=converged & ~miss,
+            verified=verified | ok,
+            retries=carry["retries"] + redo.astype(jnp.int32),
+            stagnated=carry["stagnated"] | give_up,
             iters=carry["iters"])
 
     def outer_cond(carry):
-        return jnp.any(carry["active"]) & (carry["it"] < cap)
+        pending = carry["converged"] & ~carry["verified"]
+        return ((jnp.any(carry["active"]) & (carry["it"] < cap))
+                | jnp.any(pending))
 
     final = jax.lax.while_loop(outer_cond, outer_body, carry0)
     return final, None
@@ -272,7 +312,8 @@ def finish(final, history, x, r, squeeze):
         iterations=final["iters"],
         resnorm=resnorm,
         converged=final["converged"],
-        resnorm_history=history)
+        resnorm_history=history,
+        stagnated=final.get("stagnated"))
     from ..log import logger as _log
     if _log.has_loggers():
         import jax.core

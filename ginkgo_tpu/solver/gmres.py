@@ -246,14 +246,31 @@ def solve(A, b, x0=None, *, criteria=None, preconditioner=None,
         final, history = run_iteration_loop(
             step, make_check_args, state0, criteria, b2, r0_norm, b_norm,
             trace=trace)
+        xf = solution_update(final["state"])
+        rf = b2 - A._apply(xf)
+        # post-hoc honesty check (the hot run_restarted_loop path audits
+        # inside the loop): the estimate-based `converged` only stands if
+        # the criterion also accepts the TRUE final residual; otherwise the
+        # column is reported stagnated, matching the reference's separate
+        # recurrent/true residual bookkeeping
+        # (benchmark/solver/solver_common.hpp:560,634).
+        crit = as_criterion(criteria)
+        args = CheckArgs(iteration=final["it"],
+                         residual_norm=compute_norm2(rf))
+        stop_t, conv_t, _ = crit.check(final["crit"], args)
+        est = final["converged"]
+        final = dict(final, converged=est & conv_t,
+                     stagnated=est & ~conv_t)
     else:
         # hot path: inner while runs pure arnoldi steps (no cond touching
-        # the basis), restart once per cycle in the outer loop
+        # the basis), restart once per cycle in the outer loop; mid-cycle
+        # estimate-based stops are audited against the restart's true
+        # residual before `converged` is final (see run_restarted_loop)
         final, history = run_restarted_loop(
             arnoldi_step, lambda s: s["j"] >= m, restart, make_check_args,
             state0, criteria, b2, r0_norm, b_norm)
-    xf = solution_update(final["state"])
-    rf = b2 - A._apply(xf)
+        xf = solution_update(final["state"])
+        rf = b2 - A._apply(xf)
     return finish(final, history, xf, rf, squeeze)
 
 
