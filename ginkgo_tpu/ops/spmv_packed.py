@@ -408,8 +408,40 @@ def pell_spmv_pallas(vals, idx, qw, xbase_row, meta_items, b, *,
     return jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
 
 
+def pell_spmv_complex(vals, idx, qw, xbase_row, meta_items, b, *,
+                      interpret=False):
+    """Complex packed SpMV via re/im planes on the real kernel — same
+    formulation as ``spmv_pallas.dia_spmv_complex`` (the index/qw streams
+    are shared between the two plane passes; only the value plane
+    differs).  Plane splits are loop-invariant and LICM-hoisted out of
+    solver loops."""
+    cdt = jnp.result_type(b.dtype, vals.dtype)     # complex64
+    rdt = jnp.dtype(jnp.float32)
+    k = b.shape[1]
+    xs = jnp.concatenate([jnp.real(b).astype(rdt),
+                          jnp.imag(b).astype(rdt)], axis=1)
+    if jnp.issubdtype(vals.dtype, jnp.complexfloating):
+        pr = pell_spmv_pallas(jnp.real(vals).astype(rdt), idx, qw,
+                              xbase_row, meta_items, xs,
+                              interpret=interpret)
+        pi = pell_spmv_pallas(jnp.imag(vals).astype(rdt), idx, qw,
+                              xbase_row, meta_items, xs,
+                              interpret=interpret)
+        yre = pr[:, :k] - pi[:, k:]
+        yim = pr[:, k:] + pi[:, :k]
+    else:                       # real matrix, complex multivector
+        p = pell_spmv_pallas(vals, idx, qw, xbase_row, meta_items, xs,
+                             interpret=interpret)
+        yre, yim = p[:, :k], p[:, k:]
+    return (yre + 1j * yim).astype(cdt)
+
+
 @register("pell_spmv", "tpu")
 def pell_spmv_tpu(vals, idx, qw, xbase_row, meta_items, b):
+    from .spmv_pallas import _c64_capable
+    if _c64_capable(b.dtype, vals.dtype):
+        return pell_spmv_complex(vals, idx, qw, xbase_row, meta_items,
+                                 b.astype(jnp.complex64))
     ok = (jnp.dtype(b.dtype) == jnp.float32
           and jnp.dtype(vals.dtype) in (jnp.dtype(jnp.float32),
                                         jnp.dtype(jnp.bfloat16),
@@ -417,8 +449,8 @@ def pell_spmv_tpu(vals, idx, qw, xbase_row, meta_items, b):
     if not ok:
         from ..log.logger import PERFORMANCE_FALLBACK, dispatch
         dispatch(PERFORMANCE_FALLBACK, kernel="pell_spmv",
-                 reason="unsupported dtype (Pallas path: f32 vectors, "
-                        "f32/bf16/f16 values)")
+                 reason="unsupported dtype (Pallas path: f32/c64 vectors, "
+                        "f32/bf16/f16/c64 values)")
         return pell_spmv_reference(vals, idx, qw, xbase_row,
                                    meta_items, b)
     return pell_spmv_pallas(vals, idx, qw, xbase_row, meta_items, b)

@@ -232,22 +232,77 @@ def dia_spmv_pallas(offsets, dvb, meta, b, *, interpret=False):
     return out.reshape(k, NSp * LANES)[:, :n].T
 
 
+def _dia_chunked(offsets, dvb, meta, b, *, interpret=False):
+    """Column-chunked real-plane dispatch (each <=_MAX_RHS chunk re-streams
+    dvb once; still far cheaper than the jnp tier's per-diagonal passes)."""
+    if b.shape[1] > _MAX_RHS:
+        outs = [dia_spmv_pallas(offsets, dvb, meta, b[:, i:i + _MAX_RHS],
+                                interpret=interpret)
+                for i in range(0, b.shape[1], _MAX_RHS)]
+        return jnp.concatenate(outs, axis=1)
+    return dia_spmv_pallas(offsets, dvb, meta, b, interpret=interpret)
+
+
+def dia_spmv_complex(offsets, dvb, meta, b, *, interpret=False):
+    """Complex banded SpMV on the real-plane Pallas kernel.
+
+    The reference instantiates its GPU SpMV kernels for complex value
+    types directly (``common/cuda_hip/matrix/``, value-type macros in
+    ``include/ginkgo/core/base/types.hpp:459-476``); Mosaic has no complex
+    vregs, so the TPU formulation splits into re/im planes:
+
+        [y_re | y_im] = A_re @ [x_re | x_im]  then  A_im @ [x_re | x_im]
+        y = (p_re[:, :k] - p_im[:, k:])  +  i (p_re[:, k:] + p_im[:, :k])
+
+    Two real kernel passes stream exactly the matrix's c64 bytes (each
+    plane once); the column-stacked multivector reuses each dvb block for
+    both components (the SpMM amortisation).  The plane split itself is
+    loop-invariant, so XLA's while-loop LICM hoists it out of solver
+    iteration loops — per-iteration HBM traffic is plane reads only.
+    """
+    cdt = jnp.result_type(b.dtype, dvb.dtype)      # complex64
+    rdt = jnp.dtype(jnp.float32)
+    k = b.shape[1]
+    xs = jnp.concatenate([jnp.real(b).astype(rdt),
+                          jnp.imag(b).astype(rdt)], axis=1)
+    if jnp.issubdtype(dvb.dtype, jnp.complexfloating):
+        pr = _dia_chunked(offsets, jnp.real(dvb).astype(rdt), meta, xs,
+                          interpret=interpret)
+        pi = _dia_chunked(offsets, jnp.imag(dvb).astype(rdt), meta, xs,
+                          interpret=interpret)
+        yre = pr[:, :k] - pi[:, k:]
+        yim = pr[:, k:] + pi[:, :k]
+    else:                       # real matrix, complex multivector
+        p = _dia_chunked(offsets, dvb, meta, xs, interpret=interpret)
+        yre, yim = p[:, :k], p[:, k:]
+    return (yre + 1j * yim).astype(cdt)
+
+
+def _c64_capable(b_dtype, v_dtype) -> bool:
+    """True when the complex plane split applies: c64/f32 components on
+    both sides (c128's f64 components have no Mosaic lowering)."""
+    c64 = jnp.dtype(jnp.complex64)
+    f32ish = (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16),
+              jnp.dtype(jnp.float16))
+    bd, vd = jnp.dtype(b_dtype), jnp.dtype(v_dtype)
+    return ((bd == c64 or bd in f32ish)
+            and (vd == c64 or vd in f32ish)
+            and (bd == c64 or vd == c64))
+
+
 @register("dia_spmv", "tpu")
 def dia_spmv_tpu(offsets, dvb, meta, b):
     ok_mixed = (jnp.dtype(b.dtype) == jnp.float32
                 and jnp.dtype(dvb.dtype) in (jnp.dtype(jnp.bfloat16),
                                              jnp.dtype(jnp.float16),
                                              jnp.dtype(jnp.float32)))
+    if _c64_capable(b.dtype, dvb.dtype):
+        return dia_spmv_complex(offsets, dvb, meta,
+                                b.astype(jnp.complex64))
     if jnp.issubdtype(b.dtype, jnp.complexfloating) \
+            or jnp.issubdtype(dvb.dtype, jnp.complexfloating) \
             or jnp.dtype(b.dtype).itemsize > 4 \
             or (b.dtype != dvb.dtype and not ok_mixed):
         from .spmv import dia_spmv
         return dia_spmv(offsets, dvb, meta, b)
-    if b.shape[1] > _MAX_RHS:
-        # chunk the columns so wide multi-RHS applies keep the Pallas path
-        # (each <=_MAX_RHS chunk re-streams dvb once; still far cheaper
-        # than the jnp tier's per-diagonal passes)
-        outs = [dia_spmv_pallas(offsets, dvb, meta, b[:, i:i + _MAX_RHS])
-                for i in range(0, b.shape[1], _MAX_RHS)]
-        return jnp.concatenate(outs, axis=1)
-    return dia_spmv_pallas(offsets, dvb, meta, b)
+    return _dia_chunked(offsets, dvb, meta, b)
