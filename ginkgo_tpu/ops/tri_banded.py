@@ -1,0 +1,159 @@
+"""Exact block-partitioned trisolve for banded triangular factors.
+
+The reference solves sparse triangular systems with device-resident
+syncfree/sparselib kernels (``cuda/solver/common_trs_kernels.cuh``,
+``core/solver/lower_trs.cpp``) — fine-grained row scheduling that a TPU
+cannot express.  For the factors this framework actually produces at
+scale — ILU(0)/IC(0)/ParILUT on diagonal-structured patterns (<=64
+offsets) — the TPU-native formulation is a *block-partitioned inverse*:
+
+    partition rows into S-blocks;  for block i
+        x_i = inv(L_ii) @ (b_i - sum_d  l_d ⊙ shift_d(carry))
+
+where ``L_ii`` is the (S, S) within-block lower triangle (DENSE inverse
+precomputed once at generate time — the -1 subdiagonal fills it in
+anyway) and the cross-block term is a masked banded axpy over a carry
+window of the last ``P = ceil(bw/S)`` blocks.  The solve is one
+``lax.scan`` of n/S steps: each step is an MXU (S,S)@(S,k) matvec plus
+D shifted vector MACs — no gather, no level schedule.  Per-apply HBM
+traffic is dominated by the block inverses (n*S values), giving
+~n*S*4/819GB/s on v5e vs num_levels full SpMV passes for the nilpotent
+sweep form (13.4 ms -> sub-ms at n=262k, S=256).
+
+Upper factors are solved as reversed lower systems (rows and columns
+flipped), so one code path serves LowerTrs and UpperTrs.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .registry import register
+
+# block inverses cost n*S*itemsize bytes of HBM; refuse plans beyond this
+_MAX_INV_BYTES = 1 << 30
+_MAX_OFFSETS = 64
+
+
+def _pick_block(n: int, bw: int) -> int:
+    """Block size: 256 amortizes scan-step overhead at large n; small
+    problems take one or two blocks."""
+    S = 256
+    while S >= 2 * max(n, 1) and S > 8:
+        S //= 2
+    return max(S, 8)
+
+
+def plan_block_trisolve(data, lower: bool, unit_diagonal: bool,
+                        S: int | None = None,
+                        max_bytes: int = _MAX_INV_BYTES):
+    """Build the block plan from triangular MatrixData, or None when the
+    factor is not banded-triangular (too many offsets / wrong side /
+    inverse storage over budget).  Host-side, build-time (numpy)."""
+    n, m = data.shape
+    if n != m or n == 0 or data.nnz == 0:
+        return None
+    r = data.row_idx.astype(np.int64)
+    c = data.col_idx.astype(np.int64)
+    v = data.values
+    if not lower:               # reversed-order rows turn U into an L
+        r, c = (n - 1) - r, (n - 1) - c
+    d_of = c - r
+    if (d_of > 0).any():        # not triangular on the expected side
+        return None
+    offsets = np.unique(d_of)
+    if offsets.size > _MAX_OFFSETS:
+        return None
+    bw = int(-offsets.min()) if offsets.size else 0
+    if S is None:
+        S = _pick_block(n, bw)
+    if n * S * v.dtype.itemsize > max_bytes:
+        return None
+    nb = -(-n // S)
+    P = max(1, -(-bw // S))
+
+    # (D, nb*S) per-row diagonal values (padded rows empty)
+    D = offsets.size
+    dv = np.zeros((D, nb * S), v.dtype)
+    d_idx = np.searchsorted(offsets, d_of)
+    dv[d_idx, r] = v
+    if unit_diagonal:
+        z = np.searchsorted(offsets, 0)
+        if z < D and offsets[z] == 0:
+            dv[z, :n] = 1
+        else:
+            offsets = np.append(offsets, 0)
+            dv = np.concatenate([dv, np.zeros((1, nb * S), v.dtype)])
+            dv[-1, :n] = 1
+            D += 1
+    # guard: structurally-missing / zero diagonals solve as 1 (matches
+    # _TrsFactory's diag handling)
+    z = np.searchsorted(offsets, 0)
+    has_diag = z < D and offsets[z] == 0
+    if not has_diag:
+        offsets = np.append(offsets, 0)
+        dv = np.concatenate([dv, np.zeros((1, nb * S), v.dtype)])
+        z = D
+        D += 1
+    diag_plane = dv[z]
+    diag_plane[:n][diag_plane[:n] == 0] = 1
+    diag_plane[n:] = 1          # padding rows: identity
+
+    # dense within-block lower triangles -> batched inverse (one-time)
+    t = np.arange(S)
+    Lb = np.zeros((nb, S, S), v.dtype)
+    dvb = dv.reshape(D, nb, S)
+    for di, off in enumerate(offsets):
+        off = int(off)
+        if off <= -S:
+            continue            # always cross-block
+        rows = t[t >= -off]
+        Lb[:, rows, rows + off] = dvb[di][:, rows]
+    # invert in wide precision, store at the factor's dtype
+    wide = (np.complex128 if np.issubdtype(v.dtype, np.complexfloating)
+            else np.float64)
+    inv = np.linalg.inv(Lb.astype(wide)).astype(v.dtype)
+
+    # cross-block value planes (diag plane excluded — never cross)
+    keep = [di for di, off in enumerate(offsets) if int(off) != 0]
+    ov = np.ascontiguousarray(dvb[keep].transpose(1, 0, 2))  # (nb, Dc, S)
+    cross_offsets = tuple(int(offsets[di]) for di in keep)
+    meta = dict(n=n, S=S, P=P, nb=nb, offsets=cross_offsets,
+                flip=not lower)
+    return dict(inv=inv, ov=ov), meta
+
+
+@register("banded_trisolve", "reference")
+def block_trisolve_apply(inv, ov, meta_items, b):
+    """x = T^{-1} b via the block scan.  ``b``: (n, k)."""
+    meta = dict(meta_items)
+    n, S, P, nb = meta["n"], meta["S"], meta["P"], meta["nb"]
+    offsets = meta["offsets"]
+    k = b.shape[1]
+    if meta["flip"]:
+        b = b[::-1]
+    bp = jnp.pad(b, ((0, nb * S - n), (0, 0))).reshape(nb, S, k)
+    mask = {off: (jnp.arange(S) < -off)[:, None] for off in offsets}
+    PS = P * S
+
+    def step(carry, xs):
+        inv_i, ov_i, b_i = xs
+        ext = jnp.concatenate([carry, jnp.zeros((S, k), carry.dtype)])
+        contrib = jnp.zeros((S, k), b_i.dtype)
+        for di, off in enumerate(offsets):
+            seg = jax.lax.slice_in_dim(ext, PS + off, PS + off + S)
+            contrib = contrib + jnp.where(
+                mask[off], ov_i[di][:, None].astype(b_i.dtype) * seg, 0)
+        x_i = jnp.einsum("st,tk->sk", inv_i.astype(b_i.dtype),
+                         b_i - contrib,
+                         preferred_element_type=b_i.dtype)
+        new_carry = (x_i if P == 1 else
+                     jnp.concatenate([carry[S:], x_i]))
+        return new_carry, x_i
+
+    carry0 = jnp.zeros((PS, k), b.dtype)
+    _, xs = jax.lax.scan(step, carry0, (inv, ov, bp))
+    x = xs.reshape(nb * S, k)[:n]
+    return x[::-1] if meta["flip"] else x
