@@ -84,6 +84,21 @@ def _bind(lib):
     lib.gt_ilu_pairs_fill.argtypes = [ctypes.c_int64, ctypes.c_int64, i64p,
                                       i64p, ctypes.c_int64, i64p, i64p,
                                       i64p, i64p, i64p]
+    lib.gt_ilut_pairs_rowmajor_count.restype = ctypes.c_int64
+    lib.gt_ilut_pairs_rowmajor_count.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, i64p, i64p, ctypes.c_int64, i64p,
+        i64p, ctypes.c_int64]
+    lib.gt_ilut_pairs_rowmajor_fill.restype = ctypes.c_int64
+    lib.gt_ilut_pairs_rowmajor_fill.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, i64p, i64p, ctypes.c_int64, i64p,
+        i64p, i32p, i32p, i32p, ctypes.c_int64]
+    lib.gt_ict_pairs_rowmajor_count.restype = ctypes.c_int64
+    lib.gt_ict_pairs_rowmajor_count.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, i64p, i64p, ctypes.c_int64]
+    lib.gt_ict_pairs_rowmajor_fill.restype = ctypes.c_int64
+    lib.gt_ict_pairs_rowmajor_fill.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, i64p, i64p, i32p, i32p, i32p,
+        ctypes.c_int64]
     lib.gt_coo_canonicalize.restype = ctypes.c_int64
     lib.gt_coo_canonicalize.argtypes = [ctypes.c_int64, i64p, i64p, f64p,
                                         ctypes.c_int32]
@@ -251,6 +266,70 @@ def ilu_pairs_native(n, lr, lc, ur, uc):
         _ptr(out_l, ctypes.c_int64), _ptr(out_u, ctypes.c_int64),
         _ptr(out_o, ctypes.c_int64))
     return out_l, out_u, out_o
+
+
+def ilut_pairs_rowmajor_native(n, lr, lc, ur, uc, cap):
+    """(pl, pu, po) int32 pairs of the restricted product (I+L)@U over the
+    row-major-sorted slot universe, sorted by (po, pu) — the canonical
+    order the packed-layout planner consumes (see ginkgo_native.cpp
+    ilut_pairs_rowmajor_impl).  Falls back to the unsorted enumerator +
+    lexsort; returns None when over ``cap`` or no enumerator exists."""
+    L = lib()
+    lr = np.ascontiguousarray(lr, np.int64)
+    lc = np.ascontiguousarray(lc, np.int64)
+    ur = np.ascontiguousarray(ur, np.int64)
+    uc = np.ascontiguousarray(uc, np.int64)
+    if L is not None and hasattr(L, "gt_ilut_pairs_rowmajor_count"):
+        count = L.gt_ilut_pairs_rowmajor_count(
+            n, len(lr), _ptr(lr, ctypes.c_int64), _ptr(lc, ctypes.c_int64),
+            len(ur), _ptr(ur, ctypes.c_int64), _ptr(uc, ctypes.c_int64),
+            int(cap))
+        if count < 0:
+            return None
+        pl = np.empty(count, np.int32)
+        pu = np.empty(count, np.int32)
+        po = np.empty(count, np.int32)
+        got = L.gt_ilut_pairs_rowmajor_fill(
+            n, len(lr), _ptr(lr, ctypes.c_int64), _ptr(lc, ctypes.c_int64),
+            len(ur), _ptr(ur, ctypes.c_int64), _ptr(uc, ctypes.c_int64),
+            _ptr(pl, ctypes.c_int32), _ptr(pu, ctypes.c_int32),
+            _ptr(po, ctypes.c_int32), int(cap))
+        if got != count:
+            return None
+        return pl, pu, po
+    out = ilu_pairs_native(n, lr, lc, ur, uc)
+    if out is None or len(out[0]) > cap:
+        return None
+    pl, pu, po = out
+    order = np.lexsort((pu, po))
+    return (pl[order].astype(np.int32), pu[order].astype(np.int32),
+            po[order].astype(np.int32))
+
+
+def ict_pairs_rowmajor_native(n, lr, lc, cap):
+    """(p1, p2, po) int32 pairs of tril(L L^H) over the row-major lower
+    universe (diag included), k < col(po), sorted by (po, p2); p2 is the
+    conjugated factor's slot.  None when unavailable or over ``cap``."""
+    L = lib()
+    if L is None or not hasattr(L, "gt_ict_pairs_rowmajor_count"):
+        return None
+    lr = np.ascontiguousarray(lr, np.int64)
+    lc = np.ascontiguousarray(lc, np.int64)
+    count = L.gt_ict_pairs_rowmajor_count(
+        n, len(lr), _ptr(lr, ctypes.c_int64), _ptr(lc, ctypes.c_int64),
+        int(cap))
+    if count < 0:
+        return None
+    p1 = np.empty(count, np.int32)
+    p2 = np.empty(count, np.int32)
+    po = np.empty(count, np.int32)
+    got = L.gt_ict_pairs_rowmajor_fill(
+        n, len(lr), _ptr(lr, ctypes.c_int64), _ptr(lc, ctypes.c_int64),
+        _ptr(p1, ctypes.c_int32), _ptr(p2, ctypes.c_int32),
+        _ptr(po, ctypes.c_int32), int(cap))
+    if got != count:
+        return None
+    return p1, p2, po
 
 
 def parilut_sweep_native(n, a_ptr, a_cols, a_vals, l_ptr, l_cols, l_vals,

@@ -282,6 +282,152 @@ int64_t gt_ilu_pairs_fill(int64_t n, int64_t nl, const int64_t* lr,
 }
 
 // ---------------------------------------------------------------------------
+// Row-major restricted-product pair enumeration for the fixed-universe
+// device ParILUT (the packed-slot analog of the reference's on-device
+// sweep kernels, common/cuda_hip/factorization/par_ilut_sweep_kernels.cpp).
+// Inputs are the ROW-MAJOR-SORTED strictly-lower (L) and upper-with-diag
+// (U) halves of the slot universe.  Output slot o (an index into the
+// concatenated [L; U] arrays) at matrix position (i, j) gets one pair
+// per k in L-row(i) ∩ U-col(j) with k < min(i, j): out_l -> L slot of
+// (i, k), out_u -> U slot of (k, j), out_o -> o.  Pairs are emitted
+// sorted by (out_o asc, out_u asc) — U is row-major so the U-slot index
+// grows with k — which is exactly the canonical order the packed-layout
+// planner wants; no host lexsort over the O(flops) pair list is needed.
+// int32 outputs halve the plan footprint; a count above `cap` (or 2^31)
+// returns -1 and the caller falls back.
+static int64_t ilut_pairs_rowmajor_impl(
+    int64_t n, int64_t nl, const int64_t* lr, const int64_t* lc, int64_t nu,
+    const int64_t* ur, const int64_t* uc, int32_t* out_l, int32_t* out_u,
+    int32_t* out_o, int64_t cap) {
+    // CSR row pointers for L (rows sorted) and CSC for U (cols; the
+    // per-column slot lists are row-ascending because U is row-major).
+    std::vector<int64_t> lptr(n + 1, 0), ucp(n + 1, 0);
+    for (int64_t e = 0; e < nl; ++e) lptr[lr[e] + 1]++;
+    for (int64_t e = 0; e < nu; ++e) ucp[uc[e] + 1]++;
+    for (int64_t i = 0; i < n; ++i) {
+        lptr[i + 1] += lptr[i];
+        ucp[i + 1] += ucp[i];
+    }
+    std::vector<int64_t> ucol_slot(nu), ucol_row(nu),
+        upos(ucp.begin(), ucp.end() - 1);
+    for (int64_t e = 0; e < nu; ++e) {
+        int64_t p = upos[uc[e]]++;
+        ucol_slot[p] = e;
+        ucol_row[p] = ur[e];
+    }
+    bool fill = out_l != nullptr;
+    int64_t count = 0;
+    auto emit = [&](int64_t i, int64_t j, int64_t o) -> bool {
+        int64_t lim = i < j ? i : j;
+        int64_t a = lptr[i], aEnd = lptr[i + 1];
+        int64_t b = ucp[j], bEnd = ucp[j + 1];
+        while (a < aEnd && b < bEnd) {
+            int64_t ka = lc[a];
+            if (ka >= lim) break;
+            int64_t kb = ucol_row[b];
+            if (ka < kb) {
+                ++a;
+            } else if (kb < ka) {
+                if (kb >= lim) break;
+                ++b;
+            } else {
+                if (fill) {
+                    if (count >= cap) return false;
+                    out_l[count] = (int32_t)a;
+                    out_u[count] = (int32_t)ucol_slot[b];
+                    out_o[count] = (int32_t)o;
+                }
+                ++count;
+                ++a;
+                ++b;
+            }
+        }
+        return true;
+    };
+    for (int64_t o = 0; o < nl; ++o)
+        if (!emit(lr[o], lc[o], o)) return -1;
+    for (int64_t o = 0; o < nu; ++o)
+        if (!emit(ur[o], uc[o], nl + o)) return -1;
+    if (count > cap || count > (int64_t)INT32_MAX || nl > INT32_MAX ||
+        nu + nl > INT32_MAX)
+        return -1;
+    return count;
+}
+
+int64_t gt_ilut_pairs_rowmajor_count(int64_t n, int64_t nl,
+                                     const int64_t* lr, const int64_t* lc,
+                                     int64_t nu, const int64_t* ur,
+                                     const int64_t* uc, int64_t cap) {
+    return ilut_pairs_rowmajor_impl(n, nl, lr, lc, nu, ur, uc, nullptr,
+                                    nullptr, nullptr, cap);
+}
+
+int64_t gt_ilut_pairs_rowmajor_fill(int64_t n, int64_t nl, const int64_t* lr,
+                                    const int64_t* lc, int64_t nu,
+                                    const int64_t* ur, const int64_t* uc,
+                                    int32_t* out_l, int32_t* out_u,
+                                    int32_t* out_o, int64_t cap) {
+    return ilut_pairs_rowmajor_impl(n, nl, lr, lc, nu, ur, uc, out_l, out_u,
+                                    out_o, cap);
+}
+
+// Same enumeration for ParICT's tril(L L^H): output slot o at (i, j)
+// (i >= j, both in the row-major lower universe incl. the diagonal) gets
+// one pair per k in L-row(i) ∩ L-row(j), k < j: out_1 -> slot of (i, k),
+// out_2 -> slot of (j, k) (to be conjugated), out_o -> o.  Row-major L
+// makes out_2 ascend with k, so pairs are (o, out_2)-sorted.
+static int64_t ict_pairs_rowmajor_impl(int64_t n, int64_t nl,
+                                       const int64_t* lr, const int64_t* lc,
+                                       int32_t* out_1, int32_t* out_2,
+                                       int32_t* out_o, int64_t cap) {
+    std::vector<int64_t> lptr(n + 1, 0);
+    for (int64_t e = 0; e < nl; ++e) lptr[lr[e] + 1]++;
+    for (int64_t i = 0; i < n; ++i) lptr[i + 1] += lptr[i];
+    bool fill = out_1 != nullptr;
+    int64_t count = 0;
+    for (int64_t o = 0; o < nl; ++o) {
+        int64_t i = lr[o], j = lc[o];
+        int64_t a = lptr[i], aEnd = lptr[i + 1];
+        int64_t b = lptr[j], bEnd = lptr[j + 1];
+        while (a < aEnd && b < bEnd) {
+            int64_t ka = lc[a], kb = lc[b];
+            if (ka >= j || kb >= j) break;
+            if (ka < kb) {
+                ++a;
+            } else if (kb < ka) {
+                ++b;
+            } else {
+                if (fill) {
+                    if (count >= cap) return -1;
+                    out_1[count] = (int32_t)a;
+                    out_2[count] = (int32_t)b;
+                    out_o[count] = (int32_t)o;
+                }
+                ++count;
+                ++a;
+                ++b;
+            }
+        }
+    }
+    if (count > cap || count > (int64_t)INT32_MAX || nl > INT32_MAX)
+        return -1;
+    return count;
+}
+
+int64_t gt_ict_pairs_rowmajor_count(int64_t n, int64_t nl, const int64_t* lr,
+                                    const int64_t* lc, int64_t cap) {
+    return ict_pairs_rowmajor_impl(n, nl, lr, lc, nullptr, nullptr, nullptr,
+                                   cap);
+}
+
+int64_t gt_ict_pairs_rowmajor_fill(int64_t n, int64_t nl, const int64_t* lr,
+                                   const int64_t* lc, int32_t* out_1,
+                                   int32_t* out_2, int32_t* out_o,
+                                   int64_t cap) {
+    return ict_pairs_rowmajor_impl(n, nl, lr, lc, out_1, out_2, out_o, cap);
+}
+
+// ---------------------------------------------------------------------------
 // COO canonicalization: stable sort by (row, col) + duplicate summation.
 // Returns the deduplicated count; arrays are compacted in place.
 // ---------------------------------------------------------------------------

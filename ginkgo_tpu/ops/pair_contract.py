@@ -1,0 +1,383 @@
+"""Pair-contraction kernel: ``y[po] += a[pl] * b[pu]`` over a static,
+presorted contribution-pair list.
+
+This is the irregular-contraction primitive behind device-resident
+incomplete factorization on unstructured patterns (the TPU answer to the
+reference's ParILU/ParILUT sweep kernels,
+``common/cuda_hip/factorization/par_ilut_sweep_kernels.cpp``): with the
+slot universe fixed, one Chow-Patel sweep / candidate product IS this
+contraction.  XLA lowers both the gathers and the segment-sum to ~8 ns
+per element scalar loops (measured on v5e) regardless of locality, so
+the ``tpu`` tier is a Pallas kernel built on two observations:
+
+* **Windowed dual gathers.**  Output slots are tiled 1024 per grid step;
+  pairs are sorted by (tile, pu), so each 1024-pair vreg reads ``b``
+  from one absolute 1024-element block (``uq`` row starts, exact by
+  construction) and ``a`` from a min-based 1024-element window (``lq``;
+  FEM-class tiles span a few hundred ``a`` slots).  Both gathers are the
+  packed-SpMV sublane+lane ``dynamic_gather`` composition
+  (``spmv_packed._take_along``) from VMEM windows.
+* **One-hot MXU segment-sum.**  Scattering p = gl*gu into the 1024-slot
+  output tile is a (8, 1024) @ (1024, 128) matmul: rows of the left
+  factor mask pairs by ``hi = po >> 7`` (the output sublane), the right
+  factor is the one-hot of ``lo = po & 127`` (the output lane).  Padding
+  pairs carry the sentinel ``po = 1024`` whose ``hi`` matches no row —
+  free masking, no zeroed values needed.
+
+Pairs that escape a window or the per-tile vreg budget spill to a COO
+tail evaluated on the 8 ns gather path; the planner rejects (returns
+None) when spills exceed ``max_tail``.  The ``reference`` tier is the
+plain gather/segment-sum oracle.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .registry import register
+
+LANES = 128
+_OW = 1024                  # output slots per grid tile
+_NV_CAP = 96                # max pair vregs per tile
+_WIN_ROWS_CAP = 2048        # max (rows, 128) VMEM window per operand
+
+
+def _pow2ceil(x: int) -> int:
+    return 1 << max(int(x) - 1, 0).bit_length()
+
+
+def plan_pair_contract(pl_, pu_, po_, n_out, n_a, n_b, *,
+                       max_tail=0.05, nv_cap=_NV_CAP):
+    """Static plan for the Pallas tier.  ``po_`` must be sorted
+    ascending.  Returns a dict of numpy arrays + static meta, or None
+    when windows/budgets reject (callers fall back to the reference
+    tier or reject the whole device path)."""
+    npairs = len(po_)
+    if npairs == 0 or n_out == 0:
+        return None
+    pl_ = np.asarray(pl_, np.int64)
+    pu_ = np.asarray(pu_, np.int64)
+    po_ = np.asarray(po_, np.int64)
+    if max(n_out, n_a, n_b) >= (1 << 31):
+        return None
+    T = -(-n_out // _OW)
+    tile = po_ >> 10
+    # group pairs by (tile, absolute 1024-block of pu, absolute
+    # 1024-block of pl): both gather windows are then exact by
+    # construction (idx = value & 1023), and po needs no order at all
+    # (the one-hot matmul scatter is order-free) — so zero window
+    # spills; only the per-tile vreg budget can spill.
+    ublock = pu_ >> 10
+    lblock = pl_ >> 10
+    order = np.argsort((tile << 42) | (ublock << 21) | lblock,
+                       kind="stable")
+    spl, spu, spo = pl_[order], pu_[order], po_[order]
+    stile = tile[order]
+    sub_ = ublock[order]
+    slb = lblock[order]
+    key_change = np.ones(npairs, bool)
+    key_change[1:] = ((stile[1:] != stile[:-1])
+                      | (sub_[1:] != sub_[:-1]) | (slb[1:] != slb[:-1]))
+    gstart = np.flatnonzero(key_change)
+    rank_in_g = np.arange(npairs) - np.repeat(
+        gstart, np.diff(np.append(gstart, npairs)))
+    v_change = key_change | ((rank_in_g & 1023) == 0)
+    vid = np.cumsum(v_change) - 1
+    vstart = np.flatnonzero(v_change)
+    nv_total = len(vstart)
+    slot = np.arange(npairs) - np.repeat(
+        vstart, np.diff(np.append(vstart, npairs)))
+    v_tile = stile[vstart]
+    v_ublock = sub_[vstart]
+    v_lblock = slb[vstart]
+    # per-tile vreg index + budget
+    vt_change = np.ones(nv_total, bool)
+    vt_change[1:] = v_tile[1:] != v_tile[:-1]
+    vt_start = np.flatnonzero(vt_change)
+    v_in_tile = np.arange(nv_total) - np.repeat(
+        vt_start, np.diff(np.append(vt_start, nv_total)))
+    NV = int(min(v_in_tile.max() + 1, nv_cap))
+    spill = v_in_tile[vid] >= NV
+    keep = ~spill
+    if spill.sum() > max_tail * npairs:
+        return None
+    # tile window bases / sizes (over the vregs inside the budget)
+    live_v = np.flatnonzero(v_in_tile < NV)
+    lbase = np.full(T, 1 << 60, np.int64)
+    ubase = np.full(T, 1 << 60, np.int64)
+    lmax = np.full(T, -1, np.int64)
+    umax = np.full(T, -1, np.int64)
+    np.minimum.at(lbase, v_tile[live_v], v_lblock[live_v] * 8)
+    np.maximum.at(lmax, v_tile[live_v], v_lblock[live_v] * 8 + 8)
+    np.minimum.at(ubase, v_tile[live_v], v_ublock[live_v] * 8)
+    np.maximum.at(umax, v_tile[live_v], v_ublock[live_v] * 8 + 8)
+    empty = lmax < 0
+    lbase[empty] = 0
+    ubase[empty] = 0
+    lmax[empty] = 8
+    umax[empty] = 8
+    WLr = _pow2ceil(max(int((lmax - lbase).max()), 8))
+    WUr = _pow2ceil(max(int((umax - ubase).max()), 8))
+    if WLr > _WIN_ROWS_CAP or WUr > _WIN_ROWS_CAP:
+        return None
+    # pack streams (T, NV, 8, 128) int16 + per-vreg window starts
+    pls = np.zeros((T, NV, _OW), np.int16)
+    pus = np.zeros((T, NV, _OW), np.int16)
+    pos = np.full((T, NV, _OW), _OW, np.int16)
+    lq = np.zeros((T, NV), np.int32)
+    uq = np.zeros((T, NV), np.int32)
+    kv = live_v
+    lq[v_tile[kv], v_in_tile[kv]] = (v_lblock[kv] * 8
+                                     - lbase[v_tile[kv]]).astype(np.int32)
+    uq[v_tile[kv], v_in_tile[kv]] = (v_ublock[kv] * 8
+                                     - ubase[v_tile[kv]]).astype(np.int32)
+    kt = stile[keep]
+    kvit = v_in_tile[vid[keep]]
+    ks = slot[keep]
+    pls[kt, kvit, ks] = (spl[keep] & 1023).astype(np.int16)
+    pus[kt, kvit, ks] = (spu[keep] & 1023).astype(np.int16)
+    pos[kt, kvit, ks] = (spo[keep] & 1023).astype(np.int16)
+    pad_rows_a = int(lbase.max()) + WLr
+    pad_rows_b = int(ubase.max()) + WUr
+    meta = dict(T=T, NV=NV, WLr=WLr, WUr=WUr, n_out=int(n_out),
+                n_a=int(n_a), n_b=int(n_b),
+                pad_rows_a=max(pad_rows_a, -(-int(n_a) // LANES)),
+                pad_rows_b=max(pad_rows_b, -(-int(n_b) // LANES)))
+    fill = float(npairs - spill.sum()) / (T * NV * _OW)
+    return dict(pls=pls.reshape(T, NV, 8, LANES),
+                pus=pus.reshape(T, NV, 8, LANES),
+                pos=pos.reshape(T, NV, 8, LANES),
+                lq=lq, uq=uq,
+                lbase=lbase.astype(np.int32), ubase=ubase.astype(np.int32),
+                tail=(spl[spill].astype(np.int32),
+                      spu[spill].astype(np.int32),
+                      spo[spill].astype(np.int32)),
+                meta=tuple(sorted(meta.items())), fill=fill)
+
+
+# ---------------------------------------------------------------------------
+# reference tier
+# ---------------------------------------------------------------------------
+
+@register("pair_contract", "reference")
+def pair_contract_reference(a, b, pl_, pu_, po_, n_out):
+    """Oracle: plain gathers + segment-sum."""
+    return jax.ops.segment_sum(a[pl_] * b[pu_], po_, num_segments=n_out,
+                               indices_are_sorted=False)
+
+
+# ---------------------------------------------------------------------------
+# tpu tier (Pallas)
+# ---------------------------------------------------------------------------
+
+def _gather1024(win8, idx16):
+    """Exact per-element gather of a (8, 128) index block from a
+    (8, 128) window: the packed-SpMV sublane+lane ``take_along``
+    composition is only exact when the sublane index is constant per
+    row, which pair streams do not guarantee — so the row selection is
+    8 compare-selects (t[s, l] = win8[idx>>7 [s, l], l]) followed by the
+    exact single-axis lane gather."""
+    from .spmv_packed import _take_along
+    sub = jax.lax.shift_right_logical(idx16, jnp.int32(7))
+    lane = jax.lax.bitwise_and(idx16, jnp.int32(127))
+    g = jnp.zeros(idx16.shape, win8.dtype)
+    for r in range(8):
+        row = jnp.broadcast_to(win8[r:r + 1, :], idx16.shape)
+        g = jnp.where(sub == r, _take_along(row, lane, 1), g)
+    return g
+
+
+def _pair_kernel(lq_ref, uq_ref, lbase_ref, ubase_ref,
+                 a2d, b2d, pls_ref, pus_ref, pos_ref, out_ref,
+                 awin, bwin, plb, pub, pob, yb,
+                 asem, bsem, psem, ysem,
+                 *, T, NV, WLr, WUr, NB):
+    """One grid launch; NB-deep manual DMA pipeline over output tiles."""
+
+    def _i32(v):
+        return jnp.asarray(v, jnp.int32)
+
+    def a_dma(t, j):
+        t, j = _i32(t), _i32(j)
+        return pltpu.make_async_copy(
+            a2d.at[pl.ds(lbase_ref[t], WLr), :], awin.at[j], asem.at[j])
+
+    def b_dma(t, j):
+        t, j = _i32(t), _i32(j)
+        return pltpu.make_async_copy(
+            b2d.at[pl.ds(ubase_ref[t], WUr), :], bwin.at[j], bsem.at[j])
+
+    def p_dma(t, j):
+        t, j = _i32(t), _i32(j)
+        return (pltpu.make_async_copy(pls_ref.at[t], plb.at[j],
+                                      psem.at[j, 0]),
+                pltpu.make_async_copy(pus_ref.at[t], pub.at[j],
+                                      psem.at[j, 1]),
+                pltpu.make_async_copy(pos_ref.at[t], pob.at[j],
+                                      psem.at[j, 2]))
+
+    def y_dma(t, j):
+        t, j = _i32(t), _i32(j)
+        return pltpu.make_async_copy(yb.at[j], out_ref.at[t], ysem.at[j])
+
+    def start_in(t, j):
+        a_dma(t, j).start()
+        b_dma(t, j).start()
+        for c in p_dma(t, j):
+            c.start()
+
+    for j in range(NB):
+        start_in(j, j)
+
+    hrow = jax.lax.broadcasted_iota(jnp.int32, (8, _OW), 0)
+    lcol = jax.lax.broadcasted_iota(jnp.int32, (_OW, LANES), 1)
+
+    def step(t, j):
+        a_dma(t, j).wait()
+        b_dma(t, j).wait()
+        for c in p_dma(t, j):
+            c.wait()
+
+        @pl.when(t >= NB)
+        def _():
+            y_dma(t - NB, j).wait()
+
+        acc = jnp.zeros((8, LANES), jnp.float32)
+        for v in range(NV):
+            lqv = lq_ref[t * NV + v]
+            uqv = uq_ref[t * NV + v]
+            pl16 = plb[j, v].astype(jnp.int32)
+            pu16 = pub[j, v].astype(jnp.int32)
+            po16 = pob[j, v].astype(jnp.int32)
+            gl = _gather1024(awin[j, pl.ds(lqv, 8), :], pl16)
+            gu = _gather1024(bwin[j, pl.ds(uqv, 8), :], pu16)
+            p = (gl * gu).astype(jnp.float32).reshape(1, _OW)
+            hi = jax.lax.shift_right_logical(po16, jnp.int32(7)).reshape(
+                1, _OW)
+            lo = jax.lax.bitwise_and(po16, jnp.int32(127)).reshape(_OW, 1)
+            ph = jnp.where(hi == hrow, p, jnp.float32(0))     # (8, _OW)
+            elo = (lo == lcol).astype(jnp.float32)            # (_OW, 128)
+            acc = acc + jax.lax.dot(ph, elo,
+                                    preferred_element_type=jnp.float32)
+        yb[j] = acc.astype(yb.dtype)
+        y_dma(t, j).start()
+
+        @pl.when(t + NB < T)
+        def _():
+            start_in(t + NB, j)
+
+    def outer(o, _):
+        for j in range(NB):
+            step(o * NB + j, j)
+        return 0
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(T // NB), outer, 0)
+    for j in range(NB):
+        y_dma(T - NB + j, j).wait()
+
+
+@functools.lru_cache(maxsize=64)
+def _build_pair_call(meta_items, dtype_name, interpret, NB=2):
+    meta = dict(meta_items)
+    T, NV, WLr, WUr = meta["T"], meta["NV"], meta["WLr"], meta["WUr"]
+    NB = max(1, min(NB, T))
+    T_pad = -(-T // NB) * NB
+    dtype = jnp.dtype(dtype_name)
+    kernel = functools.partial(_pair_kernel, T=T_pad, NV=NV, WLr=WLr,
+                               WUr=WUr, NB=NB)
+    vmem = NB * ((WLr + WUr) * LANES * dtype.itemsize
+                 + 3 * NV * _OW * 2 + 8 * LANES * 4) + (2 << 20)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,        # lq, uq, lbase, ubase
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 5,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[pltpu.VMEM((NB, WLr, LANES), dtype),
+                        pltpu.VMEM((NB, WUr, LANES), dtype),
+                        pltpu.VMEM((NB, NV, 8, LANES), jnp.int16),
+                        pltpu.VMEM((NB, NV, 8, LANES), jnp.int16),
+                        pltpu.VMEM((NB, NV, 8, LANES), jnp.int16),
+                        pltpu.VMEM((NB, 8, LANES), dtype),
+                        pltpu.SemaphoreType.DMA((NB,)),
+                        pltpu.SemaphoreType.DMA((NB,)),
+                        pltpu.SemaphoreType.DMA((NB, 3)),
+                        pltpu.SemaphoreType.DMA((NB,))],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T_pad, 8, LANES), dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(128 << 20, vmem * 2)),
+        interpret=bool(interpret),
+    ), T_pad
+
+
+def _pad2d(x, rows):
+    return jnp.pad(x, (0, rows * LANES - x.shape[0])).reshape(rows, LANES)
+
+
+def pair_contract_pallas(a, b, arrs, meta_items, *, interpret=False):
+    meta = dict(meta_items)
+    T = meta["T"]
+    call, T_pad = _build_pair_call(meta_items, jnp.dtype(a.dtype).name,
+                                   interpret)
+    pls, pus, pos = arrs["pls"], arrs["pus"], arrs["pos"]
+    lbase, ubase = arrs["lbase"], arrs["ubase"]
+    if T_pad != T:
+        pad = T_pad - T
+        z16 = jnp.zeros((pad,) + pls.shape[1:], jnp.int16)
+        pls = jnp.concatenate([pls, z16])
+        pus = jnp.concatenate([pus, z16])
+        pos = jnp.concatenate([pos, jnp.full_like(z16, _OW)])
+        lbase = jnp.concatenate([lbase, jnp.zeros(pad, lbase.dtype)])
+        ubase = jnp.concatenate([ubase, jnp.zeros(pad, ubase.dtype)])
+        lq = jnp.concatenate(
+            [arrs["lq"], jnp.zeros((pad,) + arrs["lq"].shape[1:],
+                                   arrs["lq"].dtype)])
+        uq = jnp.concatenate(
+            [arrs["uq"], jnp.zeros((pad,) + arrs["uq"].shape[1:],
+                                   arrs["uq"].dtype)])
+    else:
+        lq, uq = arrs["lq"], arrs["uq"]
+    a2d = _pad2d(a, meta["pad_rows_a"])
+    b2d = _pad2d(b, meta["pad_rows_b"])
+    y = call(lq.reshape(-1), uq.reshape(-1), lbase, ubase,
+             a2d, b2d, pls, pus, pos)
+    y = y.reshape(T_pad * _OW)[:meta["n_out"]]
+    tl, tu, to = arrs["tail"]
+    if tl.shape[0]:
+        y = y.at[to].add(a[tl] * b[tu])
+    return y
+
+
+@register("pair_contract_planned", "reference")
+def pair_contract_planned_reference(a, b, arrs, meta_items):
+    """Reference consumption of a Pallas plan: raw triple lives in
+    ``arrs['raw']`` when present, else reconstructed from the streams —
+    used only in tests/small problems."""
+    meta = dict(meta_items)
+    if "raw" in arrs:
+        rl, ru, ro = arrs["raw"]
+        return pair_contract_reference(a, b, rl, ru, ro, meta["n_out"])
+    return pair_contract_pallas(a, b, arrs, meta_items, interpret=True)
+
+
+@register("pair_contract_planned", "tpu")
+def pair_contract_planned_tpu(a, b, arrs, meta_items):
+    if jnp.dtype(a.dtype) != jnp.float32 or jnp.dtype(b.dtype) != \
+            jnp.float32:
+        from ..log.logger import PERFORMANCE_FALLBACK, dispatch
+        dispatch(PERFORMANCE_FALLBACK, kernel="pair_contract",
+                 reason="unsupported dtype (Pallas path: f32)")
+        if "raw" in arrs:
+            rl, ru, ro = arrs["raw"]
+            return pair_contract_reference(a, b, rl, ru, ro,
+                                           dict(meta_items)["n_out"])
+    return pair_contract_pallas(a, b, arrs, meta_items)
