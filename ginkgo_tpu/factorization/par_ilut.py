@@ -255,7 +255,7 @@ class ParIlut:
                  algorithm: str = "auto"):
         if sweep_mode not in ("host", "device", "auto"):
             raise ValueError(f"unknown sweep_mode {sweep_mode!r}")
-        if algorithm not in ("auto", "dia", "general"):
+        if algorithm not in ("auto", "dia", "packed", "general"):
             raise ValueError(f"unknown algorithm {algorithm!r}")
         self.iterations = iterations
         self.fill_in_limit = fill_in_limit
@@ -280,12 +280,28 @@ class ParIlut:
             import jax
             # auto: device path pays off above ~16k rows (below that the
             # host GS path finishes before one device dispatch round)
-            want = (self.algorithm == "dia"
-                    or (jax.default_backend() != "cpu" and n >= 16384))
-            if want:
+            accel = jax.default_backend() != "cpu"
+            if self.algorithm == "dia" or (
+                    self.algorithm == "auto" and accel and n >= 16384):
                 from .par_ilut_dia import generate_dia
                 out = generate_dia(d, self.iterations, self.fill_in_limit,
                                    self.sweeps)
+                if out is not None:
+                    lr, lc, lv, ur, uc, uv = out
+                    return _build_factors(n, lr, lc, lv.astype(dtype),
+                                          ur, uc, uv.astype(dtype), dtype)
+            # device-resident packed path for unstructured banded
+            # patterns (FEM/graph, RCM'd): fixed slot universe + the
+            # pair-contraction kernel — see par_ilut_packed.py.
+            if self.algorithm == "packed" or (
+                    self.algorithm == "auto" and accel and n >= 16384):
+                from .par_ilut_packed import generate_packed
+                # Jacobi device sweeps converge at ~half the host GS
+                # rate (Chow & Patel); two per iteration track the host
+                # factor quality at one extra cheap device product each
+                out = generate_packed(d, self.iterations,
+                                      self.fill_in_limit,
+                                      max(self.sweeps, 2))
                 if out is not None:
                     lr, lc, lv, ur, uc, uv = out
                     return _build_factors(n, lr, lc, lv.astype(dtype),
@@ -442,7 +458,7 @@ class ParIct:
 
     def __init__(self, iterations: int = 5, fill_in_limit: float = 2.0,
                  algorithm: str = "auto"):
-        if algorithm not in ("auto", "dia", "general"):
+        if algorithm not in ("auto", "dia", "packed", "general"):
             raise ValueError(f"unknown algorithm {algorithm!r}")
         self.iterations = iterations
         self.fill_in_limit = fill_in_limit
@@ -462,21 +478,33 @@ class ParIct:
         # device-resident DIA path (see par_ilut_dia.generate_dia_ict)
         if self.algorithm != "general":
             import jax
-            if (self.algorithm == "dia"
-                    or (jax.default_backend() != "cpu" and n >= 16384)):
+
+            def _sym_factors(lr, lc, lv):
+                from ..matrix.csr import Csr
+                l_data = MatrixData((n, n), lr, lc, lv.astype(dtype))
+                Lic = Csr.from_data(l_data, strategy="classical")
+                Lt = Csr.from_data(
+                    l_data.conj_transpose().sort_row_major(),
+                    strategy="classical")
+                return Factorization(l_factor=Lic, u_factor=Lt,
+                                     symmetric=True)
+
+            accel = jax.default_backend() != "cpu"
+            if self.algorithm == "dia" or (
+                    self.algorithm == "auto" and accel and n >= 16384):
                 from .par_ilut_dia import generate_dia_ict
                 out = generate_dia_ict(d, self.iterations,
                                        self.fill_in_limit)
                 if out is not None:
-                    from ..matrix.csr import Csr
-                    lr, lc, lv = out
-                    l_data = MatrixData((n, n), lr, lc, lv.astype(dtype))
-                    Lic = Csr.from_data(l_data, strategy="classical")
-                    Lt = Csr.from_data(
-                        l_data.conj_transpose().sort_row_major(),
-                        strategy="classical")
-                    return Factorization(l_factor=Lic, u_factor=Lt,
-                                         symmetric=True)
+                    return _sym_factors(*out)
+            # packed path for unstructured banded patterns
+            if self.algorithm == "packed" or (
+                    self.algorithm == "auto" and accel and n >= 16384):
+                from .par_ilut_packed import generate_packed_ict
+                out = generate_packed_ict(d, self.iterations,
+                                          self.fill_in_limit)
+                if out is not None:
+                    return _sym_factors(*out)
         low = d.row_idx >= d.col_idx
         lr = d.row_idx[low].astype(np.int64)
         lc = d.col_idx[low].astype(np.int64)

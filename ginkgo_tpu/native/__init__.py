@@ -99,6 +99,13 @@ def _bind(lib):
     lib.gt_ict_pairs_rowmajor_fill.argtypes = [
         ctypes.c_int64, ctypes.c_int64, i64p, i64p, i32p, i32p, i32p,
         ctypes.c_int64]
+    lib.gt_spgemm_count.restype = ctypes.c_int64
+    lib.gt_spgemm_count.argtypes = [ctypes.c_int64, ctypes.c_int64, i64p,
+                                    i64p, i64p, i64p]
+    lib.gt_spgemm_fill.restype = ctypes.c_int64
+    lib.gt_spgemm_fill.argtypes = [ctypes.c_int64, ctypes.c_int64, i64p,
+                                   i64p, f64p, i64p, i64p, f64p, i64p,
+                                   i64p, f64p, ctypes.c_int32]
     lib.gt_coo_canonicalize.restype = ctypes.c_int64
     lib.gt_coo_canonicalize.argtypes = [ctypes.c_int64, i64p, i64p, f64p,
                                         ctypes.c_int32]
@@ -330,6 +337,46 @@ def ict_pairs_rowmajor_native(n, lr, lc, cap):
     if got != count:
         return None
     return p1, p2, po
+
+
+def spgemm_csr_native(n, m, a_ptr, a_cols, a_vals, b_ptr, b_cols, b_vals):
+    """Streaming Gustavson C = A @ B on row-major CSR: O(ncols)
+    workspace, O(nnz_C) output, never an O(flops) pair list (the
+    reference's hash/heap merge equivalents,
+    csr_kernels.template.cpp:1247-1290 / omp csr_kernels.cpp:457-520).
+    Returns (c_ptr, c_cols, c_vals) sorted within rows, or None."""
+    L = lib()
+    if L is None:
+        return None
+    is_cpx = np.iscomplexobj(a_vals) or np.iscomplexobj(b_vals)
+    work = np.complex128 if is_cpx else np.float64
+    a_ptr = np.ascontiguousarray(a_ptr, np.int64)
+    a_cols = np.ascontiguousarray(a_cols, np.int64)
+    b_ptr = np.ascontiguousarray(b_ptr, np.int64)
+    b_cols = np.ascontiguousarray(b_cols, np.int64)
+    a_vals = np.ascontiguousarray(a_vals, work)
+    b_vals = np.ascontiguousarray(b_vals, work)
+
+    def fp(a):
+        return _ptr(a.view(np.float64), ctypes.c_double)
+
+    nnz = L.gt_spgemm_count(n, m, _ptr(a_ptr, ctypes.c_int64),
+                            _ptr(a_cols, ctypes.c_int64),
+                            _ptr(b_ptr, ctypes.c_int64),
+                            _ptr(b_cols, ctypes.c_int64))
+    c_ptr = np.zeros(n + 1, np.int64)
+    c_cols = np.empty(nnz, np.int64)
+    c_vals = np.empty(nnz, work)
+    got = L.gt_spgemm_fill(n, m, _ptr(a_ptr, ctypes.c_int64),
+                           _ptr(a_cols, ctypes.c_int64), fp(a_vals),
+                           _ptr(b_ptr, ctypes.c_int64),
+                           _ptr(b_cols, ctypes.c_int64), fp(b_vals),
+                           _ptr(c_ptr, ctypes.c_int64),
+                           _ptr(c_cols, ctypes.c_int64), fp(c_vals),
+                           int(is_cpx))
+    if got != nnz:
+        return None
+    return c_ptr, c_cols, c_vals
 
 
 def parilut_sweep_native(n, a_ptr, a_cols, a_vals, l_ptr, l_cols, l_vals,

@@ -2012,3 +2012,84 @@ extern "C" int64_t gt_pairs_unique(int64_t n, const int64_t* pair_ptr,
     }
     return nnz_c;
 }
+
+// ---------------------------------------------------------------------------
+// Streaming Gustavson SpGEMM: C = A @ B on row-major CSR, bounded memory.
+// The reference builds per-row hash lookups on device
+// (common/cuda_hip/matrix/csr_kernels.template.cpp:1247-1290) and its OMP
+// tier merges row heaps (omp/matrix/csr_kernels.cpp:457-520); this is the
+// host-tier equivalent: one dense marker/accumulator pair of size ncols(B)
+// reused across rows — O(ncols) workspace, O(nnz_C) output, never an
+// O(flops) pair list.  Two-phase (count then fill) so the caller owns the
+// allocations; columns within each output row are emitted sorted.
+template <typename V>
+static int64_t spgemm_csr_impl(int64_t n, int64_t m, const int64_t* a_ptr,
+                               const int64_t* a_cols, const V* a_vals,
+                               const int64_t* b_ptr, const int64_t* b_cols,
+                               const V* b_vals, int64_t* c_ptr,
+                               int64_t* c_cols, V* c_vals) {
+    std::vector<int64_t> mark(m, -1);
+    std::vector<V> acc;
+    std::vector<int64_t> slot;
+    bool fill = c_cols != nullptr;
+    if (fill) acc.assign(m, V(0));
+    int64_t nnz = 0;
+    if (c_ptr) c_ptr[0] = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        slot.clear();
+        for (int64_t e = a_ptr[i]; e < a_ptr[i + 1]; ++e) {
+            const int64_t k = a_cols[e];
+            const V av = a_vals ? a_vals[e] : V(0);
+            for (int64_t t = b_ptr[k]; t < b_ptr[k + 1]; ++t) {
+                const int64_t j = b_cols[t];
+                if (mark[j] != i) {
+                    mark[j] = i;
+                    slot.push_back(j);
+                    if (fill) acc[j] = V(0);
+                }
+                if (fill) acc[j] += av * b_vals[t];
+            }
+        }
+        if (fill) {
+            std::sort(slot.begin(), slot.end());
+            for (int64_t j : slot) {
+                c_cols[nnz] = j;
+                c_vals[nnz] = acc[j];
+                ++nnz;
+            }
+        } else {
+            nnz += (int64_t)slot.size();
+        }
+        if (c_ptr) c_ptr[i + 1] = nnz;
+    }
+    return nnz;
+}
+
+extern "C" int64_t gt_spgemm_count(int64_t n, int64_t m,
+                                   const int64_t* a_ptr,
+                                   const int64_t* a_cols,
+                                   const int64_t* b_ptr,
+                                   const int64_t* b_cols) {
+    return spgemm_csr_impl<double>(n, m, a_ptr, a_cols, nullptr, b_ptr,
+                                   b_cols, nullptr, nullptr, nullptr,
+                                   nullptr);
+}
+
+extern "C" int64_t gt_spgemm_fill(int64_t n, int64_t m, const int64_t* a_ptr,
+                                  const int64_t* a_cols,
+                                  const double* a_vals,
+                                  const int64_t* b_ptr,
+                                  const int64_t* b_cols,
+                                  const double* b_vals, int64_t* c_ptr,
+                                  int64_t* c_cols, double* c_vals,
+                                  int32_t is_complex) {
+    if (is_complex) {
+        return spgemm_csr_impl<std::complex<double>>(
+            n, m, a_ptr, a_cols,
+            reinterpret_cast<const std::complex<double>*>(a_vals), b_ptr,
+            b_cols, reinterpret_cast<const std::complex<double>*>(b_vals),
+            c_ptr, c_cols, reinterpret_cast<std::complex<double>*>(c_vals));
+    }
+    return spgemm_csr_impl<double>(n, m, a_ptr, a_cols, a_vals, b_ptr,
+                                   b_cols, b_vals, c_ptr, c_cols, c_vals);
+}

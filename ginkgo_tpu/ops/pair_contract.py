@@ -150,10 +150,11 @@ def plan_pair_contract(pl_, pu_, po_, n_out, n_a, n_b, *,
                 pad_rows_a=max(pad_rows_a, -(-int(n_a) // LANES)),
                 pad_rows_b=max(pad_rows_b, -(-int(n_b) // LANES)))
     fill = float(npairs - spill.sum()) / (T * NV * _OW)
+    nv = np.bincount(v_tile[live_v], minlength=T).astype(np.int32)
     return dict(pls=pls.reshape(T, NV, 8, LANES),
                 pus=pus.reshape(T, NV, 8, LANES),
                 pos=pos.reshape(T, NV, 8, LANES),
-                lq=lq, uq=uq,
+                lq=lq, uq=uq, nv=nv,
                 lbase=lbase.astype(np.int32), ubase=ubase.astype(np.int32),
                 tail=(spl[spill].astype(np.int32),
                       spu[spill].astype(np.int32),
@@ -193,7 +194,7 @@ def _gather1024(win8, idx16):
     return g
 
 
-def _pair_kernel(lq_ref, uq_ref, lbase_ref, ubase_ref,
+def _pair_kernel(nv_ref, lq_ref, uq_ref, lbase_ref, ubase_ref,
                  a2d, b2d, pls_ref, pus_ref, pos_ref, out_ref,
                  awin, bwin, plb, pub, pob, yb,
                  asem, bsem, psem, ysem,
@@ -248,8 +249,10 @@ def _pair_kernel(lq_ref, uq_ref, lbase_ref, ubase_ref,
         def _():
             y_dma(t - NB, j).wait()
 
-        acc = jnp.zeros((8, LANES), jnp.float32)
-        for v in range(NV):
+        # rolled vreg loop: Python-unrolling keeps every iteration's
+        # (_OW, 128) one-hot temporary live on the Mosaic stack at once
+        # (measured 12.5M scoped-vmem OOM at NV=23)
+        def vbody(v, acc):
             lqv = lq_ref[t * NV + v]
             uqv = uq_ref[t * NV + v]
             pl16 = plb[j, v].astype(jnp.int32)
@@ -260,11 +263,23 @@ def _pair_kernel(lq_ref, uq_ref, lbase_ref, ubase_ref,
             p = (gl * gu).astype(jnp.float32).reshape(1, _OW)
             hi = jax.lax.shift_right_logical(po16, jnp.int32(7)).reshape(
                 1, _OW)
-            lo = jax.lax.bitwise_and(po16, jnp.int32(127)).reshape(_OW, 1)
+            # (_OW, 1) via transpose — Mosaic lowers (8,128)->(1,1024)
+            # reshapes and 2-D transposes, but not a direct (1024,1) cast
+            lo = jax.lax.bitwise_and(po16, jnp.int32(127)).reshape(
+                1, _OW).T
             ph = jnp.where(hi == hrow, p, jnp.float32(0))     # (8, _OW)
             elo = (lo == lcol).astype(jnp.float32)            # (_OW, 128)
-            acc = acc + jax.lax.dot(ph, elo,
-                                    preferred_element_type=jnp.float32)
+            # HIGHEST: the TPU default truncates f32 dot inputs to
+            # bf16 (measured 2e-3 relerr); the one-hot contraction must
+            # carry full f32 products
+            return acc + jax.lax.dot(
+                ph, elo, precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+
+        # dynamic trip count: tiles carry only their live vreg count
+        # (fill-skewed pair lists would otherwise pay NV_max everywhere)
+        acc = jax.lax.fori_loop(jnp.int32(0), nv_ref[t], vbody,
+                                jnp.zeros((8, LANES), jnp.float32))
         yb[j] = acc.astype(yb.dtype)
         y_dma(t, j).start()
 
@@ -294,7 +309,7 @@ def _build_pair_call(meta_items, dtype_name, interpret, NB=2):
     vmem = NB * ((WLr + WUr) * LANES * dtype.itemsize
                  + 3 * NV * _OW * 2 + 8 * LANES * 4) + (2 << 20)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,        # lq, uq, lbase, ubase
+        num_scalar_prefetch=5,        # nv, lq, uq, lbase, ubase
         grid=(1,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 5,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
@@ -330,6 +345,7 @@ def pair_contract_pallas(a, b, arrs, meta_items, *, interpret=False):
                                    interpret)
     pls, pus, pos = arrs["pls"], arrs["pus"], arrs["pos"]
     lbase, ubase = arrs["lbase"], arrs["ubase"]
+    nv = arrs["nv"]
     if T_pad != T:
         pad = T_pad - T
         z16 = jnp.zeros((pad,) + pls.shape[1:], jnp.int16)
@@ -338,6 +354,7 @@ def pair_contract_pallas(a, b, arrs, meta_items, *, interpret=False):
         pos = jnp.concatenate([pos, jnp.full_like(z16, _OW)])
         lbase = jnp.concatenate([lbase, jnp.zeros(pad, lbase.dtype)])
         ubase = jnp.concatenate([ubase, jnp.zeros(pad, ubase.dtype)])
+        nv = jnp.concatenate([nv, jnp.zeros(pad, nv.dtype)])
         lq = jnp.concatenate(
             [arrs["lq"], jnp.zeros((pad,) + arrs["lq"].shape[1:],
                                    arrs["lq"].dtype)])
@@ -348,7 +365,7 @@ def pair_contract_pallas(a, b, arrs, meta_items, *, interpret=False):
         lq, uq = arrs["lq"], arrs["uq"]
     a2d = _pad2d(a, meta["pad_rows_a"])
     b2d = _pad2d(b, meta["pad_rows_b"])
-    y = call(lq.reshape(-1), uq.reshape(-1), lbase, ubase,
+    y = call(nv, lq.reshape(-1), uq.reshape(-1), lbase, ubase,
              a2d, b2d, pls, pus, pos)
     y = y.reshape(T_pad * _OW)[:meta["n_out"]]
     tl, tu, to = arrs["tail"]

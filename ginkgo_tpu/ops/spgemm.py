@@ -34,16 +34,38 @@ def _from_scipy(m) -> MatrixData:
                       coo.col.astype(np.int64), coo.data)
 
 
+def _csr_arrays(d: MatrixData):
+    rows = d.row_idx.astype(np.int64)
+    ptr = np.searchsorted(rows, np.arange(d.shape[0] + 1)).astype(np.int64)
+    return ptr, d.col_idx.astype(np.int64), d.values
+
+
+def spgemm_flops(a: MatrixData, b: MatrixData) -> int:
+    """Contribution-pair count of A @ B (O(nnz_A) to compute)."""
+    b_ptr, _, _ = _csr_arrays(b.canonical())
+    k = a.canonical().col_idx
+    return int((b_ptr[k + 1] - b_ptr[k]).sum())
+
+
+# one-shot products above this pair count never materialize a pair
+# list: the streaming native merge (O(ncols) workspace) takes over —
+# the footprint answer to the reference's hash-table symbolic
+# (csr_kernels.template.cpp:1247-1290)
+_STREAM_FLOPS = 16_000_000
+
+
 def spgemm_data(a: MatrixData, b: MatrixData,
                 numeric: str = "auto") -> MatrixData:
     """C = A @ B on host COO data (symbolic + numeric).
 
-    ``numeric``: "host" = scipy SMMP end-to-end; "device" = host
-    symbolic (SpgemmReuse pattern capture) + ONE jitted
-    gather-multiply-segment_sum on the accelerator — the
+    ``numeric``: "host" = streaming native Gustavson row-merge
+    (O(ncols) workspace, never an O(flops) pair list; scipy SMMP
+    fallback); "device" = host symbolic (SpgemmReuse pattern capture) +
+    ONE jitted gather-multiply-segment_sum on the accelerator — the
     ``csr_kernels.template.cpp:2472`` spgemm analog; "auto" = device
     when an accelerator (non-CPU backend) is attached and the product
-    is large enough to amortize the transfer, else host."""
+    is large enough to amortize the transfer but small enough that the
+    O(flops) pair capture stays cheap, else host."""
     if a.shape[1] != b.shape[0]:
         raise ValueError(f"spgemm dims: {a.shape} @ {b.shape}")
     if numeric == "auto":
@@ -53,7 +75,25 @@ def spgemm_data(a: MatrixData, b: MatrixData,
                 use_device = jax.default_backend() not in ("cpu",)
             except Exception:       # backend init failure -> host
                 use_device = False
+        if use_device and spgemm_flops(a, b) > _STREAM_FLOPS:
+            use_device = False      # bounded-memory streaming merge
         numeric = "device" if use_device else "host"
+    if numeric == "host":
+        from ..native import spgemm_csr_native
+        ac = a.canonical()
+        bc = b.canonical()
+        a_ptr, a_cols, a_vals = _csr_arrays(ac)
+        b_ptr, b_cols, b_vals = _csr_arrays(bc)
+        nat = spgemm_csr_native(a.shape[0], b.shape[1], a_ptr, a_cols,
+                                a_vals, b_ptr, b_cols, b_vals)
+        if nat is not None:
+            c_ptr, c_cols, c_vals = nat
+            rows = np.repeat(np.arange(a.shape[0], dtype=np.int64),
+                             np.diff(c_ptr))
+            dtype = np.result_type(ac.values.dtype, bc.values.dtype)
+            keep = c_vals != 0
+            return MatrixData((a.shape[0], b.shape[1]), rows[keep],
+                              c_cols[keep], c_vals[keep].astype(dtype))
     if numeric == "device":
         reuse = SpgemmReuse(a, b)
         vals = np.asarray(reuse.numeric(jnp.asarray(a.canonical().values),
