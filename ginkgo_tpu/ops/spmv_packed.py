@@ -417,23 +417,34 @@ def pell_spmv_complex(vals, idx, qw, xbase_row, meta_items, b, *,
     solver loops."""
     cdt = jnp.result_type(b.dtype, vals.dtype)     # complex64
     rdt = jnp.dtype(jnp.float32)
-    k = b.shape[1]
-    xs = jnp.concatenate([jnp.real(b).astype(rdt),
-                          jnp.imag(b).astype(rdt)], axis=1)
     if jnp.issubdtype(vals.dtype, jnp.complexfloating):
-        pr = pell_spmv_pallas(jnp.real(vals).astype(rdt), idx, qw,
-                              xbase_row, meta_items, xs,
-                              interpret=interpret)
-        pi = pell_spmv_pallas(jnp.imag(vals).astype(rdt), idx, qw,
-                              xbase_row, meta_items, xs,
-                              interpret=interpret)
-        yre = pr[:, :k] - pi[:, k:]
-        yim = pr[:, k:] + pi[:, :k]
-    else:                       # real matrix, complex multivector
-        p = pell_spmv_pallas(vals, idx, qw, xbase_row, meta_items, xs,
-                             interpret=interpret)
-        yre, yim = p[:, :k], p[:, k:]
+        planes = (jnp.real(vals).astype(rdt), jnp.imag(vals).astype(rdt))
+    else:
+        planes = (vals, None)
+    yre, yim = pell_spmv_c64_planes(
+        planes[0], planes[1], idx, qw, xbase_row, meta_items,
+        jnp.real(b).astype(rdt), jnp.imag(b).astype(rdt),
+        interpret=interpret)
     return (yre + 1j * yim).astype(cdt)
+
+
+def pell_spmv_c64_planes(vals_re, vals_im, idx, qw, xbase_row, meta_items,
+                         x_re, x_im, *, interpret=False):
+    """Real-plane core of the complex packed SpMV (planes in/out, no
+    complex dtype in the compiled graph) — see
+    ``spmv_pallas.dia_spmv_c64_planes`` for why this is public.
+    ``vals_im=None`` means a real matrix."""
+    k = x_re.shape[1]
+    xs = jnp.concatenate([x_re, x_im], axis=1)
+    if vals_im is not None:
+        pr = pell_spmv_pallas(vals_re, idx, qw, xbase_row, meta_items, xs,
+                              interpret=interpret)
+        pi = pell_spmv_pallas(vals_im, idx, qw, xbase_row, meta_items, xs,
+                              interpret=interpret)
+        return pr[:, :k] - pi[:, k:], pr[:, k:] + pi[:, :k]
+    p = pell_spmv_pallas(vals_re, idx, qw, xbase_row, meta_items, xs,
+                         interpret=interpret)
+    return p[:, :k], p[:, k:]
 
 
 @register("pell_spmv", "tpu")

@@ -262,20 +262,34 @@ def dia_spmv_complex(offsets, dvb, meta, b, *, interpret=False):
     """
     cdt = jnp.result_type(b.dtype, dvb.dtype)      # complex64
     rdt = jnp.dtype(jnp.float32)
-    k = b.shape[1]
-    xs = jnp.concatenate([jnp.real(b).astype(rdt),
-                          jnp.imag(b).astype(rdt)], axis=1)
     if jnp.issubdtype(dvb.dtype, jnp.complexfloating):
-        pr = _dia_chunked(offsets, jnp.real(dvb).astype(rdt), meta, xs,
-                          interpret=interpret)
-        pi = _dia_chunked(offsets, jnp.imag(dvb).astype(rdt), meta, xs,
-                          interpret=interpret)
-        yre = pr[:, :k] - pi[:, k:]
-        yim = pr[:, k:] + pi[:, :k]
-    else:                       # real matrix, complex multivector
-        p = _dia_chunked(offsets, dvb, meta, xs, interpret=interpret)
-        yre, yim = p[:, :k], p[:, k:]
+        planes = (jnp.real(dvb).astype(rdt), jnp.imag(dvb).astype(rdt))
+    else:
+        planes = (dvb, None)
+    yre, yim = dia_spmv_c64_planes(
+        offsets, planes[0], planes[1], meta,
+        jnp.real(b).astype(rdt), jnp.imag(b).astype(rdt),
+        interpret=interpret)
     return (yre + 1j * yim).astype(cdt)
+
+
+def dia_spmv_c64_planes(offsets, dvb_re, dvb_im, meta, x_re, x_im, *,
+                        interpret=False):
+    """The real-plane core of the complex banded SpMV: planes in, planes
+    out, no complex dtype anywhere in the compiled graph.  This is the
+    production path ``dia_spmv_complex`` compiles to; it is public so
+    backends whose runtime cannot compile complex executables (the axon
+    tunnel used for single-chip benchmarking here) can still run the c64
+    kernel math, and so plane-resident solvers avoid the split/assemble
+    round-trip.  ``dvb_im=None`` means a real matrix."""
+    k = x_re.shape[1]
+    xs = jnp.concatenate([x_re, x_im], axis=1)
+    if dvb_im is not None:
+        pr = _dia_chunked(offsets, dvb_re, meta, xs, interpret=interpret)
+        pi = _dia_chunked(offsets, dvb_im, meta, xs, interpret=interpret)
+        return pr[:, :k] - pi[:, k:], pr[:, k:] + pi[:, :k]
+    p = _dia_chunked(offsets, dvb_re, meta, xs, interpret=interpret)
+    return p[:, :k], p[:, k:]
 
 
 def _c64_capable(b_dtype, v_dtype) -> bool:

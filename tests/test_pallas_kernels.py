@@ -184,3 +184,33 @@ def test_dia_tpu_router_promotes_real_b_on_complex_matrix():
     assert calls and all(d == jnp.float32 for d in calls)   # plane passes
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_dia_c64_planes_public_api():
+    """dia_spmv_c64_planes: planes in/out with NO complex dtype in the
+    graph — the chip path on runtimes that cannot compile complex
+    executables (axon tunnel), and the core dia_spmv_complex wraps."""
+    from ginkgo_tpu.ops.spmv_pallas import (dia_spmv_c64_planes,
+                                            dia_spmv_complex)
+
+    n, offsets = 1500, (-129, -1, 0, 1, 129)
+    diag_c, meta, dvb_c = _banded_setup_complex(n, offsets)
+    rng = np.random.default_rng(30)
+    x = (rng.standard_normal((n, 2))
+         + 1j * rng.standard_normal((n, 2))).astype(np.complex64)
+    ref = dia_spmv_complex(tuple(offsets), dvb_c, meta, jnp.asarray(x),
+                           interpret=True)
+    yr, yi = dia_spmv_c64_planes(
+        tuple(offsets), jnp.real(dvb_c), jnp.imag(dvb_c), meta,
+        jnp.asarray(x.real), jnp.asarray(x.imag), interpret=True)
+    assert yr.dtype == jnp.float32 and yi.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(yr) + 1j * np.asarray(yi),
+                               np.asarray(ref), rtol=2e-5, atol=2e-5)
+    # real matrix: dvb_im=None takes the single-pass branch
+    yr2, yi2 = dia_spmv_c64_planes(
+        tuple(offsets), jnp.real(dvb_c), None, meta,
+        jnp.asarray(x.real), jnp.asarray(x.imag), interpret=True)
+    ref2 = dia_spmv_complex(tuple(offsets), jnp.real(dvb_c), meta,
+                            jnp.asarray(x), interpret=True)
+    np.testing.assert_allclose(np.asarray(yr2) + 1j * np.asarray(yi2),
+                               np.asarray(ref2), rtol=2e-5, atol=2e-5)

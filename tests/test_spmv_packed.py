@@ -144,3 +144,29 @@ def test_packed_complex_planes_match_reference():
     assert got.dtype == jnp.complex64
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_pell_c64_planes_public_api():
+    """pell_spmv_c64_planes: planes in/out with no complex dtype in the
+    compiled graph (the chip path on runtimes that cannot compile complex
+    executables); agrees with the complex wrapper."""
+    rng = np.random.default_rng(33)
+    d = _fem_like(1500, seed=33).canonical()
+    vals_c = (d.values + 1j * rng.standard_normal(d.values.size)
+              ).astype(np.complex64)
+    layout, tail, stats = P.plan_packed_layout(d, vals_c)
+    assert layout is not None
+    idx, qw, xb = (jnp.asarray(layout[k]) for k in ("idx", "qw",
+                                                    "xbase_row"))
+    x = (rng.standard_normal((1500, 2))
+         + 1j * rng.standard_normal((1500, 2))).astype(np.complex64)
+    ref = P.pell_spmv_complex(jnp.asarray(layout["vals"]), idx, qw, xb,
+                              layout["meta"], jnp.asarray(x),
+                              interpret=True)
+    yr, yi = P.pell_spmv_c64_planes(
+        jnp.asarray(layout["vals"].real), jnp.asarray(layout["vals"].imag),
+        idx, qw, xb, layout["meta"],
+        jnp.asarray(x.real), jnp.asarray(x.imag), interpret=True)
+    assert yr.dtype == jnp.float32 and yi.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(yr) + 1j * np.asarray(yi),
+                               np.asarray(ref), rtol=2e-5, atol=2e-5)
