@@ -64,7 +64,27 @@ def run_case(case, preconds, args):
             t_gen = time_blocking(lambda: make().generate(A),
                                   warmup=args.warmup,
                                   reps=max(args.repetitions // 2, 1))
-            M = make().generate(A)
+            # stage split (device compute vs host<->device transfer vs
+            # host symbolics): the single-chip tunnel here moves arrays
+            # at ~10-16 MB/s, an environment artifact that would
+            # otherwise drown the device algorithm time — analog of the
+            # reference's per-stage components objects
+            # (benchmark/solver/solver_common.hpp:481-484)
+            from ..utils import stagetimer
+            with stagetimer.collect() as st:
+                t0 = time.perf_counter()
+                M = make().generate(A)
+                t_split = time.perf_counter() - t0
+            gen_entry = {"time": t_gen}
+            if st.stages:
+                dev = st.stages.get("device", 0.0)
+                tra = st.stages.get("transfer", 0.0)
+                gen_entry.update(
+                    device_time=dev, transfer_time=tra,
+                    host_time=max(t_split - dev - tra, 0.0),
+                    note="transfer_time is environment transport (this "
+                         "harness: single-chip tunnel at ~10-16 MB/s); "
+                         "device_time is the algorithm cost")
             nrm = float(jnp.abs(M._apply(b)).max())
             scale = 1.0 / max(nrm, 1.0)
 
@@ -76,7 +96,7 @@ def run_case(case, preconds, args):
                 return f
 
             t_apply = time_chained(mk, (M, b), k1, k2)
-            entry.update(generate={"time": t_gen},
+            entry.update(generate=gen_entry,
                          apply={"time": t_apply}, completed=True)
         except Exception as e:                      # noqa: BLE001
             entry["error"] = str(e)[:200]

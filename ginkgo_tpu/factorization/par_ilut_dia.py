@@ -354,10 +354,11 @@ def generate_dia(d, iterations, fill_in_limit, sweeps, *, cap=384):
     cdtype = dtypes.canonicalize_dtype(d.values.dtype)
     off = d.col_idx.astype(np.int64) - d.row_idx
     p = np.searchsorted(universe, off).astype(np.int32)
-    AV = _dia_slab_device(jnp.asarray(d.values.astype(cdtype)),
-                          jnp.asarray(p),
-                          jnp.asarray(d.row_idx.astype(np.int32)),
-                          ND, n)
+    from ..utils import stagetimer
+    with stagetimer.stage("transfer"):
+        AV = stagetimer.sync(_dia_slab_device(
+            jnp.asarray(d.values.astype(cdtype)), jnp.asarray(p),
+            jnp.asarray(d.row_idx.astype(np.int32)), ND, n))
 
     # static budgets from A's split pattern (diag always present in U)
     low = d.row_idx > d.col_idx
@@ -378,14 +379,19 @@ def generate_dia(d, iterations, fill_in_limit, sweeps, *, cap=384):
     oh[a, tpos_c[a, u], u] = 1.0
     pad = int(max(np.abs(universe).max(), 1))
 
-    V, M = _run_dia(AV, ols, jnp.asarray(_group_oh(oh)), n_low, pad,
-                    int(iterations), int(sweeps), keep_l, keep_u)
-    # device stream-compaction (static kmax bound), then one small pull
-    kmax = keep_l + keep_u + n
-    vals, slots, count = _compact_device(V, M, kmax)
-    nk = int(count)
-    v = np.asarray(vals)[:nk]
-    flat = np.asarray(slots)[:nk]
+    with stagetimer.stage("transfer"):
+        ohd = stagetimer.sync(jnp.asarray(_group_oh(oh)))
+    with stagetimer.stage("device"):
+        V, M = _run_dia(AV, ols, ohd, n_low, pad,
+                        int(iterations), int(sweeps), keep_l, keep_u)
+        # device stream-compaction (static kmax bound), one small pull
+        kmax = keep_l + keep_u + n
+        vals, slots, count = stagetimer.sync(
+            _compact_device(V, M, kmax))
+    with stagetimer.stage("transfer"):
+        nk = int(count)
+        v = np.asarray(vals)[:nk]
+        flat = np.asarray(slots)[:nk]
     p, r = np.divmod(flat.astype(np.int64), n)
     off = universe[p]
     c = r + off
@@ -562,9 +568,11 @@ def generate_dia_ict(d, iterations, fill_in_limit, sweeps=1, *, cap=256):
     ND = universe.size
     offl = (d.col_idx[lowm].astype(np.int64) - d.row_idx[lowm])
     pl = np.searchsorted(universe, offl).astype(np.int32)
-    AV = _dia_slab_device(
-        jnp.asarray(d.values[lowm].astype(cdtype)), jnp.asarray(pl),
-        jnp.asarray(d.row_idx[lowm].astype(np.int32)), ND, n)
+    from ..utils import stagetimer
+    with stagetimer.stage("transfer"):
+        AV = stagetimer.sync(_dia_slab_device(
+            jnp.asarray(d.values[lowm].astype(cdtype)), jnp.asarray(pl),
+            jnp.asarray(d.row_idx[lowm].astype(np.int32)), ND, n))
     ols = jnp.asarray(universe)
     targets = universe[:, None] - universe[None, :]
     tpos = np.searchsorted(universe, targets)
@@ -579,12 +587,17 @@ def generate_dia_ict(d, iterations, fill_in_limit, sweeps=1, *, cap=256):
         ((d.row_idx == d.col_idx) & lowm).sum())
     keep_n = int(np.ceil(fill_in_limit * max(nnz_low, 1)))
 
-    V, M = _run_dia_ict(AV, ols, jnp.asarray(oh), pad,
-                        int(iterations), int(sweeps), keep_n)
-    vals, slots, count = _compact_device(V, M, keep_n + n)
-    nk = int(count)
-    v = np.asarray(vals)[:nk]
-    flat = np.asarray(slots)[:nk]
+    with stagetimer.stage("transfer"):
+        ohd = stagetimer.sync(jnp.asarray(oh))
+    with stagetimer.stage("device"):
+        V, M = _run_dia_ict(AV, ols, ohd, pad,
+                            int(iterations), int(sweeps), keep_n)
+        vals, slots, count = stagetimer.sync(
+            _compact_device(V, M, keep_n + n))
+    with stagetimer.stage("transfer"):
+        nk = int(count)
+        v = np.asarray(vals)[:nk]
+        flat = np.asarray(slots)[:nk]
     p, r = np.divmod(flat.astype(np.int64), n)
     c = r + universe[p]
     return r, c, v

@@ -312,24 +312,36 @@ def generate_packed(d, iterations, fill_in_limit, sweeps, *, level=3,
     nnz_u0 = int(Amu.sum()) + n - int(Amu[plan["diag_slots"]].sum())
     keep_u = int(np.ceil(fill_in_limit * max(nnz_u0, 1)))
 
-    prod_arrs, prod_meta = _ship_contract(plan["prod"])
-    den_arrs, den_meta = _ship_contract(plan["den"])
-    arrs = dict(prod=prod_arrs, den=den_arrs,
-                diag_slots=jnp.asarray(plan["diag_slots"]))
+    from ..utils import stagetimer
+    with stagetimer.stage("transfer"):
+        prod_arrs, prod_meta = _ship_contract(plan["prod"])
+        den_arrs, den_meta = _ship_contract(plan["den"])
+        arrs = dict(prod=prod_arrs, den=den_arrs,
+                    diag_slots=jnp.asarray(plan["diag_slots"]))
+        Ald = jnp.asarray(Al)
+        Aud = jnp.asarray(Au)
+        Amld = jnp.asarray(Aml)
+        Amud = stagetimer.sync(jnp.asarray(Amu))
+        stagetimer.sync(arrs)
     meta = (nl, nu, prod_meta, den_meta)
-    Vl, Vu, Ml, Mu = _run_packed(
-        arrs, jnp.asarray(Al), jnp.asarray(Au), jnp.asarray(Aml),
-        jnp.asarray(Amu), meta, int(iterations), int(sweeps),
-        keep_l, keep_u)
     kml = max(keep_l, int(Aml.sum()))
     kmu = max(keep_u + n, nnz_u0)
-    lv_d, lslot, lcount = _compact_device(Vl, Ml, kml)
-    uv_d, uslot, ucount = _compact_device(Vu, Mu, kmu)
-    nkl, nku = int(lcount), int(ucount)
-    lsl = np.asarray(lslot)[:nkl]
-    usl = np.asarray(uslot)[:nku]
-    return (plan["lr"][lsl], plan["lc"][lsl], np.asarray(lv_d)[:nkl],
-            plan["ur"][usl], plan["uc"][usl], np.asarray(uv_d)[:nku])
+    with stagetimer.stage("device"):
+        Vl, Vu, Ml, Mu = _run_packed(
+            arrs, Ald, Aud, Amld, Amud, meta, int(iterations),
+            int(sweeps), keep_l, keep_u)
+        lv_d, lslot, lcount = _compact_device(Vl, Ml, kml)
+        uv_d, uslot, ucount = stagetimer.sync(
+            _compact_device(Vu, Mu, kmu))
+        stagetimer.sync((lv_d, lslot, lcount))
+    with stagetimer.stage("transfer"):
+        nkl, nku = int(lcount), int(ucount)
+        lsl = np.asarray(lslot)[:nkl]
+        usl = np.asarray(uslot)[:nku]
+        lv = np.asarray(lv_d)[:nkl]
+        uv = np.asarray(uv_d)[:nku]
+    return (plan["lr"][lsl], plan["lc"][lsl], lv,
+            plan["ur"][usl], plan["uc"][usl], uv)
 
 
 # ---------------------------------------------------------------------------
@@ -410,15 +422,24 @@ def generate_packed_ict(d, iterations, fill_in_limit, sweeps=2, *,
     nnz0 = int(Aml.sum()) + n - int(Aml[plan["diag_slots"]].sum())
     keep_n = int(np.ceil(fill_in_limit * max(nnz0, 1)))
 
-    prod_arrs, prod_meta = _ship_contract(plan["prod"])
-    den_arrs, den_meta = _ship_contract(plan["den"])
-    arrs = dict(prod=prod_arrs, den=den_arrs,
-                diag_slots=jnp.asarray(plan["diag_slots"]))
+    from ..utils import stagetimer
+    with stagetimer.stage("transfer"):
+        prod_arrs, prod_meta = _ship_contract(plan["prod"])
+        den_arrs, den_meta = _ship_contract(plan["den"])
+        arrs = dict(prod=prod_arrs, den=den_arrs,
+                    diag_slots=jnp.asarray(plan["diag_slots"]))
+        Ald = jnp.asarray(Al)
+        Amld = stagetimer.sync(jnp.asarray(Aml))
+        stagetimer.sync(arrs)
     meta = (nl, prod_meta, den_meta)
-    Vl, Ml = _run_packed_ict(arrs, jnp.asarray(Al), jnp.asarray(Aml),
-                             meta, int(iterations), int(sweeps), keep_n)
     kml = max(keep_n + n, nnz0)
-    lv_d, lslot, lcount = _compact_device(Vl, Ml, kml)
-    nkl = int(lcount)
-    lsl = np.asarray(lslot)[:nkl]
-    return plan["lr"][lsl], plan["lc"][lsl], np.asarray(lv_d)[:nkl]
+    with stagetimer.stage("device"):
+        Vl, Ml = _run_packed_ict(arrs, Ald, Amld, meta,
+                                 int(iterations), int(sweeps), keep_n)
+        lv_d, lslot, lcount = stagetimer.sync(
+            _compact_device(Vl, Ml, kml))
+    with stagetimer.stage("transfer"):
+        nkl = int(lcount)
+        lsl = np.asarray(lslot)[:nkl]
+        lv = np.asarray(lv_d)[:nkl]
+    return plan["lr"][lsl], plan["lc"][lsl], lv

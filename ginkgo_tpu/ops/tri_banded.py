@@ -47,7 +47,7 @@ def _pick_block(n: int, bw: int) -> int:
 
 
 def plan_block_trisolve(data, lower: bool, unit_diagonal: bool,
-                        S: int | None = None,
+                        S: int | None = None, unroll: int | None = None,
                         max_bytes: int = _MAX_INV_BYTES):
     """Build the block plan from triangular MatrixData, or None when the
     factor is not banded-triangular (too many offsets / wrong side /
@@ -101,9 +101,14 @@ def plan_block_trisolve(data, lower: bool, unit_diagonal: bool,
     diag_plane[:n][diag_plane[:n] == 0] = 1
     diag_plane[n:] = 1          # padding rows: identity
 
-    # dense within-block lower triangles -> batched inverse (one-time)
+    # dense within-block lower triangles -> batched inverse (one-time).
+    # Build directly at wide precision and invert via LAPACK ?trtri
+    # (triangular inverse: ~3x fewer flops than the LU route of
+    # np.linalg.inv, and no 500 MB astype round-trips).
+    wide = (np.complex128 if np.issubdtype(v.dtype, np.complexfloating)
+            else np.float64)
     t = np.arange(S)
-    Lb = np.zeros((nb, S, S), v.dtype)
+    Lb = np.zeros((nb, S, S), wide)
     dvb = dv.reshape(D, nb, S)
     for di, off in enumerate(offsets):
         off = int(off)
@@ -111,17 +116,26 @@ def plan_block_trisolve(data, lower: bool, unit_diagonal: bool,
             continue            # always cross-block
         rows = t[t >= -off]
         Lb[:, rows, rows + off] = dvb[di][:, rows]
-    # invert in wide precision, store at the factor's dtype
-    wide = (np.complex128 if np.issubdtype(v.dtype, np.complexfloating)
-            else np.float64)
-    inv = np.linalg.inv(Lb.astype(wide)).astype(v.dtype)
+    from scipy.linalg import get_lapack_funcs
+    (trtri,) = get_lapack_funcs(("trtri",), (Lb[0],))
+    inv = np.empty((nb, S, S), v.dtype)
+    for i in range(nb):
+        blk, info = trtri(Lb[i], lower=1)
+        if info != 0:           # singular block: fall back to LU inverse
+            blk = np.linalg.inv(Lb[i])
+        inv[i] = blk.astype(v.dtype)
 
     # cross-block value planes (diag plane excluded — never cross)
     keep = [di for di, off in enumerate(offsets) if int(off) != 0]
     ov = np.ascontiguousarray(dvb[keep].transpose(1, 0, 2))  # (nb, Dc, S)
     cross_offsets = tuple(int(offsets[di]) for di in keep)
+    if unroll is None:
+        # v5e sweep at n=262k (27-pt IC(0) factor): S=256/U=8 is the
+        # plateau minimum (0.97 ms; U=4 1.09, U=16 2.3, S=64 3.2 —
+        # per-sub-block issue cost ~0.6 us dominates below S=128)
+        unroll = 8 if nb >= 128 else (4 if nb >= 16 else 1)
     meta = dict(n=n, S=S, P=P, nb=nb, offsets=cross_offsets,
-                flip=not lower)
+                flip=not lower, unroll=int(unroll))
     return dict(inv=inv, ov=ov), meta
 
 
@@ -134,12 +148,22 @@ def block_trisolve_apply(inv, ov, meta_items, b):
     k = b.shape[1]
     if meta["flip"]:
         b = b[::-1]
-    bp = jnp.pad(b, ((0, nb * S - n), (0, 0))).reshape(nb, S, k)
+    # unroll U blocks per scan step: each step on chip costs ~1 us of
+    # while-iteration overhead regardless of work (measured v5e), so at
+    # nb=1024 the un-unrolled scan is overhead-bound (0.9 of 1.25 ms)
+    U = int(meta.get("unroll", 1)) or 1
+    nbp = -(-nb // U) * U
+    if nbp != nb:               # pad with identity blocks (solve to zero)
+        eye = jnp.broadcast_to(jnp.eye(S, dtype=inv.dtype),
+                               (nbp - nb, S, S))
+        inv = jnp.concatenate([inv, eye])
+        ov = jnp.concatenate(
+            [ov, jnp.zeros((nbp - nb,) + ov.shape[1:], ov.dtype)])
+    bp = jnp.pad(b, ((0, nbp * S - n), (0, 0))).reshape(nbp, S, k)
     mask = {off: (jnp.arange(S) < -off)[:, None] for off in offsets}
     PS = P * S
 
-    def step(carry, xs):
-        inv_i, ov_i, b_i = xs
+    def sub_block(carry, inv_i, ov_i, b_i):
         ext = jnp.concatenate([carry, jnp.zeros((S, k), carry.dtype)])
         contrib = jnp.zeros((S, k), b_i.dtype)
         for di, off in enumerate(offsets):
@@ -153,7 +177,18 @@ def block_trisolve_apply(inv, ov, meta_items, b):
                      jnp.concatenate([carry[S:], x_i]))
         return new_carry, x_i
 
+    def step(carry, xs):
+        inv_u, ov_u, b_u = xs
+        outs = []
+        for u in range(U):
+            carry, x_u = sub_block(carry, inv_u[u], ov_u[u], b_u[u])
+            outs.append(x_u)
+        return carry, jnp.stack(outs)
+
     carry0 = jnp.zeros((PS, k), b.dtype)
-    _, xs = jax.lax.scan(step, carry0, (inv, ov, bp))
-    x = xs.reshape(nb * S, k)[:n]
+    _, xs = jax.lax.scan(step, carry0,
+                         (inv.reshape(nbp // U, U, S, S),
+                          ov.reshape((nbp // U, U) + ov.shape[1:]),
+                          bp.reshape(nbp // U, U, S, k)))
+    x = xs.reshape(nbp * S, k)[:n]
     return x[::-1] if meta["flip"] else x

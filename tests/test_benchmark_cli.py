@@ -110,3 +110,69 @@ def test_matrix_generator(tmp_path, capsys):
     assert dense.shape == (12, 12)
     # off-block entries identically zero
     assert np.all(dense[:4, 4:] == 0) and np.all(dense[4:8, 8:] == 0)
+
+
+def test_distributed_weak_scaling_efficiency_plumbing():
+    """The distributed benchmark emits BASELINE.md's nnz/s weak-scaling
+    efficiency metric, validated at P=16/64 on a CPU virtual-device mesh
+    (multi-chip hardware is unavailable; the metric plumbing must be one
+    command away — VERDICT r3 task 9)."""
+    import os
+    import subprocess
+    import sys
+
+    code = r"""
+import json, sys
+import jax
+jax.config.update('jax_platforms', 'cpu')
+from ginkgo_tpu.benchmark import distributed
+res = distributed.main(['-base_edge', '6', '-devices', '1,16,64',
+                        '-repetitions', '2'])
+print('RESULT=' + json.dumps(res))
+"""
+    env = dict(os.environ,
+               XLA_FLAGS="--xla_force_host_platform_device_count=64",
+               JAX_PLATFORMS="cpu")
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=900,
+                         cwd=os.path.dirname(os.path.dirname(
+                             os.path.abspath(__file__))))
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = [ln for ln in out.stdout.splitlines()
+            if ln.startswith("RESULT=")][-1]
+    res = json.loads(line[len("RESULT="):])
+    by_p = {e["devices"]: e for e in res}
+    assert not any("skipped" in e for e in res), res
+    for P in (16, 64):
+        e = by_p[P]
+        assert e["rows"] == 6 * 6 * 6 * P          # weak scaling: rows ~ P
+        assert e["nnz_per_s"] > 0
+        # efficiency is nnz_per_s / (P * single-device nnz_per_s): a real
+        # number in (0, ~1.5] even on oversubscribed virtual devices
+        assert 0 < e["weak_scaling_efficiency"] <= 2.0, e
+
+
+def test_generate_stage_split():
+    """Device-resident generate paths itemize device vs transfer time
+    through utils.stagetimer (VERDICT r3 task 7: a wall-clock `generate`
+    conflates the ~0.5 s device algorithm with this harness's tunnel
+    transfer); outside a collector the brackets are free."""
+    import numpy as np
+
+    from ginkgo_tpu import Csr
+    from ginkgo_tpu.factorization.par_ilut import ParIlut
+    from ginkgo_tpu.utils import stagetimer
+    from ginkgo_tpu.utils.generators import stencil_3d
+
+    A = Csr.from_data(stencil_3d(12, points=27), dtype=np.float32)
+    with stagetimer.collect() as st:
+        f = ParIlut(iterations=2, algorithm="dia").generate(A)
+    assert st.stages.get("device", 0) > 0
+    assert st.stages.get("transfer", 0) > 0
+    assert f.l_factor.nnz > 0
+    # not collecting: no collector mutated, sync is identity
+    assert not stagetimer.active()
+    x = object()
+    assert stagetimer.sync(x) is x
+    with stagetimer.stage("device"):
+        pass                                   # no-op bracket

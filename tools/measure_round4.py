@@ -194,15 +194,18 @@ def trisolve():
              dict(algorithm="jacobi", sweeps=6))):
         M = Ic(l_solver=LowerTrs.build(**lkw),
                u_solver=UpperTrs.build(**ukw)).generate(A)
-        f = jax.jit(lambda A, b, M=M: Cg.solve(
+        # M must be a jit OPERAND: as a closure constant its (nb, S, S)
+        # inverse blocks are inlined into the HLO literal and the tunnel's
+        # compile request overflows (HTTP 413)
+        f = jax.jit(lambda A, b, M: Cg.solve(
             A, b, preconditioner=M,
             criteria=Iteration(2000)
             | ResidualNorm(1e-6, baseline="rhs_norm")).x.sum())
-        float(f(A, b))
+        float(f(A, b, M))
         best = 1e9
         for _ in range(3):
             t0 = time.perf_counter()
-            float(f(A, b))
+            float(f(A, b, M))
             best = min(best, time.perf_counter() - t0)
         res = Cg.solve(A, b, preconditioner=M,
                        criteria=Iteration(2000)
