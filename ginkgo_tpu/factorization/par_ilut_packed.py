@@ -58,11 +58,17 @@ from .par_ilut_dia import _compact_device, _topk_mask
 # host symbolics
 # ---------------------------------------------------------------------------
 
-def _closure(d, level, max_slots, lower_only=False):
+def _closure(d, level, max_slots, lower_only=False, enough=None):
     """Row-major (rows, cols) of the bounded ILU(level) fill universe
     (diagonal always included), or None when even level 1 exceeds
     ``max_slots``.  ``lower_only`` returns tril(universe) of the
-    symmetric closure (pattern ∪ tril(L Lᵀ)) for ParICT."""
+    symmetric closure (pattern ∪ tril(L Lᵀ)) for ParICT.  ``enough``
+    stops the level expansion early once the universe holds that many
+    slots — the select step keeps only ``fill_in_limit * nnz`` entries,
+    so a universe a few times that size already gives the pattern room
+    to evolve, and deeper levels only inflate the pair lists (host
+    planning cost grows with them; a level-3 universe at n=262k is
+    ~100M slots against a ~6M keep budget)."""
     import scipy.sparse as sp
     n = d.shape[0]
     P = sp.csr_matrix(
@@ -74,6 +80,8 @@ def _closure(d, level, max_slots, lower_only=False):
     if lower_only:
         P = sp.tril(P, 0, format="csr")
     for lvl in range(level):
+        if enough is not None and P.nnz >= enough:
+            break
         if lower_only:
             F = sp.tril(P @ P.T, 0, format="csr")
         else:
@@ -116,7 +124,7 @@ def _want_kernel():
 
 
 def plan_packed_ilut(d, *, level=2, max_slots=40_000_000,
-                     max_pairs=600_000_000):
+                     max_pairs=600_000_000, fill_in_limit=None):
     """Host-side symbolic plan for the packed device ParILUT, or None
     when the matrix/closure doesn't fit the budgets.  ``d`` must be
     canonical MatrixData."""
@@ -124,7 +132,9 @@ def plan_packed_ilut(d, *, level=2, max_slots=40_000_000,
     if n != m or d.nnz == 0 or n < 2:
         return None
     from ..native import ilut_pairs_rowmajor_native
-    univ = _closure(d, level, max_slots)
+    enough = (None if fill_in_limit is None
+              else int(2 * fill_in_limit * d.nnz) + d.shape[0])
+    univ = _closure(d, level, max_slots, enough=enough)
     if univ is None:
         return None
     rows, cols = univ
@@ -161,13 +171,15 @@ def plan_packed_ilut(d, *, level=2, max_slots=40_000_000,
 
 
 def plan_packed_ict(d, *, level=2, max_slots=40_000_000,
-                    max_pairs=600_000_000):
+                    max_pairs=600_000_000, fill_in_limit=None):
     """Host-side plan for the packed device ParICT (lower universe)."""
     n, m = d.shape
     if n != m or d.nnz == 0 or n < 2:
         return None
     from ..native import ict_pairs_rowmajor_native
-    univ = _closure(d, level, max_slots, lower_only=True)
+    enough = (None if fill_in_limit is None
+              else int(2 * fill_in_limit * d.nnz) + d.shape[0])
+    univ = _closure(d, level, max_slots, lower_only=True, enough=enough)
     if univ is None:
         return None
     lr, lc = univ
@@ -294,7 +306,8 @@ def generate_packed(d, iterations, fill_in_limit, sweeps, *, level=3,
     (lr, lc, lv, ur, uc, uv) split arrays (L strictly lower) or None
     when the pattern/budgets reject."""
     if plan is None:
-        plan = plan_packed_ilut(d, level=level)
+        plan = plan_packed_ilut(d, level=level,
+                                fill_in_limit=fill_in_limit)
     if plan is None:
         return None
     import jax.numpy as jnp
@@ -408,7 +421,8 @@ def generate_packed_ict(d, iterations, fill_in_limit, sweeps=2, *,
     """Run the device-resident packed ParICT; returns (lr, lc, lv) of
     the lower factor (diagonal included) or None."""
     if plan is None:
-        plan = plan_packed_ict(d, level=level)
+        plan = plan_packed_ict(d, level=level,
+                               fill_in_limit=fill_in_limit)
     if plan is None:
         return None
     import jax.numpy as jnp

@@ -61,54 +61,93 @@ def plan_pair_contract(pl_, pu_, po_, n_out, n_a, n_b, *,
     npairs = len(po_)
     if npairs == 0 or n_out == 0:
         return None
-    pl_ = np.asarray(pl_, np.int64)
-    pu_ = np.asarray(pu_, np.int64)
-    po_ = np.asarray(po_, np.int64)
     if max(n_out, n_a, n_b) >= (1 << 31):
         return None
+    pl_ = np.asarray(pl_)
+    pu_ = np.asarray(pu_)
+    po_ = np.asarray(po_)
     T = -(-n_out // _OW)
-    tile = po_ >> 10
     # group pairs by (tile, absolute 1024-block of pu, absolute
     # 1024-block of pl): both gather windows are then exact by
     # construction (idx = value & 1023), and po needs no order at all
-    # (the one-hot matmul scatter is order-free) — so zero window
-    # spills; only the per-tile vreg budget can spill.
-    ublock = pu_ >> 10
-    lblock = pl_ >> 10
-    order = np.argsort((tile << 42) | (ublock << 21) | lblock,
-                       kind="stable")
-    spl, spu, spo = pl_[order], pu_[order], po_[order]
-    stile = tile[order]
-    sub_ = ublock[order]
-    slb = lblock[order]
+    # (the one-hot matmul scatter is order-free) — so window spills are
+    # limited to vregs evicted from oversized tile windows (below) plus
+    # the per-tile vreg budget.  int32 copies + early frees keep the
+    # planner's footprint ~6 arrays x npairs (pair lists reach 1e8-1e9
+    # for level-2/3 universes at n=262k).
+    # lexsort = stable timsort per int32 key: the native pair emitters
+    # produce (po, pu)-sorted lists, so the tile/ublock passes are
+    # near-linear and no 64-bit composite key is materialized
+    order = np.lexsort((np.asarray(pl_, np.int32) >> 10,
+                        np.asarray(pu_, np.int32) >> 10,
+                        np.asarray(po_, np.int32) >> 10))
+    spl = np.asarray(pl_, np.int32)[order]
+    spu = np.asarray(pu_, np.int32)[order]
+    spo = np.asarray(po_, np.int32)[order]
+    del order
+    stile = spo >> 10
+    sub_ = spu >> 10
+    slb = spl >> 10
     key_change = np.ones(npairs, bool)
     key_change[1:] = ((stile[1:] != stile[:-1])
                       | (sub_[1:] != sub_[:-1]) | (slb[1:] != slb[:-1]))
-    gstart = np.flatnonzero(key_change)
-    rank_in_g = np.arange(npairs) - np.repeat(
-        gstart, np.diff(np.append(gstart, npairs)))
+    # group-relative ranks via running maxima of start positions (one
+    # pass each; np.repeat over 1e8-element expansions is several times
+    # slower on this class of host)
+    idx = np.arange(npairs, dtype=np.int64)
+    rank_in_g = idx - np.maximum.accumulate(np.where(key_change, idx, 0))
     v_change = key_change | ((rank_in_g & 1023) == 0)
+    del rank_in_g, key_change
     vid = np.cumsum(v_change) - 1
     vstart = np.flatnonzero(v_change)
     nv_total = len(vstart)
-    slot = np.arange(npairs) - np.repeat(
-        vstart, np.diff(np.append(vstart, npairs)))
+    slot = idx - np.maximum.accumulate(np.where(v_change, idx, 0))
+    del v_change, idx
     v_tile = stile[vstart]
     v_ublock = sub_[vstart]
     v_lblock = slb[vstart]
-    # per-tile vreg index + budget
+    # tile segmentation of vregs (vstart order is tile-sorted)
     vt_change = np.ones(nv_total, bool)
     vt_change[1:] = v_tile[1:] != v_tile[:-1]
     vt_start = np.flatnonzero(vt_change)
-    v_in_tile = np.arange(nv_total) - np.repeat(
-        vt_start, np.diff(np.append(vt_start, nv_total)))
-    NV = int(min(v_in_tile.max() + 1, nv_cap))
-    spill = v_in_tile[vid] >= NV
+    vt_cnt = np.diff(np.append(vt_start, nv_total))
+    tid = np.cumsum(vt_change) - 1          # vreg -> dense tile index
+
+    # window outliers -> tail: each tile's union gather window must fit
+    # _WIN_ROWS_CAP rows per operand.  Boundary/irregular patterns (a
+    # clipped dense column, a far coupling) can put a handful of vregs
+    # arbitrarily far from the tile's locality center — measured 0.04%
+    # of tiles holding 0.035% of pairs on the random-banded FEM class —
+    # so anchor the window at the per-tile median block and spill vregs
+    # outside to the COO tail (counted against max_tail) instead of
+    # rejecting the whole plan.
+    capb = _WIN_ROWS_CAP // 8
+    win_ok = np.ones(nv_total, bool)
+    for blocks in (v_lblock, v_ublock):
+        srt = np.lexsort((blocks, tid))
+        med = blocks[srt[vt_start + vt_cnt // 2]]
+        lo = np.maximum(med - capb // 2, 0)
+        bv = blocks - lo[tid]
+        win_ok &= (bv >= 0) & (bv < capb)
+    # per-tile vreg index + budget over window-surviving vregs
+    rank = np.zeros(nv_total, np.int64)
+    ok_idx = np.flatnonzero(win_ok)
+    if ok_idx.size == 0:
+        return None
+    tchg = np.ones(ok_idx.size, bool)
+    tchg[1:] = tid[ok_idx][1:] != tid[ok_idx][:-1]
+    tstart = np.flatnonzero(tchg)
+    rank[ok_idx] = (np.arange(ok_idx.size)
+                    - np.repeat(tstart, np.diff(np.append(tstart,
+                                                          ok_idx.size))))
+    NV = int(min(rank[ok_idx].max() + 1, nv_cap))
+    v_live = win_ok & (rank < NV)
+    spill = ~v_live[vid]
     keep = ~spill
     if spill.sum() > max_tail * npairs:
         return None
-    # tile window bases / sizes (over the vregs inside the budget)
-    live_v = np.flatnonzero(v_in_tile < NV)
+    # tile window bases / sizes (over the surviving vregs)
+    live_v = np.flatnonzero(v_live)
     lbase = np.full(T, 1 << 60, np.int64)
     ubase = np.full(T, 1 << 60, np.int64)
     lmax = np.full(T, -1, np.int64)
@@ -125,7 +164,7 @@ def plan_pair_contract(pl_, pu_, po_, n_out, n_a, n_b, *,
     WLr = _pow2ceil(max(int((lmax - lbase).max()), 8))
     WUr = _pow2ceil(max(int((umax - ubase).max()), 8))
     if WLr > _WIN_ROWS_CAP or WUr > _WIN_ROWS_CAP:
-        return None
+        return None              # unreachable post window-spill; guard
     # pack streams (T, NV, 8, 128) int16 + per-vreg window starts
     pls = np.zeros((T, NV, _OW), np.int16)
     pus = np.zeros((T, NV, _OW), np.int16)
@@ -133,16 +172,18 @@ def plan_pair_contract(pl_, pu_, po_, n_out, n_a, n_b, *,
     lq = np.zeros((T, NV), np.int32)
     uq = np.zeros((T, NV), np.int32)
     kv = live_v
-    lq[v_tile[kv], v_in_tile[kv]] = (v_lblock[kv] * 8
-                                     - lbase[v_tile[kv]]).astype(np.int32)
-    uq[v_tile[kv], v_in_tile[kv]] = (v_ublock[kv] * 8
-                                     - ubase[v_tile[kv]]).astype(np.int32)
-    kt = stile[keep]
-    kvit = v_in_tile[vid[keep]]
-    ks = slot[keep]
-    pls[kt, kvit, ks] = (spl[keep] & 1023).astype(np.int16)
-    pus[kt, kvit, ks] = (spu[keep] & 1023).astype(np.int16)
-    pos[kt, kvit, ks] = (spo[keep] & 1023).astype(np.int16)
+    lq[v_tile[kv], rank[kv]] = (v_lblock[kv] * 8
+                                - lbase[v_tile[kv]]).astype(np.int32)
+    uq[v_tile[kv], rank[kv]] = (v_ublock[kv] * 8
+                                - ubase[v_tile[kv]]).astype(np.int32)
+    # single flat fancy-index per stream (multi-axis advanced indexing
+    # recomputes the index triple per array)
+    flat = ((stile[keep].astype(np.int64) * NV + rank[vid[keep]]) * _OW
+            + slot[keep])
+    pls.reshape(-1)[flat] = (spl[keep] & 1023).astype(np.int16)
+    pus.reshape(-1)[flat] = (spu[keep] & 1023).astype(np.int16)
+    pos.reshape(-1)[flat] = (spo[keep] & 1023).astype(np.int16)
+    del flat
     pad_rows_a = int(lbase.max()) + WLr
     pad_rows_b = int(ubase.max()) + WUr
     meta = dict(T=T, NV=NV, WLr=WLr, WUr=WUr, n_out=int(n_out),

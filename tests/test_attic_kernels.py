@@ -61,6 +61,7 @@ def _apply_both(layout, tail, n, b, *, interpret_pallas=True):
     (2500, 1, 8, 50, 1),       # low degree, tight band
     (1500, 20, 64, 1400, 2),   # wide spread -> spills exercised
 ])
+@pytest.mark.slow
 def test_windowed_matches_scipy(n, lo, hi, bw, seed):
     rows, cols, vals = _random_local(n, lo, hi, bw, seed)
     layout, tail, stats = _plan(n, rows, cols, vals)

@@ -179,6 +179,7 @@ def test_assembly_communicate():
     assert A2.to_dense()[1, 1] == 2.0
 
 
+@pytest.mark.slow
 def test_neighborhood_communicator_matches_dense():
     from ginkgo_tpu.distributed import Partition, distribute_vector, \
         read_distributed

@@ -116,6 +116,7 @@ def test_config4_cb_gmres_compressed_basis(storage, tol):
                                rtol=tol, atol=tol)
 
 
+@pytest.mark.slow
 def test_config5_distributed_cg_matches_single_device():
     """Distributed row-partitioned CG over the virtual 8-device mesh (halo
     exchange inside shard_map) reproduces the single-device solve."""

@@ -112,6 +112,7 @@ def test_matrix_generator(tmp_path, capsys):
     assert np.all(dense[:4, 4:] == 0) and np.all(dense[4:8, 8:] == 0)
 
 
+@pytest.mark.slow
 def test_distributed_weak_scaling_efficiency_plumbing():
     """The distributed benchmark emits BASELINE.md's nnz/s weak-scaling
     efficiency metric, validated at P=16/64 on a CPU virtual-device mesh

@@ -112,6 +112,7 @@ def test_preconditioner_complex(precond):
     _solve_and_check(S, M, preconditioner=P)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("tier", ["1d", "2d"])
 def test_distributed_complex(tier):
     """Complex systems through the distributed operators: halo exchange /

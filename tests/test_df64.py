@@ -168,6 +168,7 @@ def test_pell_spmv_df64_matches_f64_on_fem_pattern():
     assert np.abs(got - oracle).max() / scale < 1e-12
 
 
+@pytest.mark.slow
 def test_df64_dot_dist_matches_f64():
     """Compensated distributed dot: per-shard dot2 + psum of (hi, lo)
     reaches fp64 accuracy over an 8-device mesh."""

@@ -19,6 +19,7 @@ def _mesh(P):
     return Mesh(np.array(jax.devices()[:P]), ("rows",))
 
 
+@pytest.mark.slow
 def test_distributed_multigrid_solver():
     data = stencil_2d(16, points=5)
     n = 256
@@ -38,6 +39,7 @@ def test_distributed_multigrid_solver():
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_distributed_multigrid_preconditioned_cg():
     data = stencil_2d(16, points=5)
     n = 256

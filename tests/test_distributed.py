@@ -101,6 +101,7 @@ def test_dist_spmv_matches_serial(P):
                                atol=1e-12)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("comm", ["dense", "neighborhood"])
 def test_dist_banded_local_blocks(comm):
     """local >= 256 stencil partitions plan the shared-diagonal banded
@@ -224,6 +225,7 @@ def test_dist_solver_matches_serial(solver):
     assert abs(int(res.iterations[0]) - int(serial.iterations[0])) <= 2
 
 
+@pytest.mark.slow
 def test_dist_gmres():
     data = generate_random_matrix(40, 40, nonzeros_per_row=(2, 5), seed=11)
     dense = data.to_dense()
@@ -245,6 +247,7 @@ def test_dist_gmres():
                                rtol=1e-6, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_dist_jacobi_preconditioned_cg():
     data = make_spd(generate_random_matrix(
         48, 48, nonzeros_per_row=(2, 6), seed=17), shift=1.0)
@@ -260,6 +263,7 @@ def test_dist_jacobi_preconditioned_cg():
     assert bool(res.converged.all())
 
 
+@pytest.mark.slow
 def test_schwarz_preconditioner():
     """distributed-solver example analog with additive Schwarz."""
     data = stencil_2d(10, points=5)

@@ -210,6 +210,7 @@ def test_sellp_per_slice_widths():
                                data.to_dense() @ b, rtol=1e-12)
 
 
+@pytest.mark.slow
 def test_schwarz_parilut_dia_local_solver():
     """The device DIA ParILUT composes as a Schwarz local solver: each
     part's diagonal block is banded, so the per-part factorization runs
@@ -237,6 +238,7 @@ def test_schwarz_parilut_dia_local_solver():
                                rtol=1e-6, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_schwarz_ilu_local_solver():
     """Host-symbolic local solvers (Ilu) work in Schwarz (generated at
     build time per part, not inside the shard_map trace)."""

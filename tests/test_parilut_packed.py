@@ -118,6 +118,7 @@ def test_pair_contract_budget_spills_to_tail():
 # packed ParILUT
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 @needs_ani
 def test_packed_beats_ilu0_and_tracks_host():
     d = _ani4()
@@ -144,6 +145,7 @@ def test_packed_respects_fill_limit():
     assert total <= 1.5 * d.nnz + n + 2
 
 
+@pytest.mark.slow
 def test_packed_preconditions():
     d = _banded_random(800, 10, 5, seed=5)
     A = Csr.from_data(d)
@@ -164,6 +166,7 @@ def test_packed_over_budget_falls_back_to_host():
     assert f.l_factor.shape == (300, 300)
 
 
+@pytest.mark.slow
 @needs_ani
 def test_packed_ict_tracks_host_and_symmetry():
     d = _ani4()

@@ -4,6 +4,7 @@ Luby matching — the common/cuda_hip/multigrid/pgm_kernels.cpp analog
 algebra over (num_offs, n) diagonal slabs)."""
 
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from ginkgo_tpu.matrix.csr import Csr
@@ -53,6 +54,7 @@ def test_dia_aggregation_deterministic():
     np.testing.assert_array_equal(a1, a2)
 
 
+@pytest.mark.slow
 def test_mgcg_with_dia_aggregation():
     data = stencil_3d(12, points=27)
     A = Csr.from_data(data)

@@ -14,6 +14,7 @@ from ginkgo_tpu.solver import Cg
 from ginkgo_tpu.stop.criterion import Iteration, ResidualNorm
 
 
+@pytest.mark.slow
 def test_transpose_without_x64():
     """Csr.transpose / device canonicalize must work with x64 disabled
     (the default deployment config — previously OverflowError)."""
@@ -55,6 +56,7 @@ print('OK')
     assert "OK" in res.stdout, res.stderr[-2000:]
 
 
+@pytest.mark.slow
 def test_autodiff_banded_tail_gradient():
     """Gradients flow to tail_vals and on-band diag slots correctly."""
     from ginkgo_tpu.autodiff import make_differentiable_solve

@@ -45,6 +45,7 @@ def _apply_packed(data, b, *, interpret_pallas=True):
     return y_ref + y_tail
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n,seed", [(1500, 0), (4096, 3)])
 def test_packed_matches_scipy_k1(n, seed):
     data = _fem_like(n, seed=seed)
@@ -56,6 +57,7 @@ def test_packed_matches_scipy_k1(n, seed):
     np.testing.assert_allclose(y, oracle, rtol=1e-10, atol=1e-10)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("k", [2, 3, 8, 11])
 def test_packed_multi_rhs_streams_matrix_once(k):
     """k <= 8 runs as ONE kernel call with per-column x windows; k = 11
@@ -98,6 +100,7 @@ def test_packed_empty_and_identity():
     np.testing.assert_allclose(y, b, rtol=1e-12)
 
 
+@pytest.mark.slow
 def test_packed_bf16_storage_f32_math():
     """bf16 value storage with f32 vectors/accumulation (the banded
     kernel's mixed-storage mode, applied to the packed layout — halves
@@ -125,6 +128,7 @@ def test_packed_bf16_storage_f32_math():
     np.testing.assert_allclose(y_pl, oracle, rtol=3e-2, atol=3e-2)
 
 
+@pytest.mark.slow
 def test_packed_complex_planes_match_reference():
     """c64 packed SpMV = two real value-plane passes sharing the idx/qw
     streams (VERDICT r3 missing #2)."""
@@ -146,6 +150,7 @@ def test_packed_complex_planes_match_reference():
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_pell_c64_planes_public_api():
     """pell_spmv_c64_planes: planes in/out with no complex dtype in the
     compiled graph (the chip path on runtimes that cannot compile complex

@@ -225,6 +225,7 @@ def test_ilu0_ic0_native_matches_python_fallback():
     np.testing.assert_allclose(un, up, rtol=1e-11, atol=1e-11)
 
 
+@pytest.mark.slow
 def test_ic0_scales_to_262k():
     """The native IC(0) factors a 262k-row 27-pt stencil in seconds (the
     python fallback's O(n^2) column loop needed hours here)."""

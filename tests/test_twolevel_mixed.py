@@ -2,6 +2,7 @@
 (distributed-multigrid + mixed-multigrid example analogs)."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh
@@ -19,6 +20,7 @@ def _mesh(P):
     return Mesh(np.array(jax.devices()[:P]), ("rows",))
 
 
+@pytest.mark.slow
 def test_two_level_schwarz():
     data = stencil_2d(16, points=5)
     n, P = 256, 4

@@ -77,6 +77,7 @@ def test_csr_conversion_methods():
     np.testing.assert_allclose(np.asarray(S.to_dense()) != 0, dense != 0)
 
 
+@pytest.mark.slow
 def test_distributed_benchmark_smoke(capsys):
     from ginkgo_tpu.benchmark import distributed
     results = distributed.main(["-base_edge", "6", "-devices", "1,2",

@@ -231,7 +231,7 @@ def parilut():
     d = MatrixData((n, n), rows, cols, vals.astype(np.float32)).canonical()
     print(f"unstructured banded n={n} nnz={d.nnz} bw={bw}", flush=True)
     t0 = time.time()
-    plan = plan_packed_ilut(d, level=3)
+    plan = plan_packed_ilut(d, level=3, fill_in_limit=2.0)
     t_plan = time.time() - t0
     if plan is None:
         print("plan REJECTED", flush=True)
