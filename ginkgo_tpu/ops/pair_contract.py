@@ -235,12 +235,19 @@ def _gather1024(win8, idx16):
     return g
 
 
-def _pair_kernel(nv_ref, lq_ref, uq_ref, lbase_ref, ubase_ref,
-                 a2d, b2d, pls_ref, pus_ref, pos_ref, out_ref,
-                 awin, bwin, plb, pub, pob, yb,
-                 asem, bsem, psem, ysem,
+def _pair_kernel(nv_ref, lbase_ref, ubase_ref,
+                 a2d, b2d, lq_hbm, uq_hbm, pls_ref, pus_ref, pos_ref,
+                 out_ref,
+                 awin, bwin, lqb, uqb, plb, pub, pob, yb,
+                 asem, bsem, qsem, psem, ysem,
                  *, T, NV, WLr, WUr, NB):
-    """One grid launch; NB-deep manual DMA pipeline over output tiles."""
+    """One grid launch; NB-deep manual DMA pipeline over output tiles.
+
+    ``lq``/``uq`` (per-vreg window row starts) ride tiny per-tile
+    HBM->SMEM DMAs rather than scalar prefetch: at T~2e4 tiles the
+    prefetched (T, NV) int32 operands overflow the 1 MB SMEM budget
+    (hit at n=262k level-2 universes, T=19.2k x NV=26 = 2 MB).  Both
+    are padded to 128 lanes so every slice is tiling-aligned."""
 
     def _i32(v):
         return jnp.asarray(v, jnp.int32)
@@ -254,6 +261,13 @@ def _pair_kernel(nv_ref, lq_ref, uq_ref, lbase_ref, ubase_ref,
         t, j = _i32(t), _i32(j)
         return pltpu.make_async_copy(
             b2d.at[pl.ds(ubase_ref[t], WUr), :], bwin.at[j], bsem.at[j])
+
+    def q_dma(t, j):
+        t, j = _i32(t), _i32(j)
+        return (pltpu.make_async_copy(lq_hbm.at[t], lqb.at[j],
+                                      qsem.at[j, 0]),
+                pltpu.make_async_copy(uq_hbm.at[t], uqb.at[j],
+                                      qsem.at[j, 1]))
 
     def p_dma(t, j):
         t, j = _i32(t), _i32(j)
@@ -271,6 +285,8 @@ def _pair_kernel(nv_ref, lq_ref, uq_ref, lbase_ref, ubase_ref,
     def start_in(t, j):
         a_dma(t, j).start()
         b_dma(t, j).start()
+        for c in q_dma(t, j):
+            c.start()
         for c in p_dma(t, j):
             c.start()
 
@@ -283,6 +299,8 @@ def _pair_kernel(nv_ref, lq_ref, uq_ref, lbase_ref, ubase_ref,
     def step(t, j):
         a_dma(t, j).wait()
         b_dma(t, j).wait()
+        for c in q_dma(t, j):
+            c.wait()
         for c in p_dma(t, j):
             c.wait()
 
@@ -294,8 +312,8 @@ def _pair_kernel(nv_ref, lq_ref, uq_ref, lbase_ref, ubase_ref,
         # (_OW, 128) one-hot temporary live on the Mosaic stack at once
         # (measured 12.5M scoped-vmem OOM at NV=23)
         def vbody(v, acc):
-            lqv = lq_ref[t * NV + v]
-            uqv = uq_ref[t * NV + v]
+            lqv = lqb[j, v]
+            uqv = uqb[j, v]
             pl16 = plb[j, v].astype(jnp.int32)
             pu16 = pub[j, v].astype(jnp.int32)
             po16 = pob[j, v].astype(jnp.int32)
@@ -350,18 +368,21 @@ def _build_pair_call(meta_items, dtype_name, interpret, NB=2):
     vmem = NB * ((WLr + WUr) * LANES * dtype.itemsize
                  + 3 * NV * _OW * 2 + 8 * LANES * 4) + (2 << 20)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,        # nv, lq, uq, lbase, ubase
+        num_scalar_prefetch=3,        # nv, lbase, ubase (lq/uq: per-tile DMA)
         grid=(1,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 5,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 7,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[pltpu.VMEM((NB, WLr, LANES), dtype),
                         pltpu.VMEM((NB, WUr, LANES), dtype),
+                        pltpu.SMEM((NB, LANES), jnp.int32),
+                        pltpu.SMEM((NB, LANES), jnp.int32),
                         pltpu.VMEM((NB, NV, 8, LANES), jnp.int16),
                         pltpu.VMEM((NB, NV, 8, LANES), jnp.int16),
                         pltpu.VMEM((NB, NV, 8, LANES), jnp.int16),
                         pltpu.VMEM((NB, 8, LANES), dtype),
                         pltpu.SemaphoreType.DMA((NB,)),
                         pltpu.SemaphoreType.DMA((NB,)),
+                        pltpu.SemaphoreType.DMA((NB, 2)),
                         pltpu.SemaphoreType.DMA((NB, 3)),
                         pltpu.SemaphoreType.DMA((NB,))],
     )
@@ -406,8 +427,10 @@ def pair_contract_pallas(a, b, arrs, meta_items, *, interpret=False):
         lq, uq = arrs["lq"], arrs["uq"]
     a2d = _pad2d(a, meta["pad_rows_a"])
     b2d = _pad2d(b, meta["pad_rows_b"])
-    y = call(nv, lq.reshape(-1), uq.reshape(-1), lbase, ubase,
-             a2d, b2d, pls, pus, pos)
+    padl = LANES - lq.shape[1]
+    y = call(nv, lbase, ubase, a2d, b2d,
+             jnp.pad(lq, ((0, 0), (0, padl))),
+             jnp.pad(uq, ((0, 0), (0, padl))), pls, pus, pos)
     y = y.reshape(T_pad * _OW)[:meta["n_out"]]
     tl, tu, to = arrs["tail"]
     if tl.shape[0]:
