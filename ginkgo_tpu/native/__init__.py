@@ -92,6 +92,14 @@ def _bind(lib):
     lib.gt_ilut_pairs_rowmajor_fill.argtypes = [
         ctypes.c_int64, ctypes.c_int64, i64p, i64p, ctypes.c_int64, i64p,
         i64p, i32p, i32p, i32p, ctypes.c_int64]
+    i16p = ctypes.POINTER(ctypes.c_int16)
+    lib.gt_pair_plan_build.restype = ctypes.c_int
+    lib.gt_pair_plan_build.argtypes = [
+        ctypes.c_int64, i32p, i32p, i32p, ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_double, i64p]
+    lib.gt_pair_plan_fetch.restype = ctypes.c_int
+    lib.gt_pair_plan_fetch.argtypes = [i16p, i16p, i16p, i32p, i32p, i32p,
+                                       i32p, i32p, i32p, i32p, i32p]
     lib.gt_ict_pairs_rowmajor_count.restype = ctypes.c_int64
     lib.gt_ict_pairs_rowmajor_count.argtypes = [
         ctypes.c_int64, ctypes.c_int64, i64p, i64p, ctypes.c_int64]
@@ -311,6 +319,56 @@ def ilut_pairs_rowmajor_native(n, lr, lc, ur, uc, cap):
     order = np.lexsort((pu, po))
     return (pl[order].astype(np.int32), pu[order].astype(np.int32),
             po[order].astype(np.int32))
+
+
+def pair_plan_native(pl, pu, po, n_out, nv_cap, win_rows_cap, max_tail):
+    """Native packed pair-contraction planner (gt_pair_plan_build/fetch;
+    one per-tile sort + two linear walks vs the numpy planner's ~10
+    O(npairs) passes).  Requires ``po`` sorted ascending (the native
+    emitters' order).  Returns the stream dict of
+    ``ops.pair_contract.plan_pair_contract`` minus the static meta
+    (caller derives it), ``"reject"`` when the plan budgets reject
+    (identical to the numpy planner returning None), or None when the
+    library is unavailable / ``po`` is unsorted (caller falls back to
+    numpy)."""
+    L = lib()
+    if L is None or not hasattr(L, "gt_pair_plan_build"):
+        return None
+    pl = np.ascontiguousarray(pl, np.int32)
+    pu = np.ascontiguousarray(pu, np.int32)
+    po = np.ascontiguousarray(po, np.int32)
+    meta = np.zeros(5, np.int64)
+    rc = L.gt_pair_plan_build(
+        len(po), _ptr(pl, ctypes.c_int32), _ptr(pu, ctypes.c_int32),
+        _ptr(po, ctypes.c_int32), int(n_out), int(nv_cap),
+        int(win_rows_cap), float(max_tail), _ptr(meta, ctypes.c_int64))
+    if rc == -2:
+        return None
+    if rc != 0:
+        return "reject"
+    T, NV, WLr, WUr, n_tail = (int(x) for x in meta)
+    pls = np.empty((T, NV, 1024), np.int16)
+    pus = np.empty((T, NV, 1024), np.int16)
+    pos = np.empty((T, NV, 1024), np.int16)
+    lq = np.empty((T, NV), np.int32)
+    uq = np.empty((T, NV), np.int32)
+    nv = np.empty(T, np.int32)
+    lbase = np.empty(T, np.int32)
+    ubase = np.empty(T, np.int32)
+    tl = np.empty(n_tail, np.int32)
+    tu = np.empty(n_tail, np.int32)
+    to = np.empty(n_tail, np.int32)
+    i32 = ctypes.c_int32
+    rc = L.gt_pair_plan_fetch(
+        _ptr(pls, ctypes.c_int16), _ptr(pus, ctypes.c_int16),
+        _ptr(pos, ctypes.c_int16), _ptr(lq, i32), _ptr(uq, i32),
+        _ptr(nv, i32), _ptr(lbase, i32), _ptr(ubase, i32),
+        _ptr(tl, i32), _ptr(tu, i32), _ptr(to, i32))
+    if rc != 0:
+        return None
+    return dict(T=T, NV=NV, WLr=WLr, WUr=WUr, pls=pls, pus=pus, pos=pos,
+                lq=lq, uq=uq, nv=nv, lbase=lbase, ubase=ubase,
+                tail=(tl, tu, to))
 
 
 def ict_pairs_rowmajor_native(n, lr, lc, cap):

@@ -2093,3 +2093,253 @@ extern "C" int64_t gt_spgemm_fill(int64_t n, int64_t m, const int64_t* a_ptr,
     return spgemm_csr_impl<double>(n, m, a_ptr, a_cols, a_vals, b_ptr,
                                    b_cols, b_vals, c_ptr, c_cols, c_vals);
 }
+
+// ---------------------------------------------------------------------------
+// Packed pair-contraction planner (native tier of
+// ops/pair_contract.plan_pair_contract).  The numpy planner is ~10
+// O(npairs) passes (lexsort, segmented ranks, window analysis, stream
+// scatter) over pair lists that reach 3.5e8 at n=262k level-3 universes
+// — ~25 min on this host class.  Pairs arrive sorted by po (the native
+// emitters guarantee (po, pu) order), so tile segments are contiguous:
+// one per-tile sort by (ublock, lblock) plus two linear walks build the
+// same plan in one pass over memory.  Semantics mirror the numpy
+// planner exactly: vregs split groups every 1024 pairs, per-tile median
+// block anchors the gather windows, vregs outside the window or past
+// the per-tile vreg budget spill their pairs to the COO tail.
+// Two-phase: build stages the streams (NV is unknowable to the caller
+// beforehand), fetch copies into caller allocations and frees.
+// ---------------------------------------------------------------------------
+namespace {
+constexpr int64_t PP_OW = 1024;
+
+struct PairVreg {
+    int32_t lb, ub;     // pl>>10 / pu>>10 block of every pair in the vreg
+    int32_t count;      // pairs in this vreg (<= 1024)
+    int32_t rank;       // index among window-ok vregs of the tile
+    uint8_t live;
+};
+
+struct PairPlanStage {
+    std::vector<int16_t> pls, pus, pos;
+    std::vector<int32_t> lq, uq, nv, lbase, ubase;
+    std::vector<int32_t> tail_l, tail_u, tail_o;
+    int64_t T = 0, NV = 0, WLr = 0, WUr = 0;
+};
+PairPlanStage* g_pair_plan = nullptr;
+
+int64_t pp_pow2ceil(int64_t x) {
+    int64_t p = 1;
+    while (p < x) p <<= 1;
+    return p;
+}
+}  // namespace
+
+extern "C" int gt_pair_plan_build(int64_t npairs, const int32_t* pl,
+                                  const int32_t* pu, const int32_t* po,
+                                  int64_t n_out, int32_t nv_cap,
+                                  int32_t win_rows_cap, double max_tail,
+                                  int64_t* out_meta) {
+    if (npairs <= 0 || n_out <= 0) return -1;
+    for (int64_t i = 1; i < npairs; ++i)
+        if (po[i] < po[i - 1]) return -2;   // unsorted: numpy fallback
+    const int64_t T = (n_out + PP_OW - 1) / PP_OW;
+    const int32_t capb = win_rows_cap / 8;
+
+    // phase 1: per-tile (ub, lb) sort; vreg segmentation
+    std::vector<int32_t> ord(npairs);       // tile-major sorted pair ids
+    std::vector<PairVreg> vregs;
+    vregs.reserve(npairs / PP_OW + T + 8);
+    std::vector<int64_t> voff(T + 1, 0);
+    std::vector<uint64_t> keys;
+    int64_t p = 0;
+    for (int64_t t = 0; t < T; ++t) {
+        int64_t e = p;
+        while (e < npairs && (po[e] >> 10) == t) ++e;
+        const int64_t m = e - p;
+        if (m > 0 && m < (int64_t(1) << 22)) {
+            keys.resize(m);
+            for (int64_t k = 0; k < m; ++k)
+                keys[k] = ((uint64_t)(uint32_t)(pu[p + k] >> 10) << 43) |
+                          ((uint64_t)(uint32_t)(pl[p + k] >> 10) << 22) |
+                          (uint64_t)k;
+            std::sort(keys.begin(), keys.end());
+            for (int64_t k = 0; k < m; ++k)
+                ord[p + k] = (int32_t)(p + (int64_t)(keys[k] & 0x3FFFFF));
+        } else if (m > 0) {                 // huge segment: comparator sort
+            for (int64_t k = 0; k < m; ++k) ord[p + k] = (int32_t)(p + k);
+            std::sort(ord.begin() + p, ord.begin() + e,
+                      [&](int32_t a, int32_t b) {
+                          const int32_t ua = pu[a] >> 10, ub = pu[b] >> 10;
+                          if (ua != ub) return ua < ub;
+                          return (pl[a] >> 10) < (pl[b] >> 10);
+                      });
+        }
+        int32_t cl = -1, cu = -1, cnt = 0;
+        for (int64_t k = p; k < e; ++k) {
+            const int32_t lb = pl[ord[k]] >> 10, ub = pu[ord[k]] >> 10;
+            if (lb != cl || ub != cu || cnt == (int32_t)PP_OW) {
+                vregs.push_back({lb, ub, 0, 0, 0});
+                cl = lb; cu = ub; cnt = 0;
+            }
+            ++vregs.back().count;
+            ++cnt;
+        }
+        voff[t + 1] = (int64_t)vregs.size();
+        p = e;
+    }
+    if (p != npairs) return -1;             // po out of [0, n_out)
+
+    // phase 2: median-anchored windows, ranks, global NV, tail budget
+    std::vector<int32_t> blocks;
+    int32_t max_rank = -1;
+    for (int64_t t = 0; t < T; ++t) {
+        const int64_t vs = voff[t], ve = voff[t + 1];
+        if (vs == ve) continue;
+        const int64_t cnt = ve - vs;
+        int32_t med[2];
+        for (int side = 0; side < 2; ++side) {
+            blocks.resize(cnt);
+            for (int64_t v = 0; v < cnt; ++v)
+                blocks[v] = side ? vregs[vs + v].ub : vregs[vs + v].lb;
+            std::nth_element(blocks.begin(), blocks.begin() + cnt / 2,
+                             blocks.end());
+            med[side] = blocks[cnt / 2];
+        }
+        const int32_t lo_l = std::max(med[0] - capb / 2, 0);
+        const int32_t lo_u = std::max(med[1] - capb / 2, 0);
+        int32_t rank = 0;
+        for (int64_t v = vs; v < ve; ++v) {
+            PairVreg& r = vregs[v];
+            const int32_t bl = r.lb - lo_l, bu = r.ub - lo_u;
+            if (bl >= 0 && bl < capb && bu >= 0 && bu < capb) {
+                r.rank = rank++;
+                if (r.rank > max_rank) max_rank = r.rank;
+            } else {
+                r.rank = -1;
+            }
+        }
+    }
+    if (max_rank < 0) return -1;
+    const int64_t NV = std::min<int64_t>(max_rank + 1, nv_cap);
+    int64_t n_live_pairs = 0;
+    for (auto& r : vregs) {
+        r.live = (r.rank >= 0 && r.rank < NV) ? 1 : 0;
+        if (r.live) n_live_pairs += r.count;
+    }
+    const int64_t n_tail = npairs - n_live_pairs;
+    if ((double)n_tail > max_tail * (double)npairs) return -1;
+
+    // phase 3: window bases over live vregs, stream scatter
+    auto* st = new PairPlanStage();
+    st->T = T;
+    st->NV = NV;
+    st->lbase.assign(T, INT32_MAX);
+    st->ubase.assign(T, INT32_MAX);
+    std::vector<int32_t> lmax(T, -1), umax(T, -1);
+    for (int64_t t = 0; t < T; ++t)
+        for (int64_t v = voff[t]; v < voff[t + 1]; ++v) {
+            const PairVreg& r = vregs[v];
+            if (!r.live) continue;
+            st->lbase[t] = std::min(st->lbase[t], r.lb * 8);
+            lmax[t] = std::max(lmax[t], r.lb * 8 + 8);
+            st->ubase[t] = std::min(st->ubase[t], r.ub * 8);
+            umax[t] = std::max(umax[t], r.ub * 8 + 8);
+        }
+    int64_t wl = 8, wu = 8;
+    for (int64_t t = 0; t < T; ++t) {
+        if (lmax[t] < 0) {
+            st->lbase[t] = 0; st->ubase[t] = 0;
+            continue;
+        }
+        wl = std::max<int64_t>(wl, lmax[t] - st->lbase[t]);
+        wu = std::max<int64_t>(wu, umax[t] - st->ubase[t]);
+    }
+    st->WLr = pp_pow2ceil(wl);
+    st->WUr = pp_pow2ceil(wu);
+    if (st->WLr > win_rows_cap || st->WUr > win_rows_cap) {
+        delete st;
+        return -1;
+    }
+    st->pls.assign(T * NV * PP_OW, 0);
+    st->pus.assign(T * NV * PP_OW, 0);
+    st->pos.assign(T * NV * PP_OW, (int16_t)PP_OW);
+    st->lq.assign(T * NV, 0);
+    st->uq.assign(T * NV, 0);
+    st->nv.assign(T, 0);
+    st->tail_l.reserve(n_tail);
+    st->tail_u.reserve(n_tail);
+    st->tail_o.reserve(n_tail);
+    p = 0;
+    for (int64_t t = 0; t < T; ++t) {
+        int64_t e = p;
+        while (e < npairs && (po[e] >> 10) == t) ++e;
+        int64_t vcur = voff[t] - 1;
+        int32_t cl = -1, cu = -1, cnt = 0, slot = 0;
+        const PairVreg* r = nullptr;
+        int64_t base = 0;
+        for (int64_t k = p; k < e; ++k) {
+            const int32_t id = ord[k];
+            const int32_t lb = pl[id] >> 10, ub = pu[id] >> 10;
+            if (lb != cl || ub != cu || cnt == (int32_t)PP_OW) {
+                ++vcur;
+                r = &vregs[vcur];
+                cl = lb; cu = ub; cnt = 0; slot = 0;
+                if (r->live) {
+                    st->lq[t * NV + r->rank] =
+                        lb * 8 - st->lbase[t];
+                    st->uq[t * NV + r->rank] =
+                        ub * 8 - st->ubase[t];
+                    ++st->nv[t];
+                    base = (t * NV + r->rank) * PP_OW;
+                }
+            }
+            ++cnt;
+            if (r->live) {
+                st->pls[base + slot] = (int16_t)(pl[id] & 1023);
+                st->pus[base + slot] = (int16_t)(pu[id] & 1023);
+                st->pos[base + slot] = (int16_t)(po[id] & 1023);
+                ++slot;
+            } else {
+                st->tail_l.push_back(pl[id]);
+                st->tail_u.push_back(pu[id]);
+                st->tail_o.push_back(po[id]);
+            }
+        }
+        p = e;
+    }
+    delete g_pair_plan;
+    g_pair_plan = st;
+    out_meta[0] = T;
+    out_meta[1] = NV;
+    out_meta[2] = st->WLr;
+    out_meta[3] = st->WUr;
+    out_meta[4] = (int64_t)st->tail_l.size();
+    return 0;
+}
+
+extern "C" int gt_pair_plan_fetch(int16_t* pls, int16_t* pus, int16_t* pos,
+                                  int32_t* lq, int32_t* uq, int32_t* nv,
+                                  int32_t* lbase, int32_t* ubase,
+                                  int32_t* tail_l, int32_t* tail_u,
+                                  int32_t* tail_o) {
+    PairPlanStage* st = g_pair_plan;
+    if (!st) return -1;
+    auto cp = [](auto& v, auto* dst) {
+        if (!v.empty()) std::memcpy(dst, v.data(),
+                                    v.size() * sizeof(v[0]));
+    };
+    cp(st->pls, pls);
+    cp(st->pus, pus);
+    cp(st->pos, pos);
+    cp(st->lq, lq);
+    cp(st->uq, uq);
+    cp(st->nv, nv);
+    cp(st->lbase, lbase);
+    cp(st->ubase, ubase);
+    cp(st->tail_l, tail_l);
+    cp(st->tail_u, tail_u);
+    cp(st->tail_o, tail_o);
+    delete st;
+    g_pair_plan = nullptr;
+    return 0;
+}

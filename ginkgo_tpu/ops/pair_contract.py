@@ -57,12 +57,49 @@ def plan_pair_contract(pl_, pu_, po_, n_out, n_a, n_b, *,
     """Static plan for the Pallas tier.  ``po_`` must be sorted
     ascending.  Returns a dict of numpy arrays + static meta, or None
     when windows/budgets reject (callers fall back to the reference
-    tier or reject the whole device path)."""
+    tier or reject the whole device path).
+
+    Planning runs in the native tier when available (one per-tile sort
+    + two linear walks, ~10x the numpy planner below on 1e8-pair
+    lists); the numpy body is the oracle and the fallback."""
     npairs = len(po_)
     if npairs == 0 or n_out == 0:
         return None
     if max(n_out, n_a, n_b) >= (1 << 31):
         return None
+    from ..native import pair_plan_native
+    nat = pair_plan_native(pl_, pu_, po_, n_out, nv_cap,
+                           _WIN_ROWS_CAP, max_tail)
+    if nat == "reject":
+        return None
+    if nat is not None:
+        T, NV = nat["T"], nat["NV"]
+        WLr, WUr = nat["WLr"], nat["WUr"]
+        lbase, ubase = nat["lbase"], nat["ubase"]
+        pad_rows_a = int(lbase.max()) + WLr
+        pad_rows_b = int(ubase.max()) + WUr
+        meta = dict(T=T, NV=NV, WLr=WLr, WUr=WUr, n_out=int(n_out),
+                    n_a=int(n_a), n_b=int(n_b),
+                    pad_rows_a=max(pad_rows_a, -(-int(n_a) // LANES)),
+                    pad_rows_b=max(pad_rows_b, -(-int(n_b) // LANES)))
+        fill = float(npairs - len(nat["tail"][0])) / (T * NV * _OW)
+        return dict(pls=nat["pls"].reshape(T, NV, 8, LANES),
+                    pus=nat["pus"].reshape(T, NV, 8, LANES),
+                    pos=nat["pos"].reshape(T, NV, 8, LANES),
+                    lq=nat["lq"], uq=nat["uq"], nv=nat["nv"],
+                    lbase=lbase.astype(np.int32),
+                    ubase=ubase.astype(np.int32),
+                    tail=nat["tail"],
+                    meta=tuple(sorted(meta.items())), fill=fill)
+    return _plan_pair_contract_numpy(pl_, pu_, po_, n_out, n_a, n_b,
+                                     max_tail=max_tail, nv_cap=nv_cap)
+
+
+def _plan_pair_contract_numpy(pl_, pu_, po_, n_out, n_a, n_b, *,
+                              max_tail=0.05, nv_cap=_NV_CAP):
+    """The numpy planner (oracle for the native tier; fallback when the
+    library is unavailable or ``po_`` arrives unsorted)."""
+    npairs = len(po_)
     pl_ = np.asarray(pl_)
     pu_ = np.asarray(pu_)
     po_ = np.asarray(po_)

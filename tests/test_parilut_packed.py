@@ -114,6 +114,55 @@ def test_pair_contract_budget_spills_to_tail():
     assert np.abs(got - oracle).max() / np.abs(oracle).max() < 1e-4
 
 
+def test_native_planner_matches_numpy_planner():
+    """The native-tier planner (gt_pair_plan_build/fetch) must produce a
+    plan identical to the numpy oracle: same static meta, same window
+    tables, same live-vreg counts, same tail size — and both must drive
+    the interpret-mode kernel to the oracle result.  Covers the spill
+    path (far outliers leave the median-anchored window)."""
+    from ginkgo_tpu.native import pair_plan_native
+    from ginkgo_tpu.ops.pair_contract import (_plan_pair_contract_numpy,
+                                              pair_contract_reference)
+    if pair_plan_native(np.zeros(1, np.int32), np.zeros(1, np.int32),
+                        np.zeros(1, np.int32), 1, 4, 2048, 1.0) is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(7)
+    n_out = n_a = n_b = 600_000
+    m = 60_000
+    po = np.sort(rng.integers(0, n_out, m).astype(np.int32))
+    pl = np.clip(po.astype(np.int64) + rng.integers(-400, 400, m),
+                 0, n_a - 1).astype(np.int32)
+    pu = np.clip(po.astype(np.int64) + rng.integers(-400, 400, m),
+                 0, n_b - 1).astype(np.int32)
+    out = rng.integers(0, m, 500)
+    pl[out] = rng.integers(0, n_a, 500)    # window outliers -> tail
+    p_np = _plan_pair_contract_numpy(pl, pu, po, n_out, n_a, n_b)
+    p_nat = plan_pair_contract(pl, pu, po, n_out, n_a, n_b)
+    assert p_np is not None and p_nat is not None
+    assert dict(p_np["meta"]) == dict(p_nat["meta"])
+    assert len(p_np["tail"][0]) == len(p_nat["tail"][0]) > 0
+    for k in ("nv", "lbase", "ubase", "lq", "uq"):
+        np.testing.assert_array_equal(p_np[k], p_nat[k])
+    a = rng.standard_normal(n_a).astype(np.float32)
+    b = rng.standard_normal(n_b).astype(np.float32)
+    oracle = np.asarray(pair_contract_reference(
+        jnp.asarray(a), jnp.asarray(b), pl, pu, po, n_out))
+    arrs = {k: jnp.asarray(p_nat[k]) for k in
+            ("pls", "pus", "pos", "lq", "uq", "nv", "lbase", "ubase")}
+    arrs["tail"] = tuple(jnp.asarray(t) for t in p_nat["tail"])
+    got = np.asarray(pair_contract_pallas(
+        jnp.asarray(a), jnp.asarray(b), arrs, p_nat["meta"],
+        interpret=True))
+    scale = np.abs(oracle).max()
+    assert np.abs(got - oracle).max() / scale < 1e-5
+    # unsorted po falls back to the numpy planner transparently
+    perm = rng.permutation(m)
+    p3 = plan_pair_contract(pl[perm], pu[perm], po[perm],
+                            n_out, n_a, n_b)
+    assert p3 is not None
+    assert dict(p3["meta"]) == dict(p_np["meta"])
+
+
 # ---------------------------------------------------------------------------
 # packed ParILUT
 # ---------------------------------------------------------------------------
