@@ -52,6 +52,7 @@ def run_case(case, solvers, args):
     n = data.shape[0]
     result = {"problem": {"name": case_name(case), "rows": n,
                           "nonzeros": data.canonical().nnz},
+              "rel_res_goal": args.rel_res_goal,
               "solver": {}}
     b = jnp.ones((n,), jnp.float32)
     rhs_norm = float(jnp.linalg.norm(b))

@@ -126,8 +126,21 @@ class ParIlu:
         on_diag = ur == uc
         udiag_pos[ur[on_diag]] = np.flatnonzero(on_diag)
 
+        # Chow-Patel scaled initial guess: l_ij = a_ij / a_jj.  The
+        # reference seeds raw a_ij (factorization_kernels.cpp
+        # initialize_l_u) but its sweeps update in place — a nonlinear
+        # Gauss-Seidel whose fresh values damp the transient.  This
+        # sweep is the pure-Jacobi functional form; seeded with raw
+        # values it DIVERGES on the 27-pt Poisson M-matrix (measured
+        # max|l| 8.1 after 5 sweeps, 410 after 15), while the paper's
+        # scaled init (Chow & Patel 2015, scaled-A iteration) settles by
+        # sweep 2 and stays bounded.
+        udiag = uv[udiag_pos]
+        denom = np.where(udiag == 0, np.ones_like(udiag), udiag)
+        lv_init = (lv / denom[lc]).astype(d.values.dtype)
+
         lv, uv = _run_sweeps(
-            jnp.asarray(lv), jnp.asarray(uv),
+            jnp.asarray(lv_init), jnp.asarray(uv),
             jnp.asarray(lv),  # a-values on L pattern
             jnp.asarray(uv),  # a-values on U pattern
             jnp.asarray(pl), jnp.asarray(pu), jnp.asarray(po),
@@ -180,7 +193,7 @@ def _build_factors(n, lr, lc, lv, ur, uc, uv, dtype):
 
 
 @partial(jax.jit, static_argnames=("iterations",))
-def _ic_sweeps_kernel(la, p1, p2, po, dpos, isd, lr, lc, iterations):
+def _ic_sweeps_kernel(la, lv0, p1, p2, po, dpos, isd, lr, lc, iterations):
     def body(_, lv):
         contrib = jax.ops.segment_sum(lv[p1] * jnp.conj(lv[p2]), po,
                                       num_segments=la.shape[0])
@@ -190,7 +203,7 @@ def _ic_sweeps_kernel(la, p1, p2, po, dpos, isd, lr, lc, iterations):
                              diag_new)
         return jnp.where(isd, diag_new[lr], s / diag_new[lc])
 
-    return jax.lax.fori_loop(0, iterations, body, la)
+    return jax.lax.fori_loop(0, iterations, body, lv0)
 
 
 class ParIc:
@@ -235,8 +248,18 @@ class ParIc:
                 diag_pos[i] = idx
         is_diag = lr == lc
 
+        # scaled init (same divergence fix as ParIlu): l_jj = sqrt|a_jj|,
+        # l_ij = a_ij / sqrt|a_jj| — the reference seeds raw values
+        # (par_ic_kernels.cpp init_factor takes sqrt on the diagonal
+        # only) but sweeps in place; the functional Jacobi sweep needs
+        # the bounded Chow-Patel init.
+        dj = np.sqrt(np.abs(lv0[diag_pos]))
+        dj = np.where(dj == 0, np.ones_like(dj), dj)
+        lv_init = np.where(is_diag, dj[lr],
+                           lv0 / dj[lc]).astype(lv0.dtype)
+
         lv = np.asarray(_ic_sweeps_kernel(
-            jnp.asarray(lv0),
+            jnp.asarray(lv0), jnp.asarray(lv_init),
             jnp.asarray(np.asarray(p1, np.int64)),
             jnp.asarray(np.asarray(p2, np.int64)),
             jnp.asarray(np.asarray(po, np.int64)),

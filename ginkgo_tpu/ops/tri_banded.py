@@ -119,11 +119,18 @@ def plan_block_trisolve(data, lower: bool, unit_diagonal: bool,
     from scipy.linalg import get_lapack_funcs
     (trtri,) = get_lapack_funcs(("trtri",), (Lb[0],))
     inv = np.empty((nb, S, S), v.dtype)
-    for i in range(nb):
-        blk, info = trtri(Lb[i], lower=1)
-        if info != 0:           # singular block: fall back to LU inverse
-            blk = np.linalg.inv(Lb[i])
-        inv[i] = blk.astype(v.dtype)
+    with np.errstate(over="ignore", invalid="ignore"):
+        for i in range(nb):
+            blk, info = trtri(Lb[i], lower=1)
+            if info != 0:       # singular block: fall back to LU inverse
+                blk = np.linalg.inv(Lb[i])
+            inv[i] = blk.astype(v.dtype)
+    if not np.isfinite(inv).all():
+        # an ill-scaled triangle (e.g. a diverged fixed-point factor)
+        # whose block inverse exceeds the value-type range: reject so
+        # algorithm='auto' falls back to the inverse-free level solve
+        # instead of applying inf/nan
+        return None
 
     # cross-block value planes (diag plane excluded — never cross)
     keep = [di for di, off in enumerate(offsets) if int(off) != 0]

@@ -13,7 +13,7 @@ from ginkgo_tpu.solver import Bicgstab, Cg
 from ginkgo_tpu.solver.triangular import LowerTrs, UpperTrs, compute_levels
 from ginkgo_tpu.stop.criterion import Iteration, ResidualNorm
 from ginkgo_tpu.utils.generators import (generate_random_matrix, make_spd,
-                                         stencil_2d)
+                                         stencil_2d, stencil_3d)
 
 
 def _rand_lower(n=20, seed=0, unit=False):
@@ -346,3 +346,63 @@ def test_exact_block_trisolve_jittable_and_complex():
     np.testing.assert_allclose(np.asarray(x), np.linalg.solve(dense,
                                                               np.asarray(b)),
                                rtol=1e-9, atol=1e-9)
+
+
+def test_par_ilu_jacobi_sweeps_stay_bounded_on_poisson():
+    """Round-4 regression: the functional (Jacobi) Chow-Patel sweep
+    DIVERGED on the 27-pt Poisson M-matrix when seeded with raw a_ij
+    (max|l| 8.1 after 5 sweeps, 410 after 15 — the reference seeds raw
+    values too but sweeps in place, factorization_kernels.cpp
+    initialize_l_u).  With the paper's scaled init l_ij = a_ij/a_jj the
+    iteration settles by sweep 2; more sweeps must not be worse."""
+    data = stencil_3d(12, points=27)
+    A = Csr.from_data(data, dtype=np.float32)
+    dense = np.asarray(A.to_dense(), np.float64)
+    prev = None
+    for iters in (5, 15):
+        f = ParIlu(iterations=iters).generate(A)
+        d = f.l_factor.to_matrix_data().canonical()
+        off = d.values[d.row_idx != d.col_idx]
+        assert np.abs(off).max() < 1.0, (iters, np.abs(off).max())
+        resid = np.linalg.norm(
+            dense - np.asarray(f.l_factor.to_dense(), np.float64)
+            @ np.asarray(f.u_factor.to_dense(), np.float64))
+        if prev is not None:
+            assert resid <= prev * 1.01, (resid, prev)
+        prev = resid
+
+
+def test_par_ic_jacobi_sweeps_stay_bounded_on_poisson():
+    """Same divergence fix for ParIC: scaled init l_ij = a_ij/sqrt(a_jj)
+    (reference par_ic_kernels.cpp init_factor takes sqrt on the diagonal
+    only, but sweeps in place)."""
+    data = stencil_3d(12, points=27)
+    A = Csr.from_data(data, dtype=np.float32)
+    dense = np.asarray(A.to_dense(), np.float64)
+    for iters in (5, 15):
+        f = ParIc(iterations=iters).generate(A)
+        d = f.l_factor.to_matrix_data().canonical()
+        off = np.abs(d.values[d.row_idx != d.col_idx])
+        assert off.max() < 2.0, (iters, off.max())
+        L = np.asarray(f.l_factor.to_dense(), np.float64)
+        resid = np.linalg.norm(dense - L @ L.T)
+        assert resid < np.linalg.norm(dense) * 0.05, resid
+
+
+def test_exact_trisolve_rejects_value_range_overflow():
+    """A triangular factor whose block inverse exceeds the f32 range
+    (bidiagonal growth 1.5^S > 3.4e38 within one S=256 block, still
+    finite in the f64 staging) must NOT produce an inf/nan inverse
+    operator: plan_block_trisolve rejects and algorithm='auto' falls
+    back to the inverse-free level schedule."""
+    from ginkgo_tpu.base.matrix_data import MatrixData
+    from ginkgo_tpu.ops.tri_banded import plan_block_trisolve
+    n = 4096
+    rows = np.concatenate([np.arange(n), np.arange(1, n)])
+    cols = np.concatenate([np.arange(n), np.arange(n - 1)])
+    vals = np.concatenate([np.ones(n), np.full(n - 1, -1.5)]
+                          ).astype(np.float32)
+    d = MatrixData((n, n), rows, cols, vals).canonical()
+    assert plan_block_trisolve(d, True, False) is None
+    trs = LowerTrs.build(algorithm="auto").generate(Csr.from_data(d))
+    assert trs.algorithm != "exact"

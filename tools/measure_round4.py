@@ -242,14 +242,20 @@ def parilut():
     out = generate_packed(d, iterations=5, fill_in_limit=2.0, sweeps=2,
                           plan=plan)
     t_cold = time.time() - t0
-    t0 = time.time()
-    out = generate_packed(d, iterations=5, fill_in_limit=2.0, sweeps=2,
-                          plan=plan)
-    t_warm = time.time() - t0
+    from ginkgo_tpu.utils import stagetimer
+    with stagetimer.collect() as st:
+        t0 = time.time()
+        out = generate_packed(d, iterations=5, fill_in_limit=2.0,
+                              sweeps=2, plan=plan)
+        t_warm = time.time() - t0
     nnz = len(out[2]) + len(out[5])
+    dev = st.stages.get("device", 0.0)
+    tra = st.stages.get("transfer", 0.0)
     print(f"generate_packed 5 iters fill 2x: cold {t_cold:.1f}s  "
-          f"warm {t_warm:.2f}s (target <=3s)  factor nnz={nnz}",
-          flush=True)
+          f"warm {t_warm:.2f}s = device {dev:.2f}s (target <=3s) "
+          f"+ transfer {tra:.2f}s (tunnel artifact) "
+          f"+ host {max(t_warm - dev - tra, 0.0):.2f}s  "
+          f"factor nnz={nnz}", flush=True)
 
 
 SECTIONS = dict(c64spmv=c64spmv, c64solver=c64solver,
