@@ -217,8 +217,12 @@ def _ship_contract(cplan):
     import jax.numpy as jnp
     k = cplan["kernel"]
     if k is not None:
+        from ..ops.pair_contract import _DOT_MODE
+        streams = (("pes", "pesp") if _DOT_MODE == "cumsum_batched"
+                   else ("pos",))
         arrs = {n: jnp.asarray(k[n]) for n in
-                ("pls", "pus", "pos", "lq", "uq", "nv", "lbase", "ubase")}
+                ("pls", "pus", *streams, "lq", "uq", "nv", "lbase",
+                 "ubase")}
         arrs["tail"] = tuple(jnp.asarray(t) for t in k["tail"])
         return arrs, ("kernel", k["meta"])
     rl, ru, ro = cplan["raw"]

@@ -98,8 +98,9 @@ def _bind(lib):
         ctypes.c_int64, i32p, i32p, i32p, ctypes.c_int64, ctypes.c_int32,
         ctypes.c_int32, ctypes.c_double, i64p]
     lib.gt_pair_plan_fetch.restype = ctypes.c_int
-    lib.gt_pair_plan_fetch.argtypes = [i16p, i16p, i16p, i32p, i32p, i32p,
-                                       i32p, i32p, i32p, i32p, i32p]
+    lib.gt_pair_plan_fetch.argtypes = [i16p, i16p, i16p, i16p, i16p, i32p,
+                                       i32p, i32p, i32p, i32p, i32p, i32p,
+                                       i32p]
     lib.gt_ict_pairs_rowmajor_count.restype = ctypes.c_int64
     lib.gt_ict_pairs_rowmajor_count.argtypes = [
         ctypes.c_int64, ctypes.c_int64, i64p, i64p, ctypes.c_int64]
@@ -350,6 +351,8 @@ def pair_plan_native(pl, pu, po, n_out, nv_cap, win_rows_cap, max_tail):
     pls = np.empty((T, NV, 1024), np.int16)
     pus = np.empty((T, NV, 1024), np.int16)
     pos = np.empty((T, NV, 1024), np.int16)
+    pes = np.empty((T, NV, 1024), np.int16)
+    pesp = np.empty((T, NV, 1024), np.int16)
     lq = np.empty((T, NV), np.int32)
     uq = np.empty((T, NV), np.int32)
     nv = np.empty(T, np.int32)
@@ -361,14 +364,16 @@ def pair_plan_native(pl, pu, po, n_out, nv_cap, win_rows_cap, max_tail):
     i32 = ctypes.c_int32
     rc = L.gt_pair_plan_fetch(
         _ptr(pls, ctypes.c_int16), _ptr(pus, ctypes.c_int16),
-        _ptr(pos, ctypes.c_int16), _ptr(lq, i32), _ptr(uq, i32),
+        _ptr(pos, ctypes.c_int16), _ptr(pes, ctypes.c_int16),
+        _ptr(pesp, ctypes.c_int16),
+        _ptr(lq, i32), _ptr(uq, i32),
         _ptr(nv, i32), _ptr(lbase, i32), _ptr(ubase, i32),
         _ptr(tl, i32), _ptr(tu, i32), _ptr(to, i32))
     if rc != 0:
         return None
     return dict(T=T, NV=NV, WLr=WLr, WUr=WUr, pls=pls, pus=pus, pos=pos,
-                lq=lq, uq=uq, nv=nv, lbase=lbase, ubase=ubase,
-                tail=(tl, tu, to))
+                pes=pes, pesp=pesp, lq=lq, uq=uq, nv=nv, lbase=lbase,
+                ubase=ubase, tail=(tl, tu, to))
 
 
 def ict_pairs_rowmajor_native(n, lr, lc, cap):

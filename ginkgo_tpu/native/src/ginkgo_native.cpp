@@ -2120,7 +2120,7 @@ struct PairVreg {
 };
 
 struct PairPlanStage {
-    std::vector<int16_t> pls, pus, pos;
+    std::vector<int16_t> pls, pus, pos, pes, pesp;
     std::vector<int32_t> lq, uq, nv, lbase, ubase;
     std::vector<int32_t> tail_l, tail_u, tail_o;
     int64_t T = 0, NV = 0, WLr = 0, WUr = 0;
@@ -2307,6 +2307,24 @@ extern "C" int gt_pair_plan_build(int64_t npairs, const int32_t* pl,
         }
         p = e;
     }
+    // pes: per-vreg cumulative pair count per output slot (the
+    // cumsum-difference scatter's gather positions).  pos rows are
+    // po-ascending within each vreg — the group sort is stable over
+    // po-sorted emitter input — with the PP_OW sentinel padding the
+    // tail, so one monotone walk per row suffices.
+    st->pes.assign(T * NV * PP_OW, 0);
+    st->pesp.assign(T * NV * PP_OW, 0);
+    for (int64_t r = 0; r < T * NV; ++r) {
+        const int16_t* pr = &st->pos[r * PP_OW];
+        int16_t* qe = &st->pes[r * PP_OW];
+        int16_t* qp = &st->pesp[r * PP_OW];
+        int64_t k = 0;
+        for (int64_t o = 0; o < PP_OW; ++o) {
+            qp[o] = (int16_t)k;          // pes of the previous slot
+            while (k < PP_OW && pr[k] <= o) ++k;
+            qe[o] = (int16_t)k;
+        }
+    }
     delete g_pair_plan;
     g_pair_plan = st;
     out_meta[0] = T;
@@ -2318,10 +2336,11 @@ extern "C" int gt_pair_plan_build(int64_t npairs, const int32_t* pl,
 }
 
 extern "C" int gt_pair_plan_fetch(int16_t* pls, int16_t* pus, int16_t* pos,
-                                  int32_t* lq, int32_t* uq, int32_t* nv,
-                                  int32_t* lbase, int32_t* ubase,
-                                  int32_t* tail_l, int32_t* tail_u,
-                                  int32_t* tail_o) {
+                                  int16_t* pes, int16_t* pesp,
+                                  int32_t* lq, int32_t* uq,
+                                  int32_t* nv, int32_t* lbase,
+                                  int32_t* ubase, int32_t* tail_l,
+                                  int32_t* tail_u, int32_t* tail_o) {
     PairPlanStage* st = g_pair_plan;
     if (!st) return -1;
     auto cp = [](auto& v, auto* dst) {
@@ -2331,6 +2350,8 @@ extern "C" int gt_pair_plan_fetch(int16_t* pls, int16_t* pus, int16_t* pos,
     cp(st->pls, pls);
     cp(st->pus, pus);
     cp(st->pos, pos);
+    cp(st->pes, pes);
+    cp(st->pesp, pesp);
     cp(st->lq, lq);
     cp(st->uq, uq);
     cp(st->nv, nv);

@@ -81,7 +81,8 @@ def test_pair_contract_kernel_interpret_vs_oracle():
     oracle = np.zeros(n_out, np.float64)
     np.add.at(oracle, po, (a[pl] * b[pu]).astype(np.float64))
     arrs = {k: jnp.asarray(v) for k, v in plan.items()
-            if k in ("pls", "pus", "pos", "lq", "uq", "nv", "lbase", "ubase")}
+            if k in ("pls", "pus", "pos", "pes", "pesp", "lq", "uq",
+                     "nv", "lbase", "ubase")}
     arrs["tail"] = tuple(jnp.asarray(t) for t in plan["tail"])
     got = np.asarray(pair_contract_pallas(
         jnp.asarray(a), jnp.asarray(b), arrs, plan["meta"],
@@ -106,7 +107,8 @@ def test_pair_contract_budget_spills_to_tail():
     oracle = np.zeros(n_out, np.float64)
     np.add.at(oracle, po, (a[pl] * b[pu]).astype(np.float64))
     arrs = {k: jnp.asarray(v) for k, v in plan.items()
-            if k in ("pls", "pus", "pos", "lq", "uq", "nv", "lbase", "ubase")}
+            if k in ("pls", "pus", "pos", "pes", "pesp", "lq", "uq",
+                     "nv", "lbase", "ubase")}
     arrs["tail"] = tuple(jnp.asarray(t) for t in plan["tail"])
     got = np.asarray(pair_contract_pallas(
         jnp.asarray(a), jnp.asarray(b), arrs, plan["meta"],
@@ -141,14 +143,15 @@ def test_native_planner_matches_numpy_planner():
     assert p_np is not None and p_nat is not None
     assert dict(p_np["meta"]) == dict(p_nat["meta"])
     assert len(p_np["tail"][0]) == len(p_nat["tail"][0]) > 0
-    for k in ("nv", "lbase", "ubase", "lq", "uq"):
+    for k in ("nv", "lbase", "ubase", "lq", "uq", "pes", "pesp"):
         np.testing.assert_array_equal(p_np[k], p_nat[k])
     a = rng.standard_normal(n_a).astype(np.float32)
     b = rng.standard_normal(n_b).astype(np.float32)
     oracle = np.asarray(pair_contract_reference(
         jnp.asarray(a), jnp.asarray(b), pl, pu, po, n_out))
     arrs = {k: jnp.asarray(p_nat[k]) for k in
-            ("pls", "pus", "pos", "lq", "uq", "nv", "lbase", "ubase")}
+            ("pls", "pus", "pos", "pes", "pesp", "lq", "uq", "nv",
+             "lbase", "ubase")}
     arrs["tail"] = tuple(jnp.asarray(t) for t in p_nat["tail"])
     got = np.asarray(pair_contract_pallas(
         jnp.asarray(a), jnp.asarray(b), arrs, p_nat["meta"],
