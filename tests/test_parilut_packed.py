@@ -245,3 +245,38 @@ def test_packed_generate_is_pure():
     assert out is not None
     np.testing.assert_array_equal(d.values, vals0)
     np.testing.assert_array_equal(d.row_idx, row0)
+
+
+def test_scatter_modes_agree():
+    """The two scatter formulations — sorted-po cumsum-difference
+    (default) and the one-hot MXU contraction (the independent oracle
+    formulation) — must produce the same contraction."""
+    from ginkgo_tpu.ops import pair_contract as pc
+    rng = np.random.default_rng(11)
+    n_out = n_a = n_b = 30000
+    m = 150000
+    po = np.sort(rng.integers(0, n_out, m).astype(np.int32))
+    pl = np.clip(po + rng.integers(-250, 250, m), 0, n_a - 1).astype(
+        np.int32)
+    pu = np.clip(po + rng.integers(-250, 250, m), 0, n_b - 1).astype(
+        np.int32)
+    plan = plan_pair_contract(pl, pu, po, n_out, n_a, n_b)
+    a = rng.standard_normal(n_a).astype(np.float32)
+    b = rng.standard_normal(n_b).astype(np.float32)
+    arrs = {k: jnp.asarray(plan[k]) for k in
+            ("pls", "pus", "pos", "pes", "pesp", "lq", "uq", "nv",
+             "lbase", "ubase")}
+    arrs["tail"] = tuple(jnp.asarray(t) for t in plan["tail"])
+    ys = {}
+    prev = pc._DOT_MODE
+    try:
+        for mode in ("cumsum_batched", "onehot"):
+            pc._DOT_MODE = mode
+            ys[mode] = np.asarray(pair_contract_pallas(
+                jnp.asarray(a), jnp.asarray(b), arrs, plan["meta"],
+                interpret=True))
+    finally:
+        pc._DOT_MODE = prev
+    scale = np.abs(ys["onehot"]).max()
+    assert np.abs(ys["cumsum_batched"] - ys["onehot"]).max() / scale \
+        < 2e-5

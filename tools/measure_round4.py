@@ -258,8 +258,49 @@ def parilut():
           f"factor nnz={nnz}", flush=True)
 
 
+def parict():
+    """Packed device ParICT on the symmetrized unstructured pattern."""
+    from ginkgo_tpu.base.matrix_data import MatrixData
+    from ginkgo_tpu.factorization.par_ilut_packed import (
+        generate_packed_ict, plan_packed_ict)
+    from ginkgo_tpu.utils import stagetimer
+    rng = np.random.default_rng(0)
+    n, bw, per_row = 262_144, 48, 6
+    rows = np.repeat(np.arange(n), per_row)
+    cols = np.clip(rows + rng.integers(-bw, bw + 1, size=rows.size),
+                   0, n - 1)
+    vals = rng.standard_normal(rows.size) * 0.1
+    # symmetrize (SPD-ish): A + A^T + 8I
+    r2 = np.concatenate([rows, cols, np.arange(n)])
+    c2 = np.concatenate([cols, rows, np.arange(n)])
+    v2 = np.concatenate([vals, vals, np.full(n, 8.0)])
+    d = MatrixData((n, n), r2, c2, v2.astype(np.float32)).canonical()
+    print(f"unstructured symmetric n={n} nnz={d.nnz} bw={bw}", flush=True)
+    t0 = time.time()
+    plan = plan_packed_ict(d, level=3, fill_in_limit=2.0)
+    t_plan = time.time() - t0
+    if plan is None:
+        print("plan REJECTED", flush=True)
+        return
+    print(f"plan: {t_plan:.1f}s  slots l={plan['nl']} "
+          f"pairs={len(plan['prod']['raw'][0])}", flush=True)
+    out = generate_packed_ict(d, iterations=5, fill_in_limit=2.0,
+                              sweeps=2, plan=plan)
+    with stagetimer.collect() as st:
+        t0 = time.time()
+        out = generate_packed_ict(d, iterations=5, fill_in_limit=2.0,
+                                  sweeps=2, plan=plan)
+        t_warm = time.time() - t0
+    dev = st.stages.get("device", 0.0)
+    tra = st.stages.get("transfer", 0.0)
+    print(f"generate_packed_ict 5 iters fill 2x: warm {t_warm:.2f}s = "
+          f"device {dev:.2f}s + transfer {tra:.2f}s (tunnel) + host "
+          f"{max(t_warm - dev - tra, 0.0):.2f}s  factor nnz={len(out[2])}",
+          flush=True)
+
+
 SECTIONS = dict(c64spmv=c64spmv, c64solver=c64solver,
-                trisolve=trisolve, parilut=parilut)
+                trisolve=trisolve, parilut=parilut, parict=parict)
 
 if __name__ == "__main__":
     names = sys.argv[1:] or list(SECTIONS)
