@@ -37,17 +37,29 @@ def main():
     print(f"rcm+ic cg: iters={int(res.iterations[0])}, true resid={resid:.2e}")
     assert resid < 1e-7
 
-    # par-ilu-convergence: ||A - LU||_F vs sweep count (monotone-ish)
+    # par-ilu-convergence: ParILU's fixed point IS the exact ILU(0)
+    # factorization, so the right convergence measures are (a) distance to
+    # the exact factors and (b) the pattern-restricted residual of A - LU.
+    # The off-pattern Frobenius norm ||A - LU||_F converges to the exact
+    # ILU(0)'s own fill-in error (a constant > 0), not to zero, and is not
+    # monotone from the Chow-Patel scaled init — don't assert on it.
     exact = Ilu0().generate(A)
     dense = np.asarray(A.to_dense())
-    errs = []
+    pattern = dense != 0
+    exact_l = np.asarray(exact.l_factor.to_dense())
+    exact_u = np.asarray(exact.u_factor.to_dense())
+    dists, pat_errs = [], []
     for sweeps in (1, 3, 8, 20):
         f = ParIlu(iterations=sweeps).generate(A)
-        lu = np.asarray(f.l_factor.to_dense()) @ np.asarray(
-            f.u_factor.to_dense())
-        errs.append(np.linalg.norm(dense - lu))
-        print(f"par-ilu sweeps={sweeps}: ||A - LU||_F = {errs[-1]:.3e}")
-    assert errs[-1] <= errs[0]
+        lmat = np.asarray(f.l_factor.to_dense())
+        umat = np.asarray(f.u_factor.to_dense())
+        dists.append(np.linalg.norm(lmat - exact_l)
+                     + np.linalg.norm(umat - exact_u))
+        pat_errs.append(np.linalg.norm((dense - lmat @ umat)[pattern]))
+        print(f"par-ilu sweeps={sweeps}: dist-to-exact = {dists[-1]:.3e}, "
+              f"on-pattern ||A - LU||_F = {pat_errs[-1]:.3e}")
+    assert dists[-1] <= 1e-6 and dists[-1] <= dists[0]
+    assert pat_errs[-1] <= 1e-6 and pat_errs[-1] <= pat_errs[0]
 
     # preconditioner-export: write the factors out
     with tempfile.NamedTemporaryFile(suffix=".mtx", mode="w") as f:
@@ -56,8 +68,10 @@ def main():
         assert back.nnz == exact.l_factor.nnz
     print("factor export round-trip ok")
     return {"residual": resid, "residual_bound": 1e-7,
-            "parilu_final_error": float(errs[-1]),
-            "parilu_final_error_bound": float(errs[0])}
+            "parilu_dist_to_exact": float(dists[-1]),
+            "parilu_dist_to_exact_bound": 1e-6,
+            "parilu_onpattern_error": float(pat_errs[-1]),
+            "parilu_onpattern_error_bound": 1e-6}
 
 
 if __name__ == "__main__":

@@ -135,6 +135,10 @@ class ParIlu:
         # max|l| 8.1 after 5 sweeps, 410 after 15), while the paper's
         # scaled init (Chow & Patel 2015, scaled-A iteration) settles by
         # sweep 2 and stays bounded.
+        # _split_pattern guarantees every row has a U diagonal; a -1
+        # sentinel surviving here would silently read uv[-1] as the
+        # scaling denominator, so fail loudly instead.
+        assert (udiag_pos >= 0).all(), "row(s) missing U diagonal"
         udiag = uv[udiag_pos]
         denom = np.where(udiag == 0, np.ones_like(udiag), udiag)
         lv_init = (lv / denom[lc]).astype(d.values.dtype)

@@ -96,7 +96,8 @@ def _bind(lib):
     lib.gt_pair_plan_build.restype = ctypes.c_int
     lib.gt_pair_plan_build.argtypes = [
         ctypes.c_int64, i32p, i32p, i32p, ctypes.c_int64, ctypes.c_int32,
-        ctypes.c_int32, ctypes.c_double, i64p]
+        ctypes.c_int32, ctypes.c_double, ctypes.c_int32, ctypes.c_int32,
+        i64p]
     lib.gt_pair_plan_fetch.restype = ctypes.c_int
     lib.gt_pair_plan_fetch.argtypes = [i16p, i16p, i16p, i16p, i16p, i32p,
                                        i32p, i32p, i32p, i32p, i32p, i32p,
@@ -322,7 +323,8 @@ def ilut_pairs_rowmajor_native(n, lr, lc, ur, uc, cap):
             po[order].astype(np.int32))
 
 
-def pair_plan_native(pl, pu, po, n_out, nv_cap, win_rows_cap, max_tail):
+def pair_plan_native(pl, pu, po, n_out, nv_cap, win_rows_cap, max_tail,
+                     sl=0, su=0):
     """Native packed pair-contraction planner (gt_pair_plan_build/fetch;
     one per-tile sort + two linear walks vs the numpy planner's ~10
     O(npairs) passes).  Requires ``po`` sorted ascending (the native
@@ -342,7 +344,8 @@ def pair_plan_native(pl, pu, po, n_out, nv_cap, win_rows_cap, max_tail):
     rc = L.gt_pair_plan_build(
         len(po), _ptr(pl, ctypes.c_int32), _ptr(pu, ctypes.c_int32),
         _ptr(po, ctypes.c_int32), int(n_out), int(nv_cap),
-        int(win_rows_cap), float(max_tail), _ptr(meta, ctypes.c_int64))
+        int(win_rows_cap), float(max_tail), int(sl), int(su),
+        _ptr(meta, ctypes.c_int64))
     if rc == -2:
         return None
     if rc != 0:

@@ -2138,12 +2138,20 @@ extern "C" int gt_pair_plan_build(int64_t npairs, const int32_t* pl,
                                   const int32_t* pu, const int32_t* po,
                                   int64_t n_out, int32_t nv_cap,
                                   int32_t win_rows_cap, double max_tail,
+                                  int32_t sl, int32_t su,
                                   int64_t* out_meta) {
     if (npairs <= 0 || n_out <= 0) return -1;
+    if (sl < 0 || sl > 5 || su < 0 || su > 5) return -1;
     for (int64_t i = 1; i < npairs; ++i)
         if (po[i] < po[i - 1]) return -2;   // unsorted: numpy fallback
     const int64_t T = (n_out + PP_OW - 1) / PP_OW;
-    const int32_t capb = win_rows_cap / 8;
+    // per-vreg gather windows of gwl/gwu rows (coarse blocks of
+    // 128*gw elements); the window caps below are in coarse units
+    const int32_t gwl = 8 << sl, gwu = 8 << su;
+    const int32_t capb_l = win_rows_cap / gwl;
+    const int32_t capb_u = win_rows_cap / gwu;
+    const int32_t shl = 10 + sl, shu = 10 + su;
+    const int32_t mkl = gwl * 128 - 1, mku = gwu * 128 - 1;
 
     // phase 1: per-tile (ub, lb) sort; vreg segmentation
     std::vector<int32_t> ord(npairs);       // tile-major sorted pair ids
@@ -2159,24 +2167,30 @@ extern "C" int gt_pair_plan_build(int64_t npairs, const int32_t* pl,
         if (m > 0 && m < (int64_t(1) << 22)) {
             keys.resize(m);
             for (int64_t k = 0; k < m; ++k)
-                keys[k] = ((uint64_t)(uint32_t)(pu[p + k] >> 10) << 43) |
-                          ((uint64_t)(uint32_t)(pl[p + k] >> 10) << 22) |
+                keys[k] = ((uint64_t)(uint32_t)(pu[p + k] >> shu) << 43) |
+                          ((uint64_t)(uint32_t)(pl[p + k] >> shl) << 22) |
                           (uint64_t)k;
             std::sort(keys.begin(), keys.end());
             for (int64_t k = 0; k < m; ++k)
                 ord[p + k] = (int32_t)(p + (int64_t)(keys[k] & 0x3FFFFF));
         } else if (m > 0) {                 // huge segment: comparator sort
             for (int64_t k = 0; k < m; ++k) ord[p + k] = (int32_t)(p + k);
+            // original-index tiebreak keeps the sort stable over the
+            // emitters' (po, pu) order — the cumsum-difference pes/pesp
+            // scatter requires in-vreg po-ascending order, matching the
+            // small-segment path's embedded-index key.
             std::sort(ord.begin() + p, ord.begin() + e,
                       [&](int32_t a, int32_t b) {
-                          const int32_t ua = pu[a] >> 10, ub = pu[b] >> 10;
+                          const int32_t ua = pu[a] >> shu, ub = pu[b] >> shu;
                           if (ua != ub) return ua < ub;
-                          return (pl[a] >> 10) < (pl[b] >> 10);
+                          const int32_t la = pl[a] >> shl, lb = pl[b] >> shl;
+                          if (la != lb) return la < lb;
+                          return a < b;
                       });
         }
         int32_t cl = -1, cu = -1, cnt = 0;
         for (int64_t k = p; k < e; ++k) {
-            const int32_t lb = pl[ord[k]] >> 10, ub = pu[ord[k]] >> 10;
+            const int32_t lb = pl[ord[k]] >> shl, ub = pu[ord[k]] >> shu;
             if (lb != cl || ub != cu || cnt == (int32_t)PP_OW) {
                 vregs.push_back({lb, ub, 0, 0, 0});
                 cl = lb; cu = ub; cnt = 0;
@@ -2205,13 +2219,13 @@ extern "C" int gt_pair_plan_build(int64_t npairs, const int32_t* pl,
                              blocks.end());
             med[side] = blocks[cnt / 2];
         }
-        const int32_t lo_l = std::max(med[0] - capb / 2, 0);
-        const int32_t lo_u = std::max(med[1] - capb / 2, 0);
+        const int32_t lo_l = std::max(med[0] - capb_l / 2, 0);
+        const int32_t lo_u = std::max(med[1] - capb_u / 2, 0);
         int32_t rank = 0;
         for (int64_t v = vs; v < ve; ++v) {
             PairVreg& r = vregs[v];
             const int32_t bl = r.lb - lo_l, bu = r.ub - lo_u;
-            if (bl >= 0 && bl < capb && bu >= 0 && bu < capb) {
+            if (bl >= 0 && bl < capb_l && bu >= 0 && bu < capb_u) {
                 r.rank = rank++;
                 if (r.rank > max_rank) max_rank = r.rank;
             } else {
@@ -2240,12 +2254,12 @@ extern "C" int gt_pair_plan_build(int64_t npairs, const int32_t* pl,
         for (int64_t v = voff[t]; v < voff[t + 1]; ++v) {
             const PairVreg& r = vregs[v];
             if (!r.live) continue;
-            st->lbase[t] = std::min(st->lbase[t], r.lb * 8);
-            lmax[t] = std::max(lmax[t], r.lb * 8 + 8);
-            st->ubase[t] = std::min(st->ubase[t], r.ub * 8);
-            umax[t] = std::max(umax[t], r.ub * 8 + 8);
+            st->lbase[t] = std::min(st->lbase[t], r.lb * gwl);
+            lmax[t] = std::max(lmax[t], r.lb * gwl + gwl);
+            st->ubase[t] = std::min(st->ubase[t], r.ub * gwu);
+            umax[t] = std::max(umax[t], r.ub * gwu + gwu);
         }
-    int64_t wl = 8, wu = 8;
+    int64_t wl = gwl, wu = gwu;
     for (int64_t t = 0; t < T; ++t) {
         if (lmax[t] < 0) {
             st->lbase[t] = 0; st->ubase[t] = 0;
@@ -2279,24 +2293,24 @@ extern "C" int gt_pair_plan_build(int64_t npairs, const int32_t* pl,
         int64_t base = 0;
         for (int64_t k = p; k < e; ++k) {
             const int32_t id = ord[k];
-            const int32_t lb = pl[id] >> 10, ub = pu[id] >> 10;
+            const int32_t lb = pl[id] >> shl, ub = pu[id] >> shu;
             if (lb != cl || ub != cu || cnt == (int32_t)PP_OW) {
                 ++vcur;
                 r = &vregs[vcur];
                 cl = lb; cu = ub; cnt = 0; slot = 0;
                 if (r->live) {
                     st->lq[t * NV + r->rank] =
-                        lb * 8 - st->lbase[t];
+                        lb * gwl - st->lbase[t];
                     st->uq[t * NV + r->rank] =
-                        ub * 8 - st->ubase[t];
+                        ub * gwu - st->ubase[t];
                     ++st->nv[t];
                     base = (t * NV + r->rank) * PP_OW;
                 }
             }
             ++cnt;
             if (r->live) {
-                st->pls[base + slot] = (int16_t)(pl[id] & 1023);
-                st->pus[base + slot] = (int16_t)(pu[id] & 1023);
+                st->pls[base + slot] = (int16_t)(pl[id] & mkl);
+                st->pus[base + slot] = (int16_t)(pu[id] & mku);
                 st->pos[base + slot] = (int16_t)(po[id] & 1023);
                 ++slot;
             } else {
