@@ -46,12 +46,49 @@ def load_cases(args) -> list[dict]:
 
 
 def build_matrix_data(case: dict):
-    """Test case -> MatrixData: {'filename': ...} or
-    {'stencil': '5pt|9pt|7pt|27pt', 'size': edge}."""
+    """Test case -> MatrixData: {'filename': ...} (MatrixMarket, e.g.
+    the ani fixtures), {'stencil': '5pt|9pt|7pt|27pt', 'size': edge},
+    or {'fem': n[, 'spread': 600, 'per_row': 18, 'rcm': bool]} — the
+    generated unstructured FEM class (random column offsets with mesh
+    locality, diagonally dominant values; the reference's protocol runs
+    SuiteSparse matrices here, BENCHMARKING.md:16)."""
     from ..base.mtx_io import read_mtx
     from ..utils.generators import stencil_2d, stencil_3d
     if "filename" in case:
-        return read_mtx(case["filename"])
+        d = read_mtx(case["filename"]).canonical()
+        if case.get("rcm"):
+            d = _rcm(d)
+        return d
+    if "fem" in case:
+        import numpy as np
+        n = int(case["fem"])
+        spread = int(case.get("spread", 600))
+        per = int(case.get("per_row", 18))
+        rng = np.random.default_rng(int(case.get("seed", 5)))
+        block = 128
+        n_off = max(2, int(round(per / 0.6)))
+        offs = rng.integers(-spread, spread, (-(-n // block), n_off))
+        pick = rng.random((n, n_off)) < 0.6
+        r = np.repeat(np.arange(n), n_off).reshape(n, n_off)
+        c = np.clip(r + offs[np.arange(n) // block], 0, n - 1)
+        rows, cols = r[pick], c[pick]
+        key = np.unique(rows * n + cols)
+        rows, cols = key // n, key % n
+        rows = np.concatenate([rows, np.arange(n)])
+        cols = np.concatenate([cols, np.arange(n)])
+        off = float(case.get("offscale", 0.1))
+        vals = np.concatenate([off * rng.standard_normal(key.size),
+                               np.full(n, 8.0)])
+        from ..base.matrix_data import MatrixData
+        d = MatrixData((n, n), rows, cols, vals).canonical()
+        if case.get("sym"):
+            # 0.5 (M + M^T): SPD-ish for the CG-family solver cases
+            d = MatrixData((n, n),
+                           np.concatenate([d.row_idx, d.col_idx]),
+                           np.concatenate([d.col_idx, d.row_idx]),
+                           np.concatenate([d.values * 0.5,
+                                           d.values * 0.5])).canonical()
+        return _rcm(d) if case.get("rcm") else d
     st = case.get("stencil", "27pt")
     size = int(case.get("size", 32))
     if st in ("5pt", "9pt"):
@@ -61,9 +98,30 @@ def build_matrix_data(case: dict):
     raise ValueError(f"unknown test case {case!r}")
 
 
+def _rcm(d):
+    """RCM-permute a MatrixData (the framework's prescribed ordering
+    for unstructured problems)."""
+    import numpy as np
+    from ..matrix.csr import Csr
+    from ..reorder import Rcm
+    perm = np.asarray(Rcm.build().generate(Csr.from_data(d)).perm)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(perm.size)
+    from ..base.matrix_data import MatrixData
+    return MatrixData(d.shape, inv[d.row_idx], inv[d.col_idx],
+                      d.values.copy()).canonical()
+
+
 def case_name(case: dict) -> str:
     if "filename" in case:
-        return case["filename"]
+        return case["filename"] + (" (rcm)" if case.get("rcm") else "")
+    if "fem" in case:
+        return (f"fem(n={case['fem']}, spread={case.get('spread', 600)}"
+                f", per_row={case.get('per_row', 18)}"
+                + (f", offscale={case['offscale']}" if "offscale" in case
+                   else "")
+                + (", sym" if case.get("sym") else "") + ")"
+                + (" (rcm)" if case.get("rcm") else ""))
     return f"stencil({case.get('stencil', '27pt')}, {case.get('size', 32)})"
 
 

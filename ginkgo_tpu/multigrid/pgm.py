@@ -142,15 +142,23 @@ def pgm_aggregate(data: MatrixData, max_iterations: int = 15,
     d = data.canonical()
     n = d.shape[0]
 
-    # device slab matching for diagonal-structured matrices (pgm_dia.py)
-    if algorithm not in ("auto", "dia", "general"):
+    # device matching: DIA slabs for diagonal-structured matrices
+    # (pgm_dia.py), padded-ELL for general unstructured (pgm_packed.py)
+    if algorithm not in ("auto", "dia", "packed", "general"):
         raise ValueError(f"unknown algorithm {algorithm!r}")
     if algorithm != "general" and deterministic:
         import jax
-        if (algorithm == "dia"
-                or (jax.default_backend() != "cpu" and n >= 16384)):
+        accel = jax.default_backend() != "cpu"
+        if algorithm == "dia" or (algorithm == "auto" and accel
+                                  and n >= 16384):
             from .pgm_dia import aggregate_dia
             root = aggregate_dia(d, max_iterations)
+            if root is not None:
+                return _renumber(root, n)
+        if algorithm == "packed" or (algorithm == "auto" and accel
+                                     and n >= 16384):
+            from .pgm_packed import aggregate_packed
+            root = aggregate_packed(d, max_iterations)
             if root is not None:
                 return _renumber(root, n)
     # symmetrised off-diagonal weight matrix (pgm.cpp builds 0.5(A+Aᵀ))

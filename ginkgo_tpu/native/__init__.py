@@ -154,6 +154,14 @@ def _bind(lib):
     lib.gt_isai_fill.argtypes = [ctypes.c_int64, ctypes.c_int64, i64p,
                                  i64p, f64p, i64p, i64p, f64p, f64p,
                                  ctypes.c_int32]
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.gt_isai_pairs_count.restype = ctypes.c_int64
+    lib.gt_isai_pairs_count.argtypes = [ctypes.c_int64, ctypes.c_int64,
+                                        i64p, i64p, i64p, i64p]
+    lib.gt_isai_pairs_fill.restype = ctypes.c_int64
+    lib.gt_isai_pairs_fill.argtypes = [ctypes.c_int64, ctypes.c_int64,
+                                       i64p, i64p, i64p, i64p, i64p,
+                                       i64p, u8p, ctypes.c_int64]
     lib.gt_parilut_candidates.restype = ctypes.c_int64
     lib.gt_parilut_candidates.argtypes = [ctypes.c_int64, i64p, i64p, f64p,
                                           i64p, i64p, f64p, i64p, i64p,
@@ -672,6 +680,31 @@ def isai_fill_native(S, a_ptr, a_cols, a_vals, p_ptr, p_cols, subs, rhs):
         rhs.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         1 if is_cpx else 0)
     return rc == 0 or None
+
+
+def isai_pairs_native(S, a_ptr, a_cols, p_ptr, p_cols):
+    """(dest, loc, hit) pair list for the device-resident ISAI fill
+    (gt_isai_pairs_count/fill): A hits + diagonal-miss clears, in the
+    (i, b, a-merge) walk order.  None when native is unavailable."""
+    L = lib()
+    if L is None or not hasattr(L, "gt_isai_pairs_count"):
+        return None
+    n = p_ptr.shape[0] - 1
+    args = (n, int(S), _ptr(a_ptr, ctypes.c_int64),
+            _ptr(a_cols, ctypes.c_int64), _ptr(p_ptr, ctypes.c_int64),
+            _ptr(p_cols, ctypes.c_int64))
+    count = L.gt_isai_pairs_count(*args)
+    if count < 0:
+        return None
+    dest = np.empty(count, np.int64)
+    loc = np.empty(count, np.int64)
+    hit = np.empty(count, np.uint8)
+    got = L.gt_isai_pairs_fill(
+        *args, _ptr(dest, ctypes.c_int64), _ptr(loc, ctypes.c_int64),
+        hit.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), count)
+    if got != count:
+        return None
+    return dest, loc, hit.astype(bool)
 
 
 def _cand_alloc(count, is_cpx):

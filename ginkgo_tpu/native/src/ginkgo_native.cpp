@@ -1690,6 +1690,65 @@ extern "C" int gt_isai_fill(int64_t n, int64_t S,
     return 0;
 }
 
+// ISAI device-fill pair list (the symbolic half of gt_isai_fill, for
+// the device-resident scatter path): the same sorted two-pointer merge
+// of each pattern row J with A's rows J[b], but emitting
+// (dest = (i*S + a)*S + b, loc = A value index, hit) triples for A hits
+// plus hit=0 entries for valid DIAGONAL slots (a == b) with no A entry
+// (the device slab is identity-initialized; those must be cleared).
+// Two-pass: count then fill into caller buffers.
+template <class EMIT>
+static void isai_pairs_walk(int64_t n, int64_t S, const int64_t* a_ptr,
+                            const int64_t* a_cols, const int64_t* p_ptr,
+                            const int64_t* p_cols, EMIT&& emit) {
+    for (int64_t i = 0; i < n; ++i) {
+        const int64_t ps = p_ptr[i], pe = p_ptr[i + 1], m = pe - ps;
+        for (int64_t b = 0; b < m; ++b) {
+            const int64_t jb = p_cols[ps + b];
+            int64_t e = a_ptr[jb];
+            const int64_t ee = a_ptr[jb + 1];
+            for (int64_t a = 0; a < m; ++a) {
+                const int64_t ja = p_cols[ps + a];
+                while (e < ee && a_cols[e] < ja) ++e;
+                const bool hit = e < ee && a_cols[e] == ja;
+                if (hit || a == b)
+                    emit((i * S + a) * S + b, hit ? e : 0, hit);
+            }
+        }
+    }
+}
+
+extern "C" int64_t gt_isai_pairs_count(int64_t n, int64_t S,
+                                       const int64_t* a_ptr,
+                                       const int64_t* a_cols,
+                                       const int64_t* p_ptr,
+                                       const int64_t* p_cols) {
+    int64_t cnt = 0;
+    isai_pairs_walk(n, S, a_ptr, a_cols, p_ptr, p_cols,
+                    [&](int64_t, int64_t, bool) { ++cnt; });
+    return cnt;
+}
+
+extern "C" int64_t gt_isai_pairs_fill(int64_t n, int64_t S,
+                                      const int64_t* a_ptr,
+                                      const int64_t* a_cols,
+                                      const int64_t* p_ptr,
+                                      const int64_t* p_cols,
+                                      int64_t* dest, int64_t* loc,
+                                      uint8_t* hit, int64_t cap) {
+    int64_t cnt = 0;
+    isai_pairs_walk(n, S, a_ptr, a_cols, p_ptr, p_cols,
+                    [&](int64_t d, int64_t l, bool h) {
+                        if (cnt < cap) {
+                            dest[cnt] = d;
+                            loc[cnt] = l;
+                            hit[cnt] = h ? 1 : 0;
+                        }
+                        ++cnt;
+                    });
+    return cnt;
+}
+
 // ---------------------------------------------------------------------------
 // ParILUT fused candidates (core/factorization/par_ilut.cpp:262
 // add_candidates + the repo's fused-Jacobi seeding, one pass):

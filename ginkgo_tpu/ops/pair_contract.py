@@ -115,8 +115,13 @@ def _select_shifts(pl_, pu_, po_, n_out, nv_cap):
     cost = {}
     for (sl, su), (vtot, vmax, _) in stats.items():
         feasible = vmax <= nv_cap
+        # chip-calibrated: the kernel is scatter/DMA-bound, so padded
+        # throughput holds ~2.6-2.8 G/s up to ~64-row windows and the
+        # gather select-loop only shows past that (v5e forced-shift
+        # sweep, 16M-pair fragmented list: ns/padded-pair fits
+        # 0.28 + 0.0013*(GWL+GWU) => cost constant 224 rows)
         cost[(sl, su)] = (not feasible,
-                          vtot * _OW * (16 + (8 << sl) + (8 << su)))
+                          vtot * _OW * (224 + (8 << sl) + (8 << su)))
     best = min(cost, key=lambda k: cost[k])
     # hysteresis: keep the historical (0, 0) plan shape unless the
     # coarse grouping is a clear (>=1.3x) win

@@ -131,6 +131,82 @@ def _isai_fill_dia(d, prow, pcol, nnzp):
     return subs, rhs, offs_pat
 
 
+@partial(jax.jit, static_argnames=("n", "S"))
+def _isai_packed_kernel(avals, dest, loc, hit, dslot, n, S):
+    """Device-resident unstructured block fill + batched solve: an
+    identity-initialized (n, S, S) slab takes ONE scatter of the live
+    pairs (subs[i, a, b] = A[J_i[b], J_i[a]]; pair positions are
+    pattern-only host symbolics, cached across generates), then the
+    vmapped Gauss-Jordan solve.  The reference fills and solves these
+    blocks on device for any pattern
+    (common/cuda_hip/preconditioner/isai_kernels.cpp)."""
+    from ..ops.gauss_jordan import batched_solve
+    eye = jnp.broadcast_to(jnp.eye(S, dtype=avals.dtype), (n, S, S))
+    vals = jnp.where(hit, avals[loc], jnp.zeros((), avals.dtype))
+    # identity-initialized slab: A hits overwrite their (a, b) slots;
+    # kept non-hit pairs are exactly the valid diagonal slots whose
+    # submatrix diagonal is structurally zero (clear the stale 1)
+    subs = eye.reshape(n * S * S).at[dest].set(vals).reshape(n, S, S)
+    rhs = jnp.zeros((n, S), avals.dtype).at[
+        jnp.arange(n), dslot].set(1)
+    return batched_solve(subs, rhs)
+
+
+_ISAI_SYM_CACHE = {}     # mode -> (digest, symbolics dict)
+
+
+def _want_packed_fill(n, S, itemsize):
+    """Route to the device-resident unstructured fill: accelerator
+    backends above the dispatch-amortization size, slab within HBM
+    budget (tests monkeypatch this to force/disable the path)."""
+    return (jax.default_backend() != "cpu" and n >= 16384
+            and n * S * S * itemsize <= (3 << 30)
+            and n * S * S < (1 << 31))
+
+
+def _isai_packed_symbolics(d, ptr, lens, S, prow, pcol):
+    """Pattern-only pair symbolics for the device fill (host, cached):
+    for entry e = slot a of row i and every slot b of the same row,
+    dest = flat (i, a, b) and loc/hit = A's lookup of (J_i[b], J_i[a]).
+    Ships LIVE pairs only: the device slab is identity-initialized; A
+    hits overwrite, and valid DIAGONAL slots without an A hit write an
+    explicit 0 (the dense fill leaves 0 there; identity would leave a
+    stale 1) — non-hit off-diagonal slots are already 0.  Primary path
+    is the native two-pointer merge (gt_isai_pairs, O(Σ_b (m + deg));
+    the numpy fallback materializes the Σ m² pair list)."""
+    n = d.shape[0]
+    nnzp = prow.shape[0]
+    a_slot = np.arange(nnzp) - ptr[prow]
+    from ..native import isai_pairs_native
+    nat = isai_pairs_native(S, d.row_ptrs(),
+                            np.ascontiguousarray(d.col_idx, np.int64),
+                            ptr, np.ascontiguousarray(pcol, np.int64))
+    if nat is not None:
+        dest, loc, hit = nat
+    else:
+        cnt = lens[prow]
+        pair_a = np.repeat(np.arange(nnzp), cnt)
+        total = int(cnt.sum())
+        b_local = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        row_of = prow[pair_a]
+        ja = pcol[pair_a]
+        jb = pcol[ptr[row_of] + b_local]
+        akeys = d.row_idx.astype(np.int64) * n + d.col_idx
+        qkeys = jb * n + ja
+        loc = np.minimum(np.searchsorted(akeys, qkeys), d.nnz - 1)
+        hit = akeys[loc] == qkeys
+        dest = (row_of * S + a_slot[pair_a]) * S + b_local
+        diag_miss = (a_slot[pair_a] == b_local) & ~hit
+        keep = hit | diag_miss
+        dest, loc, hit = dest[keep], loc[keep], hit[keep]
+    # per-row rhs position of the pattern's diagonal entry
+    on_diag = pcol == prow
+    dslot = np.zeros(n, np.int64)
+    dslot[prow[on_diag]] = a_slot[on_diag]
+    return dict(dest=dest, loc=loc, hit=hit,
+                dslot=dslot, a_slot=a_slot, nnzp=nnzp)
+
+
 def generate_isai(A, sparsity_power: int = 1, mode: str = "general") -> Csr:
     """Build the approximate-inverse Csr for A (host symbolic + one
     batched device solve).
@@ -177,6 +253,47 @@ def generate_isai(A, sparsity_power: int = 1, mode: str = "general") -> Csr:
         slot = np.searchsorted(offs_pat, pcol - prow)
         m_data = MatrixData((n, n), prow, pcol,
                             sols[prow, slot].astype(dtype))
+        return Csr.from_data(m_data.canonical(), strategy="automatical")
+
+    # unstructured device path: host pattern symbolics (cached on the
+    # pattern+A-pattern digest; device index arrays cached too, so a
+    # same-pattern regenerate ships only A's values) + one device
+    # scatter into an identity slab + the batched solve.  Budget: the
+    # (n, S, S) slab must fit comfortably in HBM.
+    if _want_packed_fill(n, S, np.dtype(dtype).itemsize):
+        from jax import dtypes as _dtypes
+        from ..utils import stagetimer
+        import hashlib
+        h = hashlib.sha1()
+        h.update(np.asarray([n, S, nnzp, d.nnz], np.int64).tobytes())
+        h.update(np.ascontiguousarray(prow).tobytes())
+        h.update(np.ascontiguousarray(pcol).tobytes())
+        h.update(np.ascontiguousarray(d.row_idx).tobytes())
+        h.update(np.ascontiguousarray(d.col_idx).tobytes())
+        dig = h.digest()
+        hit_entry = _ISAI_SYM_CACHE.get(mode)
+        if hit_entry is not None and hit_entry[0] == dig:
+            sym = hit_entry[1]
+        else:
+            sym = _isai_packed_symbolics(d, ptr, lens, S, prow, pcol)
+            with stagetimer.stage("transfer"):
+                sym["dev"] = stagetimer.sync(tuple(
+                    jnp.asarray(sym[k].astype(np.int32) if k != "hit"
+                                else sym[k])
+                    for k in ("dest", "loc", "hit", "dslot")))
+            _ISAI_SYM_CACHE[mode] = (dig, sym)
+        cdtype = _dtypes.canonicalize_dtype(dtype)
+        with stagetimer.stage("transfer"):
+            avals = stagetimer.sync(
+                jnp.asarray(d.values.astype(cdtype)))
+        with stagetimer.stage("device"):
+            dest_d, loc_d, hit_d, dslot_d = sym["dev"]
+            sols = stagetimer.sync(_isai_packed_kernel(
+                avals, dest_d, loc_d, hit_d, dslot_d, n=n, S=S))
+        with stagetimer.stage("transfer"):
+            sols = np.asarray(sols)
+        m_data = MatrixData((n, n), prow, pcol,
+                            sols[prow, sym["a_slot"]].astype(dtype))
         return Csr.from_data(m_data.canonical(), strategy="automatical")
 
     a_slot = np.arange(nnzp) - ptr[prow]           # position within row

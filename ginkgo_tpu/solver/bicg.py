@@ -35,12 +35,16 @@ def solve(A, b, x0=None, *, criteria=None, preconditioner=None,
     At = _conj_transpose(A)
     Mt = _conj_transpose(M)
 
-    r = b2 - A._apply(x)
-    ones = jnp.ones((b2.shape[1],), r.dtype)
-    state = dict(x=x, r=r, r2=r, p=jnp.zeros_like(r), p2=jnp.zeros_like(r),
-                 rho=ones)
+    def init_state(x):
+        # also the audit restart: true r, fresh shadow/search vectors
+        r = b2 - A._apply(x)
+        ones = jnp.ones((b2.shape[1],), r.dtype)
+        return dict(x=x, r=r, r2=r, p=jnp.zeros_like(r),
+                    p2=jnp.zeros_like(r), rho=ones)
+
+    state = init_state(x)
     b_norm = compute_norm2(b2)
-    r0_norm = compute_norm2(r)
+    r0_norm = compute_norm2(state["r"])
 
     def step(s):
         z = M._apply(s["r"])
@@ -60,7 +64,7 @@ def solve(A, b, x0=None, *, criteria=None, preconditioner=None,
 
     final, history = run_iteration_loop(
         step, make_check_args, state, criteria, b2, r0_norm, b_norm,
-        trace=trace)
+        trace=trace, restart_fn=lambda s: init_state(s["x"]))
     return finish(final, history, final["state"]["x"], final["state"]["r"],
                   squeeze)
 

@@ -26,14 +26,17 @@ def solve(A, b, x0=None, *, criteria=None, preconditioner=None,
     if criteria is None:
         criteria = default_criterion(b2.dtype)
 
-    r = b2 - A._apply(x)
-    z = M._apply(r)
-    rho = compute_conj_dot(r, z)
+    def init_state(x):
+        # p starts at zero so the first step_1 yields p = z regardless
+        # of the rho/prev_rho ratio (Ginkgo's initialize kernel
+        # semantics); also the audit restart (true r, fresh direction).
+        r = b2 - A._apply(x)
+        return dict(x=x, r=r, p=jnp.zeros_like(r),
+                    rho=compute_conj_dot(r, M._apply(r)))
+
+    state = init_state(x)
     b_norm = compute_norm2(b2)
-    r0_norm = compute_norm2(r)
-    # p starts at zero so the first step_1 yields p = z regardless of the
-    # rho/prev_rho ratio (Ginkgo's initialize kernel semantics).
-    state = dict(x=x, r=r, p=jnp.zeros_like(r), rho=rho)
+    r0_norm = compute_norm2(state["r"])
 
     def step(s):
         z = M._apply(s["r"])
@@ -50,7 +53,7 @@ def solve(A, b, x0=None, *, criteria=None, preconditioner=None,
 
     final, history = run_iteration_loop(
         step, make_check_args, state, criteria, b2, r0_norm, b_norm,
-        trace=trace)
+        trace=trace, restart_fn=lambda s: init_state(s["x"]))
     return finish(final, history, final["state"]["x"], final["state"]["r"],
                   squeeze)
 

@@ -91,7 +91,8 @@ def resolve_precond(preconditioner, A):
 
 def run_iteration_loop(step_fn, make_check_args, state0, criterion: Criterion,
                        b, r0_norm, b_norm, *, trace: bool = False,
-                       trip_cap: int | None = None):
+                       trip_cap: int | None = None, restart_fn=None,
+                       verify_retries: int = 2):
     """The while_loop driver shared by every Krylov solver.
 
     On first use the persistent XLA compilation cache is switched on
@@ -101,6 +102,20 @@ def run_iteration_loop(step_fn, make_check_args, state0, criterion: Criterion,
 
     step_fn(state) -> state'        one fused iteration (unmasked)
     make_check_args(state, it) -> CheckArgs
+
+    ``restart_fn(state) -> state`` (optional) re-initializes the solver
+    from its current iterate with a TRUE residual r = b - A x.  When
+    given, estimate-based convergence is AUDITED (the GMRES
+    run_restarted_loop mechanism, reference bookkeeping
+    benchmark/solver/solver_common.hpp:560,634): once the loop stops,
+    the criterion is re-checked against the recomputed residual; a
+    column whose recurrent estimate fired but whose true residual
+    misses is restarted and continues (up to ``verify_retries`` times
+    — a Krylov restart from the true residual is a legitimate
+    continuation), after which it reports ``stagnated`` instead of
+    claiming a convergence the true residual contradicts.  Hot
+    while_loop path only (the trace/host paths keep their post-hoc
+    audit semantics).
 
     With ``trace=True`` runs a fixed-trip ``lax.scan`` instead and returns
     per-iteration residual norms (the SolverProgress logger analog).
@@ -179,7 +194,33 @@ def run_iteration_loop(step_fn, make_check_args, state0, criterion: Criterion,
         def cond(carry):
             return jnp.any(carry["active"]) & (carry["it"] < cap)
 
-        final = jax.lax.while_loop(cond, body, carry0)
+        if restart_fn is None:
+            final = jax.lax.while_loop(cond, body, carry0)
+            return final, None
+
+        def audit(oc):
+            c = jax.lax.while_loop(cond, body, oc["carry"])
+            s2 = restart_fn(c["state"])
+            args = make_check_args(s2, c["it"])
+            _, conv_t, crit_t = criterion.check(c["crit"], args)
+            # estimate-claimed convergence the true residual contradicts
+            bogus = c["converged"] & ~conv_t
+            out_of = oc["audits"] >= verify_retries
+            redo = bogus & ~out_of
+            state = s2 if single_col else mask_cols(redo, s2, c["state"])
+            c2 = dict(c, state=state, crit=crit_t, active=redo,
+                      converged=c["converged"] & ~bogus)
+            return dict(carry=c2,
+                        stagnated=oc["stagnated"] | (bogus & out_of),
+                        audits=oc["audits"] + 1)
+
+        oc = audit(dict(carry=carry0,
+                        stagnated=jnp.zeros((k,), bool),
+                        audits=jnp.int32(0)))
+        oc = jax.lax.while_loop(
+            lambda oc: jnp.any(oc["carry"]["active"])
+            & (oc["carry"]["it"] < cap), audit, oc)
+        final = dict(oc["carry"], stagnated=oc["stagnated"])
         return final, None
 
     def scan_body(carry, _):

@@ -25,15 +25,18 @@ def solve(A, b, x0=None, *, criteria=None, preconditioner=None,
     if criteria is None:
         criteria = default_criterion(b2.dtype)
 
-    r = b2 - A._apply(x)
-    ones = jnp.ones((b2.shape[1],), r.dtype)
-    # t starts equal to r so the first beta reduces to plain CG's rho/1 with
-    # p = 0 (Ginkgo's initialize kernel semantics).
-    state = dict(x=x, r=r, t=r, p=jnp.zeros_like(r), prev_rho=ones,
-                 rho=compute_conj_dot(r, M._apply(r)))
+    def init_state(x):
+        # t starts equal to r so the first beta reduces to plain CG's
+        # rho/1 with p = 0 (Ginkgo's initialize kernel semantics); also
+        # the audit restart (true r, fresh direction).
+        r = b2 - A._apply(x)
+        ones = jnp.ones((b2.shape[1],), r.dtype)
+        return dict(x=x, r=r, t=r, p=jnp.zeros_like(r), prev_rho=ones,
+                    rho=compute_conj_dot(r, M._apply(r)))
 
+    state = init_state(x)
     b_norm = compute_norm2(b2)
-    r0_norm = compute_norm2(r)
+    r0_norm = compute_norm2(state["r"])
 
     def step(s):
         z = M._apply(s["r"])
@@ -52,7 +55,7 @@ def solve(A, b, x0=None, *, criteria=None, preconditioner=None,
 
     final, history = run_iteration_loop(
         step, make_check_args, state, criteria, b2, r0_norm, b_norm,
-        trace=trace)
+        trace=trace, restart_fn=lambda s: init_state(s["x"]))
     return finish(final, history, final["state"]["x"], final["state"]["r"],
                   squeeze)
 

@@ -38,11 +38,16 @@ def solve(A, b, x0=None, *, criteria=None, preconditioner=None,
     OB = min(8, m)
     buf = KrylovBasis(m, n, k, dtype, block=OB)
 
-    r = b2 - A._apply(x)
-    state = dict(x=x, r=r, P=buf.empty(), Q=buf.empty(),
-                 j=jnp.zeros((), jnp.int32))
+    def init_state(x):
+        # also the audit restart: true r + index reset to 0 (a GCR
+        # restart discards the stored directions via the j < jm mask)
+        r = b2 - A._apply(x)
+        return dict(x=x, r=r, P=buf.empty(), Q=buf.empty(),
+                    j=jnp.zeros((), jnp.int32))
+
+    state = init_state(x)
     b_norm = compute_norm2(b2)
-    r0_norm = compute_norm2(r)
+    r0_norm = compute_norm2(state["r"])
 
     def step(s):
         jm = jnp.mod(s["j"], m)          # restart = index wrap
@@ -81,7 +86,7 @@ def solve(A, b, x0=None, *, criteria=None, preconditioner=None,
 
     final, history = run_iteration_loop(
         step, make_check_args, state, criteria, b2, r0_norm, b_norm,
-        trace=trace)
+        trace=trace, restart_fn=lambda s: init_state(s["x"]))
     return finish(final, history, final["state"]["x"], final["state"]["r"],
                   squeeze)
 

@@ -25,21 +25,26 @@ def solve(A, b, x0=None, *, criteria=None, preconditioner=None,
     if criteria is None:
         criteria = default_criterion(b2.dtype)
 
-    r0 = b2 - A._apply(x)
-    y = M._apply(r0)
-    beta1 = jnp.sqrt(jnp.abs(compute_conj_dot(r0, y)))
     k = b2.shape[1]
     ones = jnp.ones((k,), b2.dtype)
     zeros_s = jnp.zeros((k,), b2.dtype)
-    z = jnp.zeros_like(b2)
-    state = dict(x=x, y=y, r1=z, r2=r0, w=z, w2=z,
-                 oldb=ones, beta=beta1.astype(b2.dtype),
-                 dbar=zeros_s, epsln=zeros_s,
-                 phibar=beta1.astype(b2.dtype),
-                 cs=-ones, sn=zeros_s)
 
+    def init_state(x):
+        # also the audit restart: a fresh Lanczos process from the true
+        # residual (phibar restarts at ||r||_M, the recurrent estimate)
+        r0 = b2 - A._apply(x)
+        y = M._apply(r0)
+        beta1 = jnp.sqrt(jnp.abs(compute_conj_dot(r0, y)))
+        z = jnp.zeros_like(b2)
+        return dict(x=x, y=y, r1=z, r2=r0, w=z, w2=z,
+                    oldb=ones, beta=beta1.astype(b2.dtype),
+                    dbar=zeros_s, epsln=zeros_s,
+                    phibar=beta1.astype(b2.dtype),
+                    cs=-ones, sn=zeros_s)
+
+    state = init_state(x)
     b_norm = compute_norm2(b2)
-    r0_norm = compute_norm2(r0)
+    r0_norm = compute_norm2(state["r2"])        # r2 starts as b - A x
 
     def step(s):
         # --- preconditioned Lanczos step ---
@@ -78,7 +83,7 @@ def solve(A, b, x0=None, *, criteria=None, preconditioner=None,
 
     final, history = run_iteration_loop(
         step, make_check_args, state, criteria, b2, r0_norm, b_norm,
-        trace=trace)
+        trace=trace, restart_fn=lambda s: init_state(s["x"]))
     xf = final["state"]["x"]
     rf = b2 - A._apply(xf)
     return finish(final, history, xf, rf, squeeze)

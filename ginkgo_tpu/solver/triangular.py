@@ -114,6 +114,8 @@ class TriangularSolveOp(LinOp):
     # block-partitioned-inverse data (algorithm='exact'; ops/tri_banded.py)
     tri_inv: jnp.ndarray | None = None   # (nb, S, S)
     tri_ov: jnp.ndarray | None = None    # (nb, Dc, S)
+    # packed exact-solve data (algorithm='exact_packed'; ops/tri_packed.py)
+    pk_arrays: object = None
     shape: tuple = static_field(default=None)
     unit_diagonal: bool = static_field(default=False)
     algorithm: str = static_field(default="auto")
@@ -125,6 +127,10 @@ class TriangularSolveOp(LinOp):
         if self.algorithm == "exact":
             from ..ops.registry import lookup
             return lookup("banded_trisolve")(self.tri_inv, self.tri_ov,
+                                             self.tri_meta, b)
+        if self.algorithm == "exact_packed":
+            from ..ops.registry import lookup
+            return lookup("packed_trisolve")(self.pk_arrays,
                                              self.tri_meta, b)
         if self.algorithm == "jacobi":
             return self._solve_jacobi(b)
@@ -201,7 +207,8 @@ class _TrsFactory:
         # the level schedule is ~3x the factor's nnz in padded arrays,
         # dead weight in HBM when the sweep form runs
         algo = self.algorithm
-        tri_kw = dict(tri_inv=None, tri_ov=None, tri_meta=None)
+        tri_kw = dict(tri_inv=None, tri_ov=None, tri_meta=None,
+                      pk_arrays=None)
         if algo in ("auto", "exact"):
             # block-partitioned-inverse exact solve for banded factors
             # (ops/tri_banded.py; the syncfree-kernel answer, VERDICT r3
@@ -214,13 +221,34 @@ class _TrsFactory:
                 arrays, meta = plan
                 tri_kw = dict(tri_inv=jnp.asarray(arrays["inv"]),
                               tri_ov=jnp.asarray(arrays["ov"]),
-                              tri_meta=tuple(sorted(meta.items())))
-                algo = "exact"
-            elif algo == "exact":
+                              tri_meta=tuple(sorted(meta.items())),
+                              pk_arrays=None)
+                algo = "banded"
+            else:
+                # UNSTRUCTURED factors (e.g. from the packed ParILUT
+                # path): the packed exact solve (ops/tri_packed.py) —
+                # per-block MXU inverse matvecs + ELL carry-window
+                # gathers, the reference syncfree-kernel answer for any
+                # pattern.  f32-accuracy arrays, so only when the
+                # factor's compute dtype is f32.
+                from jax import dtypes as _dtypes
+                if _dtypes.canonicalize_dtype(v.dtype) == jnp.float32:
+                    from ..ops.tri_packed import plan_packed_trisolve
+                    pk = plan_packed_trisolve(data, self.lower,
+                                              self.unit_diagonal)
+                    if pk is not None:
+                        arrays, meta = pk
+                        tri_kw = dict(tri_inv=None, tri_ov=None,
+                                      tri_meta=meta, pk_arrays=arrays)
+                        algo = "exact_packed"
+            if algo == "exact":
                 raise ValueError(
-                    "algorithm='exact' needs a banded triangular factor "
-                    "(<=64 diagonal offsets, block-inverse storage within "
-                    "budget); use 'level' or 'jacobi' for this factor")
+                    "algorithm='exact' needs a banded (<=64 diagonal "
+                    "offsets) or packed-plannable triangular factor with "
+                    "block-inverse storage within budget; use 'level' "
+                    "or 'jacobi' for this factor")
+            if algo == "banded":
+                algo = "exact"
         if algo == "auto":
             from ..ops.registry import current_tier
             fast_off = getattr(off_op, "strategy",

@@ -177,3 +177,23 @@ def test_generate_stage_split():
     assert stagetimer.sync(x) is x
     with stagetimer.stage("device"):
         pass                                   # no-op bracket
+
+
+def test_fem_and_file_cases(capsys):
+    """Unstructured cases in the benchmark protocol: the generated FEM
+    class ({'fem': n}) and MatrixMarket files, both with optional RCM —
+    the reference's SuiteSparse-driven protocol (BENCHMARKING.md:16)."""
+    import json
+    import os
+    from ginkgo_tpu.benchmark import spmv
+    cases = [{"fem": 3000, "spread": 200, "per_row": 8, "rcm": True}]
+    ani = "/root/reference/matrices/test/ani1.mtx"
+    if os.path.isfile(ani):
+        cases.append({"filename": ani, "rcm": True})
+    spmv.main(["-input", json.dumps(cases), "-formats", "csr"])
+    out = json.loads(capsys.readouterr().out)
+    assert len(out) == len(cases)
+    for entry in out:
+        assert entry["spmv"]["csr"]["completed"]
+        assert entry["problem"]["nonzeros"] > 0
+    assert out[0]["problem"]["name"].startswith("fem(")

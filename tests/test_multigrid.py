@@ -136,3 +136,43 @@ def test_pgm_aggregation_scales_with_bounded_aggregates():
     agg2 = pgm_aggregate(d, deterministic=False)
     s2 = np.bincount(agg2)
     assert s2.size > n / 4 and s2.max() <= 16
+
+
+def test_pgm_packed_matches_host_quality():
+    """Device-resident packed (padded-ELL) aggregation on unstructured
+    matrices: valid aggregation, bounded sizes, coarse-grid quality
+    equivalent to the host edge-list path (same algorithm, different
+    tie patterns), and the multigrid built on it still preconditions."""
+    from ginkgo_tpu.base.matrix_data import MatrixData
+    from ginkgo_tpu.multigrid.pgm_packed import aggregate_packed
+    rng = np.random.default_rng(4)
+    n, per = 2000, 5
+    r = np.repeat(np.arange(n), per)
+    c = np.clip(r + rng.integers(-60, 60, r.size), 0, n - 1)
+    v = -np.abs(rng.standard_normal(r.size))
+    rows = np.concatenate([r, c, np.arange(n)])
+    cols = np.concatenate([c, r, np.arange(n)])
+    vals = np.concatenate([v, v, np.full(n, 12.0)])
+    d = MatrixData((n, n), rows, cols, vals).canonical()
+
+    root = aggregate_packed(d)
+    assert root is not None
+    from ginkgo_tpu.multigrid.pgm import _renumber, pgm_aggregate
+    agg_dev = _renumber(root, n)
+    agg_host = pgm_aggregate(d, algorithm="general")
+    for agg in (agg_dev, agg_host):
+        sizes = np.bincount(agg)
+        assert sizes.min() >= 1 and sizes.max() <= 8
+    # coarsening ratio within 25% of the host path
+    nc_dev, nc_host = agg_dev.max() + 1, agg_host.max() + 1
+    assert abs(nc_dev - nc_host) <= 0.25 * nc_host, (nc_dev, nc_host)
+
+    A = Csr.from_data(d)
+    mg = Multigrid.build(mg_level=Pgm(algorithm="packed")).generate(A)
+    b = jnp.ones(n)
+    crit = Iteration(200) | ResidualNorm(1e-9)
+    res = Cg.solve(A, b, criteria=crit,
+                   preconditioner=mg.cycle_operator())
+    plain = Cg.solve(A, b, criteria=crit)
+    assert bool(np.asarray(res.converged).all())
+    assert int(res.iterations[0]) <= int(plain.iterations[0])

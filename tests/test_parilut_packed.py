@@ -289,6 +289,38 @@ def test_packed_ict_tracks_host_and_symmetry():
     np.testing.assert_allclose(U, L.conj().T, rtol=0, atol=0)
 
 
+def test_packed_plan_reuse_same_pattern(monkeypatch):
+    """Second generate() on a same-pattern matrix must skip the
+    symbolic planning entirely (the reference's spgemm_reuse story,
+    core/matrix/csr.cpp:50-51): the pattern digest hits the plan cache
+    and the generate goes straight to the device loop.  New values must
+    still produce new factors; a different pattern must re-plan."""
+    from ginkgo_tpu.factorization import par_ilut_packed as pk
+    pk._PLAN_CACHE.clear()
+    calls = []
+    real = pk.plan_packed_ilut
+    monkeypatch.setattr(pk, "plan_packed_ilut",
+                        lambda *a, **k: calls.append(1) or real(*a, **k))
+    d = _banded_random(500, 9, 5, seed=13)
+    out1 = pk.generate_packed(d, iterations=2, fill_in_limit=2.0,
+                              sweeps=2)
+    assert out1 is not None and len(calls) == 1
+    d2 = type(d)(d.shape, d.row_idx, d.col_idx, d.values * 2.0)
+    out2 = pk.generate_packed(d2, iterations=2, fill_in_limit=2.0,
+                              sweeps=2)
+    assert len(calls) == 1          # cache hit: no second planning
+    np.testing.assert_array_equal(out1[0], out2[0])   # same pattern
+    # ILU(2A) = L (2U): unit-lower L invariant, U doubles
+    np.testing.assert_allclose(np.asarray(out2[2]), np.asarray(out1[2]),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out2[5]),
+                               2.0 * np.asarray(out1[5]), rtol=1e-6)
+    d3 = _banded_random(500, 9, 5, seed=14)
+    assert pk.generate_packed(d3, iterations=2, fill_in_limit=2.0,
+                              sweeps=2) is not None
+    assert len(calls) == 2          # different pattern re-plans
+
+
 def test_packed_generate_is_pure():
     d = _banded_random(400, 9, 5, seed=11)
     vals0 = d.values.copy()

@@ -265,3 +265,46 @@ def test_par_ilut_device_sweep_mode_quality():
     assert abs((dev.l_factor.nnz + dev.u_factor.nnz)
                - (host.l_factor.nnz + host.u_factor.nnz)) \
         <= 0.2 * (host.l_factor.nnz + host.u_factor.nnz)
+
+
+def test_isai_packed_fill_matches_host_fill(monkeypatch):
+    """The device-resident unstructured block fill (identity slab + one
+    scatter of cached pattern pairs, isai_kernels.cpp on-device analog
+    for ANY pattern) must agree with the host fill on scattered
+    matrices, and a same-pattern regenerate must hit the symbolics
+    cache."""
+    import ginkgo_tpu.preconditioner.isai as isai_mod
+    rng = np.random.default_rng(9)
+    n, per = 600, 6
+    r = np.repeat(np.arange(n), per)
+    c = np.clip(r + rng.integers(-120, 120, r.size), 0, n - 1)
+    from ginkgo_tpu.base.matrix_data import MatrixData
+    data = MatrixData(
+        (n, n), np.concatenate([r, np.arange(n)]),
+        np.concatenate([c, np.arange(n)]),
+        np.concatenate([rng.standard_normal(r.size) * 0.1,
+                        np.full(n, 5.0)])).canonical()
+    A = Csr.from_data(data)
+    isai_mod._ISAI_SYM_CACHE.clear()
+    for mode in ("general", "lower"):
+        with monkeypatch.context() as m:
+            m.setattr(isai_mod, "_want_packed_fill",
+                      lambda *a, **k: True)
+            M_dev = isai_mod.generate_isai(A, 1, mode)
+            sym_calls = []
+            real = isai_mod._isai_packed_symbolics
+            m.setattr(isai_mod, "_isai_packed_symbolics",
+                      lambda *a, **k: sym_calls.append(1) or real(*a, **k))
+            M_dev2 = isai_mod.generate_isai(A, 1, mode)
+            assert sym_calls == []          # cache hit: no re-planning
+        with monkeypatch.context() as m:
+            m.setattr(isai_mod, "_want_packed_fill",
+                      lambda *a, **k: False)
+            M_host = isai_mod.generate_isai(A, 1, mode)
+        assert M_dev.nnz == M_host.nnz
+        np.testing.assert_allclose(np.asarray(M_dev.to_dense()),
+                                   np.asarray(M_host.to_dense()),
+                                   rtol=1e-10, atol=1e-11)
+        np.testing.assert_allclose(np.asarray(M_dev2.to_dense()),
+                                   np.asarray(M_dev.to_dense()),
+                                   rtol=0, atol=0)

@@ -148,3 +148,78 @@ def test_solver_factory_generate_apply():
         criteria=Iteration(500) | ResidualNorm(1e-12),
         preconditioner=Jacobi()).generate(A)
     np.testing.assert_allclose(op.apply(b), x_true, rtol=1e-6, atol=1e-7)
+
+
+def test_cg_family_audits_true_residual():
+    """Estimate-based convergence is audited against the true residual
+    b - A x (the GMRES run_restarted_loop mechanism, generalized): a
+    recurrent-residual stop that the true residual contradicts must
+    either continue to a real convergence or report `stagnated`, never
+    a false `converged`.  Driven end-to-end in f32, where recurrent
+    drift at tight tolerances is real, across the CG family."""
+    import jax.numpy as jnp
+    from ginkgo_tpu.solver import Bicg, Bicgstab, Cg, Cgs, Fcg, Gcr, Minres
+    from ginkgo_tpu.utils.generators import make_spd, generate_random_matrix
+
+    data = make_spd(generate_random_matrix(
+        300, 300, nonzeros_per_row=(3, 8), seed=11), shift=0.3)
+    A = Csr.from_data(data, dtype=np.float32)
+    b = jnp.asarray(np.random.default_rng(0).standard_normal(300),
+                    jnp.float32)
+    bn = float(jnp.linalg.norm(b))
+    tol = 2e-6            # near f32 limits: recurrent estimates drift
+    crit = Iteration(4000) | ResidualNorm(tol, baseline="rhs_norm")
+    for S in (Cg, Fcg, Bicg, Cgs, Bicgstab, Gcr, Minres):
+        res = S.solve(A, b, criteria=crit)
+        conv = bool(np.asarray(res.converged).all())
+        true_rel = float(jnp.linalg.norm(b - A.apply(res.x))) / bn
+        if conv:
+            # a convergence claim must hold on the TRUE residual
+            # (small slack: the audit accepts at tol, then one more
+            # masked update can move the last column a hair)
+            assert true_rel <= 1.5 * tol, (S, true_rel)
+        else:
+            stag = res.stagnated
+            assert stag is not None and (
+                bool(np.asarray(stag).any())
+                or int(np.asarray(res.iterations).max()) >= 4000), S
+
+
+def test_audit_restart_reactivates_premature_stop():
+    """Driver-level: a step whose recurrent residual under-reports must
+    be caught by the audit and continue to real convergence."""
+    import jax.numpy as jnp
+    from ginkgo_tpu.solver.common import run_iteration_loop
+    from ginkgo_tpu.stop.criterion import CheckArgs, ResidualNorm
+
+    # "solver": x <- x/2 each step (true residual |x|), but the
+    # recurrent estimate decays 4x faster — it claims convergence long
+    # before the iterate supports it
+    def step(s):
+        return dict(x=s["x"] * 0.5, est=s["est"] * 0.125)
+
+    def make_check_args(s, it):
+        return CheckArgs(iteration=it, residual_norm=s["est"])
+
+    def restart(s):
+        return dict(x=s["x"], est=jnp.abs(s["x"]))    # true residual
+
+    b = jnp.ones((1, 1))
+    state0 = dict(x=jnp.ones((1,)), est=jnp.ones((1,)))
+    crit = ResidualNorm(1e-6, baseline="absolute")
+    final, _ = run_iteration_loop(
+        step, make_check_args, state0, crit, b, jnp.ones((1,)),
+        jnp.ones((1,)), restart_fn=restart, trip_cap=200,
+        verify_retries=10)
+    assert bool(np.asarray(final["converged"]).all())
+    assert not bool(np.asarray(final["stagnated"]).any())
+    # the audit forced continuation: iterations reflect the TRUE decay
+    # rate (|x| = 2^-k <= 1e-6 needs k >= 20), not the estimate's 7
+    assert int(np.asarray(final["iters"])[0]) >= 20
+    # with retries exhausted early the same run must report stagnated
+    final2, _ = run_iteration_loop(
+        step, make_check_args, state0, crit, b, jnp.ones((1,)),
+        jnp.ones((1,)), restart_fn=restart, trip_cap=200,
+        verify_retries=1)
+    assert not bool(np.asarray(final2["converged"]).any())
+    assert bool(np.asarray(final2["stagnated"]).all())

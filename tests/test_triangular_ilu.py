@@ -406,3 +406,48 @@ def test_exact_trisolve_rejects_value_range_overflow():
     assert plan_block_trisolve(d, True, False) is None
     trs = LowerTrs.build(algorithm="auto").generate(Csr.from_data(d))
     assert trs.algorithm != "exact"
+
+
+def test_packed_exact_trisolve_unstructured():
+    """Unstructured factors (>64 offsets — the packed-ParILUT class)
+    route to the packed exact solve (ops/tri_packed.py: device block
+    inverses + ELL carry-window gathers) under algorithm='auto' at f32,
+    match the level-scheduled oracle, and keep multi-RHS semantics."""
+    import numpy as np
+    from ginkgo_tpu.base.matrix_data import MatrixData
+    from ginkgo_tpu.solver.triangular import LowerTrs, UpperTrs
+
+    rng = np.random.default_rng(5)
+    n, per = 1500, 7
+    r = np.repeat(np.arange(n), per)
+    c = r - rng.integers(1, 500, r.size)
+    keep = c >= 0
+    r, c = r[keep], c[keep]
+    key = np.unique(r * n + c)
+    r, c = key // n, key % n
+    vals = np.concatenate([rng.standard_normal(r.size) * 0.05,
+                           2.0 + rng.random(n)]).astype(np.float32)
+    d = MatrixData((n, n),
+                   np.concatenate([r, np.arange(n)]),
+                   np.concatenate([c, np.arange(n)]), vals).canonical()
+    assert np.unique(d.col_idx - d.row_idx).size > 64   # not banded
+
+    class _Holder:
+        def __init__(self, data):
+            self._d = data
+
+        def to_matrix_data(self):
+            return self._d
+
+    b = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
+    for api, data in ((LowerTrs, d),
+                      (UpperTrs, MatrixData(
+                          (n, n), d.col_idx.copy(), d.row_idx.copy(),
+                          d.values.copy()).canonical())):
+        op = api.build().generate(_Holder(data))
+        assert op.algorithm == "exact_packed", op.algorithm
+        x = np.asarray(op._apply(b))
+        ref = api.build(algorithm="level").generate(_Holder(data))
+        xr = np.asarray(ref._apply(b))
+        scale = np.abs(xr).max()
+        assert np.abs(x - xr).max() / scale < 1e-5, api.name
