@@ -89,6 +89,11 @@ def _select_shifts(pl_, pu_, po_, n_out, nv_cap):
     for s, e in zip(starts, ends):
         if e <= s:
             continue
+        # clipped-boundary tiles can hold millions of pairs; the stats
+        # only need the group-size distribution, so bound per-tile work
+        # (a truncated prefix under-counts that tile's vregs — fine,
+        # such tiles overflow any budget and spill regardless)
+        e = min(e, s + (1 << 21))
         npairs_s += e - s
         fine = ((np.asarray(pu_[s:e], np.int64) >> 10) << 21) \
             | (np.asarray(pl_[s:e], np.int64) >> 10)

@@ -116,25 +116,21 @@ def plan_block_trisolve(data, lower: bool, unit_diagonal: bool,
             continue            # always cross-block
         rows = t[t >= -off]
         Lb[:, rows, rows + off] = dvb[di][:, rows]
-    # accelerator: MXU doubling inverse at the value dtype (the host
-    # LAPACK loop measured 7.1 s at n=262k on this single-core host);
-    # CPU keeps the trtri loop as the wide-precision oracle
-    inv = None
-    if jax.default_backend() != "cpu" and v.dtype in (np.float32,
-                                                      np.complex64):
-        from .tri_inv import batched_lowtri_inverse
-        inv = np.asarray(batched_lowtri_inverse(
-            jnp.asarray(Lb.astype(v.dtype))))
-    if inv is None:
-        from scipy.linalg import get_lapack_funcs
-        (trtri,) = get_lapack_funcs(("trtri",), (Lb[0],))
-        inv = np.empty((nb, S, S), v.dtype)
-        with np.errstate(over="ignore", invalid="ignore"):
-            for i in range(nb):
-                blk, info = trtri(Lb[i], lower=1)
-                if info != 0:   # singular block: fall back to LU inverse
-                    blk = np.linalg.inv(Lb[i])
-                inv[i] = blk.astype(v.dtype)
+    # Host LAPACK loop: 3.1 s at n=262k f32 / 7.1 s f64.  An MXU
+    # doubling inverse (ops/tri_inv.py) was measured AND REJECTED for
+    # this host-built slab: shipping the dense (nb, S, S) blocks to the
+    # device costs ~20 s through this environment's tunnel — the packed
+    # trisolve (ops/tri_packed.py) gets the device inverse because its
+    # slab is scattered on device from CSR-sized transfers.
+    from scipy.linalg import get_lapack_funcs
+    (trtri,) = get_lapack_funcs(("trtri",), (Lb[0],))
+    inv = np.empty((nb, S, S), v.dtype)
+    with np.errstate(over="ignore", invalid="ignore"):
+        for i in range(nb):
+            blk, info = trtri(Lb[i], lower=1)
+            if info != 0:       # singular block: fall back to LU inverse
+                blk = np.linalg.inv(Lb[i])
+            inv[i] = blk.astype(v.dtype)
     if not np.isfinite(inv).all():
         # an ill-scaled triangle (e.g. a diverged fixed-point factor)
         # whose block inverse exceeds the value-type range: reject so
