@@ -88,14 +88,11 @@ def _closure(d, level, max_slots, lower_only=False, enough=None):
         # the hard slot cap, and (with a fill budget) a 4x-budget
         # proportionality cap — the select step keeps only ~enough/2
         # entries, so a universe many times that size burns quadratic
-        # pair-list cost on slots the filter will discard.  ILUT (L@U)
-        # closure only; the symmetric (P@P^T) fill would need
-        # column-wise sampling.
-        if not lower_only:
-            est = _estimate_closure_nnz(P, lower_only)
-            if est > max_slots or (enough is not None
-                                   and est > 4 * enough):
-                return None if lvl == 0 else _csr_pattern(P)
+        # pair-list cost on slots the filter will discard.
+        est = _estimate_closure_nnz(P, lower_only)
+        if est > max_slots or (enough is not None
+                               and est > 4 * enough):
+            return None if lvl == 0 else _csr_pattern(P)
         if lower_only:
             F = sp.tril(P @ P.T, 0, format="csr")
         else:
@@ -113,23 +110,31 @@ def _closure(d, level, max_slots, lower_only=False, enough=None):
 
 
 def _estimate_closure_nnz(P, lower_only, sample=512, seed=0):
-    """Sampled estimate of nnz(P ∪ fill) after one ILUT closure round
-    (pattern ∪ pattern(L@U)): per sampled row i, the union of U-rows of
-    its L-columns — O(sample x row-density^2 log) vs the full SpGEMM's
-    minutes on wide random patterns.  ILUT closure only
-    (``lower_only=False``)."""
-    assert not lower_only
+    """Sampled estimate of nnz(P ∪ fill) after one closure round —
+    O(sample x row-density^2 log) vs the full SpGEMM's minutes on wide
+    random patterns.  ILUT (``pattern ∪ pattern(L@U)``): per sampled
+    row i, the union of U-rows of its L-columns.  ParICT
+    (``tril(P P^T)``, P lower): row i unions the COLUMNS of its own
+    column set, truncated to j <= i."""
     n = P.shape[0]
     ptr, cols = P.indptr, P.indices
+    if lower_only:
+        Pc = P.tocsc()
+        cptr, crow = Pc.indptr, Pc.indices
     rng = np.random.default_rng(seed)
     ridx = np.sort(rng.choice(n, size=min(sample, n), replace=False))
     total = 0
     for i in ridx:
         ci = cols[ptr[i]:ptr[i + 1]]
         parts = [ci]
-        for k in ci[ci < i]:
-            ck = cols[ptr[k]:ptr[k + 1]]
-            parts.append(ck[ck >= k])
+        if lower_only:
+            for k in ci:
+                rk = crow[cptr[k]:cptr[k + 1]]
+                parts.append(rk[rk <= i])
+        else:
+            for k in ci[ci < i]:
+                ck = cols[ptr[k]:ptr[k + 1]]
+                parts.append(ck[ck >= k])
         total += np.unique(np.concatenate(parts)).size
     return int(total * (n / len(ridx)))
 

@@ -175,6 +175,9 @@ def plan_pair_contract(pl_, pu_, po_, n_out, n_a, n_b, *,
         shifts = (_select_shifts(pl_, pu_, po_, n_out, nv_cap)
                   if npairs >= (1 << 22) else (0, 0))
     sl, su = int(shifts[0]), int(shifts[1])
+    if not (0 <= sl <= _MAX_SHIFT and 0 <= su <= _MAX_SHIFT):
+        raise ValueError(f"shifts out of range [0, {_MAX_SHIFT}]: "
+                         f"{(sl, su)} (int16 window indices)")
     from ..native import pair_plan_native
     nat = pair_plan_native(pl_, pu_, po_, n_out, nv_cap,
                            _WIN_ROWS_CAP, max_tail, sl, su)

@@ -305,6 +305,11 @@ def test_closure_pre_estimate_gates_expansion(monkeypatch):
     U = sp.triu(P, 0, format="csr")
     true = (P + L @ U).tocsr().nnz
     assert abs(est - true) <= 0.15 * true, (est, true)
+    # symmetric (ParICT) closure estimate
+    Pl = sp.tril(P, 0, format="csr")
+    est_s = pk._estimate_closure_nnz(Pl, True)
+    true_s = (Pl + sp.tril(Pl @ Pl.T, 0, format="csr")).tocsr().nnz
+    assert abs(est_s - true_s) <= 0.15 * true_s, (est_s, true_s)
     # force the gate: a huge estimate must return None at level 0
     # without running any product
     monkeypatch.setattr(pk, "_estimate_closure_nnz",
