@@ -451,3 +451,42 @@ def test_packed_exact_trisolve_unstructured():
         xr = np.asarray(ref._apply(b))
         scale = np.abs(xr).max()
         assert np.abs(x - xr).max() / scale < 1e-5, api.name
+
+
+@pytest.mark.slow
+def test_packed_trisolve_pallas_interpret_vs_scipy():
+    """The packed-trisolve Pallas kernel (interpret mode) against
+    scipy's exact triangular solve — the tests/test_pallas_kernels.py
+    discipline for the new kernel (the non-slow test above covers the
+    reference-tier scan; this one runs the actual kernel body)."""
+    import numpy as np
+    import scipy.sparse as sp
+    from scipy.sparse.linalg import spsolve_triangular
+    from ginkgo_tpu.base.matrix_data import MatrixData
+    from ginkgo_tpu.ops.tri_packed import (packed_trisolve_tpu,
+                                           plan_packed_trisolve)
+    rng = np.random.default_rng(7)
+    n, per = 2000, 7
+    r = np.repeat(np.arange(n), per)
+    c = r - rng.integers(1, 600, r.size)
+    keep = c >= 0
+    r, c = r[keep], c[keep]
+    key = np.unique(r * n + c)
+    r, c = key // n, key % n
+    d = MatrixData(
+        (n, n), np.concatenate([r, np.arange(n)]),
+        np.concatenate([c, np.arange(n)]),
+        np.concatenate([rng.standard_normal(r.size).astype(np.float32)
+                        * 0.04,
+                        (2.0 + rng.random(n)).astype(np.float32)])
+    ).canonical()
+    plan = plan_packed_trisolve(d, True, False)
+    assert plan is not None
+    arrays, meta = plan
+    b = jnp.asarray(rng.standard_normal((n, 2)).astype(np.float32))
+    got = np.asarray(packed_trisolve_tpu(arrays, meta, b,
+                                         interpret=True))
+    T = sp.csr_matrix((d.values, (d.row_idx, d.col_idx)), shape=(n, n))
+    want = np.stack([spsolve_triangular(T, np.asarray(b)[:, i].astype(
+        np.float64), lower=True) for i in range(2)], 1)
+    assert np.abs(got - want).max() / np.abs(want).max() < 1e-5
