@@ -326,7 +326,8 @@ def packed_trisolve_tpu(arrays, meta_items, b, *, interpret=False):
     cv = arrays["crossv"]
     nwv = arrays["nwv"]
     if pad:
-        eye = jnp.broadcast_to(jnp.eye(_S, jnp.float32), (pad, _S, _S))
+        eye = jnp.broadcast_to(jnp.eye(_S, dtype=jnp.float32),
+                               (pad, _S, _S))
         inv = jnp.concatenate([inv, eye])
         ci = jnp.concatenate(
             [ci, jnp.zeros((pad,) + ci.shape[1:], ci.dtype)])
