@@ -90,8 +90,11 @@ def _closure(d, level, max_slots, lower_only=False, enough=None):
         # entries, so a universe many times that size burns quadratic
         # pair-list cost on slots the filter will discard.
         est = _estimate_closure_nnz(P, lower_only)
-        if est > max_slots or (enough is not None
-                               and est > 4 * enough):
+        # 1.3x slack on the hard cap (sampling error ~15%): borderline
+        # patterns pay one product and hit the EXACT nnz check below
+        # instead of being declined on an over-estimate
+        if est > 1.3 * max_slots or (enough is not None
+                                     and est > 4 * enough):
             return None if lvl == 0 else _csr_pattern(P)
         if lower_only:
             F = sp.tril(P @ P.T, 0, format="csr")
@@ -175,31 +178,29 @@ def _want_kernel():
 # slot: a plan's packed streams reach GBs at n=262k level-2 universes.
 # ---------------------------------------------------------------------------
 
-_PLAN_CACHE = {}      # kind -> (digest, plan)
+from ..utils.plancache import SingleSlotCache, pattern_digest
 
-
-def _pattern_digest(d, kind, level, enough):
-    import hashlib
-    h = hashlib.sha1()
-    h.update(np.asarray([d.shape[0], d.shape[1], d.nnz, level,
-                         -1 if enough is None else enough],
-                        np.int64).tobytes())
-    h.update(np.ascontiguousarray(d.row_idx).tobytes())
-    h.update(np.ascontiguousarray(d.col_idx).tobytes())
-    h.update(kind.encode())
-    return h.digest()
+_PLAN_CACHE = SingleSlotCache()     # key: (kind, want_kernel)
 
 
 def _cached_plan(d, kind, level, fill_in_limit, planner, **kw):
     enough = (None if fill_in_limit is None
               else int(2 * fill_in_limit * d.nnz) + d.shape[0])
-    dig = _pattern_digest(d, kind, level, enough)
-    hit = _PLAN_CACHE.get(kind)
-    if hit is not None and hit[0] == dig:
-        return hit[1]           # may be None: cached reject
-    plan = planner(d, level=level, fill_in_limit=fill_in_limit, **kw)
-    _PLAN_CACHE[kind] = (dig, plan)
-    return plan
+    dig = pattern_digest(d.row_idx, d.col_idx,
+                         ints=(d.shape[0], d.shape[1], d.nnz, level,
+                               -1 if enough is None else enough),
+                         strs=(kind,))
+    # the plan CONTENT is tier-dependent (kernel streams vs raw
+    # triples, and kernel-budget rejects only apply on the tpu tier) —
+    # key the slot on the tier so a reference-tier plan is never served
+    # to a tpu-tier generate or vice versa
+    key = (kind, _want_kernel())
+    hit = _PLAN_CACHE.get(key, dig)
+    if hit is not _PLAN_CACHE.MISS:
+        return hit              # may be None: cached reject
+    return _PLAN_CACHE.put(
+        key, dig, planner(d, level=level, fill_in_limit=fill_in_limit,
+                          **kw))
 
 
 # universes below this skip the sampled pre-estimate (emission is cheap)

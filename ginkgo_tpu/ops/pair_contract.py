@@ -409,9 +409,6 @@ def _gatherw(win, idx16, rows=8):
     return g
 
 
-_gather1024 = _gatherw
-
-
 def _pair_kernel(nv_ref, lbase_ref, ubase_ref,
                  a2d, b2d, lq_hbm, uq_hbm, pls_ref, pus_ref, pos_ref,
                  out_ref,
@@ -646,9 +643,9 @@ def _pair_kernel_batched(nv_ref, lbase_ref, ubase_ref,
             cs = x + t1
             pes32 = pob[j, v].astype(jnp.int32)
             pesp32 = ppb[j, v].astype(jnp.int32)
-            e = _gather1024(cs, jnp.maximum(pes32 - 1, 0))
+            e = _gatherw(cs, jnp.maximum(pes32 - 1, 0))
             e = jnp.where(pes32 == 0, jnp.float32(0), e)
-            ep = _gather1024(cs, jnp.maximum(pesp32 - 1, 0))
+            ep = _gatherw(cs, jnp.maximum(pesp32 - 1, 0))
             ep = jnp.where(pesp32 == 0, jnp.float32(0), ep)
             return acc + (e - ep)
 

@@ -47,6 +47,10 @@ _S = 256                     # rows per block (power of two)
 _SR = _S // 128              # (2, 128) vector tile per block
 _MAX_P = 32                  # carry window cap: P*S <= 8192 (int16 ok)
 _MAX_WV = 64                 # cross ELL vregs per block (4 w-planes each)
+_MAX_PLAN_BYTES = 1 << 30    # device-resident plan budget (inverse slab
+                             # + cross streams), mirroring tri_banded's
+                             # _MAX_INV_BYTES — over-budget factors fall
+                             # back to the level/sweep paths
 
 
 def plan_packed_trisolve(data, lower: bool, unit_diagonal: bool):
@@ -75,23 +79,25 @@ def plan_packed_trisolve(data, lower: bool, unit_diagonal: bool):
     return arrays, sym["meta"]
 
 
-_SYM_CACHE = {}          # (lower, unit) -> (digest, symbolics)
+from ..utils.plancache import SingleSlotCache, pattern_digest
+
+_SYM_CACHE = SingleSlotCache()   # key: (lower, unit, dtype kind)
 
 
 def _cached_symbolics(data, lower, unit_diagonal):
-    import hashlib
-    h = hashlib.sha1()
-    h.update(np.asarray([data.shape[0], data.nnz], np.int64).tobytes())
-    h.update(np.ascontiguousarray(data.row_idx).tobytes())
-    h.update(np.ascontiguousarray(data.col_idx).tobytes())
-    dig = h.digest()
-    key = (bool(lower), bool(unit_diagonal))
-    hit = _SYM_CACHE.get(key)
-    if hit is not None and hit[0] == dig:
-        return hit[1]        # may be None: cached reject
-    sym = _trisolve_symbolics(data, lower, unit_diagonal)
-    _SYM_CACHE[key] = (dig, sym)
-    return sym
+    dig = pattern_digest(data.row_idx, data.col_idx,
+                         ints=(data.shape[0], data.nnz))
+    # dtype KIND is part of the key: complex factors reject in the
+    # symbolics (planes would double everything), and a pattern-only
+    # key would let an f32 plan serve — and silently .astype(f32) —
+    # a complex factor with the same pattern
+    key = (bool(lower), bool(unit_diagonal),
+           np.dtype(data.values.dtype).kind)
+    hit = _SYM_CACHE.get(key, dig)
+    if hit is not _SYM_CACHE.MISS:
+        return hit           # may be None: cached reject
+    return _SYM_CACHE.put(
+        key, dig, _trisolve_symbolics(data, lower, unit_diagonal))
 
 
 def _trisolve_symbolics(data, lower, unit_diagonal):
@@ -122,6 +128,11 @@ def _trisolve_symbolics(data, lower, unit_diagonal):
     Wmax = int(cnt.max()) if cnt.size else 0
     Wv = max(1, -(-Wmax // 4))
     if Wv > _MAX_WV:
+        return None
+    # device-resident storage budget: (nb, S, S) f32 inverses + the
+    # int16+f32 cross streams; over budget -> None (auto-routing falls
+    # back to the level/sweep solves instead of an HBM OOM)
+    if nb * _S * _S * 4 + nb * Wv * 8 * 128 * 6 > _MAX_PLAN_BYTES:
         return None
     starts = np.zeros(n, np.int64)
     starts[1:] = np.cumsum(cnt)[:-1]
@@ -335,13 +346,15 @@ def packed_trisolve_tpu(arrays, meta_items, b, *, interpret=False):
             [cv, jnp.zeros((pad,) + cv.shape[1:], cv.dtype)])
         nwv = jnp.concatenate([nwv, jnp.zeros(pad, nwv.dtype)])
 
+    flip = meta["flip"]
+
     def one(col):
-        if dict(meta_items)["flip"]:
+        if flip:
             col = col[::-1]
         b2 = jnp.pad(col, (0, nb_pad * _S - n)).reshape(-1, 128)
         y = call(nwv, inv, ci, cv, b2)
         x = y.reshape(nb_pad * _S)[:n]
-        return x[::-1] if dict(meta_items)["flip"] else x
+        return x[::-1] if flip else x
 
     if k == 1:
         return one(b[:, 0])[:, None]

@@ -152,7 +152,9 @@ def _isai_packed_kernel(avals, dest, loc, hit, dslot, n, S):
     return batched_solve(subs, rhs)
 
 
-_ISAI_SYM_CACHE = {}     # mode -> (digest, symbolics dict)
+from ..utils.plancache import SingleSlotCache
+
+_ISAI_SYM_CACHE = SingleSlotCache()     # key: mode
 
 
 def _want_packed_fill(n, S, itemsize):
@@ -263,25 +265,18 @@ def generate_isai(A, sparsity_power: int = 1, mode: str = "general") -> Csr:
     if _want_packed_fill(n, S, np.dtype(dtype).itemsize):
         from jax import dtypes as _dtypes
         from ..utils import stagetimer
-        import hashlib
-        h = hashlib.sha1()
-        h.update(np.asarray([n, S, nnzp, d.nnz], np.int64).tobytes())
-        h.update(np.ascontiguousarray(prow).tobytes())
-        h.update(np.ascontiguousarray(pcol).tobytes())
-        h.update(np.ascontiguousarray(d.row_idx).tobytes())
-        h.update(np.ascontiguousarray(d.col_idx).tobytes())
-        dig = h.digest()
-        hit_entry = _ISAI_SYM_CACHE.get(mode)
-        if hit_entry is not None and hit_entry[0] == dig:
-            sym = hit_entry[1]
-        else:
+        from ..utils.plancache import pattern_digest
+        dig = pattern_digest(prow, pcol, d.row_idx, d.col_idx,
+                             ints=(n, S, nnzp, d.nnz))
+        sym = _ISAI_SYM_CACHE.get(mode, dig)
+        if sym is _ISAI_SYM_CACHE.MISS:
             sym = _isai_packed_symbolics(d, ptr, lens, S, prow, pcol)
             with stagetimer.stage("transfer"):
                 sym["dev"] = stagetimer.sync(tuple(
                     jnp.asarray(sym[k].astype(np.int32) if k != "hit"
                                 else sym[k])
                     for k in ("dest", "loc", "hit", "dslot")))
-            _ISAI_SYM_CACHE[mode] = (dig, sym)
+            _ISAI_SYM_CACHE.put(mode, dig, sym)
         cdtype = _dtypes.canonicalize_dtype(dtype)
         with stagetimer.stage("transfer"):
             avals = stagetimer.sync(

@@ -419,3 +419,25 @@ def test_scatter_modes_agree():
     scale = np.abs(ys["onehot"]).max()
     assert np.abs(ys["cumsum_batched"] - ys["onehot"]).max() / scale \
         < 2e-5
+
+
+def test_plan_cache_is_tier_keyed(monkeypatch):
+    """The cached plan's CONTENT is tier-dependent (kernel streams on
+    the tpu tier, raw pair triples on the reference tier; kernel-budget
+    rejects only exist on the tpu tier) — a plan cached under one tier
+    must never be served to a generate under the other."""
+    from ginkgo_tpu.factorization import par_ilut_packed as pk
+    from ginkgo_tpu.ops.registry import use_tier
+    pk._PLAN_CACHE.clear()
+    d = _banded_random(500, 9, 5, seed=13)
+    with use_tier("reference"):
+        p_ref = pk._cached_plan(d, "ilut", 2, 2.0, pk.plan_packed_ilut)
+    with use_tier("tpu"):
+        p_tpu = pk._cached_plan(d, "ilut", 2, 2.0, pk.plan_packed_ilut)
+    assert p_ref is not p_tpu
+    assert p_ref["prod"]["kernel"] is None        # raw triples
+    assert p_tpu is None or p_tpu["prod"]["kernel"] is not None
+    # and each tier keeps hitting its own slot
+    with use_tier("reference"):
+        assert pk._cached_plan(d, "ilut", 2, 2.0,
+                               pk.plan_packed_ilut) is p_ref

@@ -490,3 +490,45 @@ def test_packed_trisolve_pallas_interpret_vs_scipy():
     want = np.stack([spsolve_triangular(T, np.asarray(b)[:, i].astype(
         np.float64), lower=True) for i in range(2)], 1)
     assert np.abs(got - want).max() / np.abs(want).max() < 1e-5
+
+
+def test_packed_trisolve_budget_and_dtype_guards(monkeypatch):
+    """(a) The packed plan enforces a device-storage budget ((nb, S, S)
+    inverses + cross streams) so huge factors fall back to the
+    level/sweep paths instead of an HBM OOM (tri_banded's
+    _MAX_INV_BYTES discipline).  (b) The symbolics cache key includes
+    the values dtype KIND: a complex factor with the same pattern as a
+    cached f32 one must reject (planes unsupported), never silently
+    .astype(f32) through a pattern-only cache hit."""
+    import numpy as np
+    from ginkgo_tpu.base.matrix_data import MatrixData
+    from ginkgo_tpu.ops import tri_packed as tp
+
+    rng = np.random.default_rng(9)
+    n, per = 1200, 5
+    r = np.repeat(np.arange(n), per)
+    c = r - rng.integers(1, 400, r.size)
+    keep = c >= 0
+    r, c = r[keep], c[keep]
+    key = np.unique(r * n + c)
+    r, c = key // n, key % n
+    vals = np.concatenate([rng.standard_normal(r.size) * 0.04,
+                           2.0 + rng.random(n)]).astype(np.float32)
+    rows = np.concatenate([r, np.arange(n)])
+    cols = np.concatenate([c, np.arange(n)])
+    d = MatrixData((n, n), rows, cols, vals).canonical()
+
+    tp._SYM_CACHE.clear()
+    assert tp.plan_packed_trisolve(d, True, False) is not None
+    # same pattern, complex values: must miss the f32 cache slot and
+    # reject in the symbolics
+    dc = MatrixData((n, n), d.row_idx.copy(), d.col_idx.copy(),
+                    d.values.astype(np.complex64)).canonical()
+    assert tp.plan_packed_trisolve(dc, True, False) is None
+    # and the f32 slot is keyed separately: still plans afterwards
+    assert tp.plan_packed_trisolve(d, True, False) is not None
+
+    # storage budget: with a tiny budget the same factor must reject
+    tp._SYM_CACHE.clear()
+    monkeypatch.setattr(tp, "_MAX_PLAN_BYTES", 1 << 20)
+    assert tp.plan_packed_trisolve(d, True, False) is None
