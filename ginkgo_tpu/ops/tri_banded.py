@@ -46,9 +46,50 @@ def _pick_block(n: int, bw: int) -> int:
     return max(S, 8)
 
 
+def _want_device_inverse(dtype) -> bool:
+    """Route the block-inverse build to the accelerator: scatter the
+    compact (D, n) diagonal planes into the (nb, S, S) slab ON DEVICE
+    and invert on the MXU (``ops/tri_inv.py``).  This ships ~D*n values
+    instead of the n*S host-built inverse (~10x less through a slow
+    host link at D«S) and replaces the 3.1 s (n=262k f32) host trtri
+    loop.  f32 only (the doubling inverse runs at f32; f64/complex
+    keep the wide-precision host LAPACK build), accelerator only (on
+    CPU, LAPACK beats the einsum doubling)."""
+    import jax
+    from jax import dtypes as _dtypes
+    return (jax.default_backend() != "cpu"
+            and _dtypes.canonicalize_dtype(dtype) == jnp.float32)
+
+
+def _build_inverse_device(dvb, offsets, nb, S):
+    """dvb: (D, nb, S) f32 per-offset block value planes (diag plane
+    guaranteed nonzero by the caller); returns (nb, S, S) inverses."""
+    import functools
+
+    from ..utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()      # persist the build executable
+
+    @functools.partial(jax.jit, static_argnames=("offsets", "nb", "S"))
+    def build(dvb, offsets, nb, S):
+        from .tri_inv import batched_lowtri_inverse
+        t = np.arange(S)
+        Lb = jnp.zeros((nb, S, S), jnp.float32)
+        for di, off in enumerate(offsets):
+            off = int(off)
+            if off <= -S:
+                continue        # always cross-block
+            rows = t[t >= -off]
+            Lb = Lb.at[:, rows, rows + off].set(dvb[di][:, rows])
+        return batched_lowtri_inverse(Lb)
+
+    return build(jnp.asarray(dvb, jnp.float32), tuple(
+        int(o) for o in offsets), int(nb), int(S))
+
+
 def plan_block_trisolve(data, lower: bool, unit_diagonal: bool,
                         S: int | None = None, unroll: int | None = None,
-                        max_bytes: int = _MAX_INV_BYTES):
+                        max_bytes: int = _MAX_INV_BYTES,
+                        device_build: bool | None = None):
     """Build the block plan from triangular MatrixData, or None when the
     factor is not banded-triangular (too many offsets / wrong side /
     inverse storage over budget).  Host-side, build-time (numpy)."""
@@ -101,6 +142,35 @@ def plan_block_trisolve(data, lower: bool, unit_diagonal: bool,
     diag_plane[:n][diag_plane[:n] == 0] = 1
     diag_plane[n:] = 1          # padding rows: identity
 
+    dvb = dv.reshape(D, nb, S)
+    # cross-block value planes (diag plane excluded — never cross)
+    keep = [di for di, off in enumerate(offsets) if int(off) != 0]
+    ov = np.ascontiguousarray(dvb[keep].transpose(1, 0, 2))  # (nb, Dc, S)
+    cross_offsets = tuple(int(offsets[di]) for di in keep)
+    if unroll is None:
+        # v5e sweep at n=262k (27-pt IC(0) factor): S=256/U=8 is the
+        # plateau minimum (0.97 ms; U=4 1.09, U=16 2.3, S=64 3.2 —
+        # per-sub-block issue cost ~0.6 us dominates below S=128)
+        unroll = 8 if nb >= 128 else (4 if nb >= 16 else 1)
+    meta = dict(n=n, S=S, P=P, nb=nb, offsets=cross_offsets,
+                flip=not lower, unroll=int(unroll))
+
+    # device-resident build (accelerator + f32): scatter the compact
+    # (D, n) planes into the slab ON DEVICE and invert on the MXU
+    # (ops/tri_inv.py) — ships ~D*n values instead of the n*S
+    # host-built inverse (~10x less at D«S) and replaces the 3.1 s
+    # host trtri loop (n=262k f32).  This is NOT the rejected variant
+    # below: that one shipped the HOST-built dense slab (~20 s through
+    # this environment's tunnel).  Non-finite inverses (ill-scaled
+    # triangles) fall through to the wide-precision host build, which
+    # has the per-block singular fallback and the final reject.
+    want_dev = (device_build if device_build is not None
+                else _want_device_inverse(v.dtype))
+    if want_dev:
+        inv_d = _build_inverse_device(dvb, offsets, nb, S)
+        if bool(jnp.isfinite(inv_d).all()):
+            return dict(inv=inv_d, ov=ov), meta
+
     # dense within-block lower triangles -> batched inverse (one-time).
     # Build directly at wide precision and invert via LAPACK ?trtri
     # (triangular inverse: ~3x fewer flops than the LU route of
@@ -109,7 +179,6 @@ def plan_block_trisolve(data, lower: bool, unit_diagonal: bool,
             else np.float64)
     t = np.arange(S)
     Lb = np.zeros((nb, S, S), wide)
-    dvb = dv.reshape(D, nb, S)
     for di, off in enumerate(offsets):
         off = int(off)
         if off <= -S:
@@ -117,11 +186,10 @@ def plan_block_trisolve(data, lower: bool, unit_diagonal: bool,
         rows = t[t >= -off]
         Lb[:, rows, rows + off] = dvb[di][:, rows]
     # Host LAPACK loop: 3.1 s at n=262k f32 / 7.1 s f64.  An MXU
-    # doubling inverse (ops/tri_inv.py) was measured AND REJECTED for
-    # this host-built slab: shipping the dense (nb, S, S) blocks to the
-    # device costs ~20 s through this environment's tunnel — the packed
-    # trisolve (ops/tri_packed.py) gets the device inverse because its
-    # slab is scattered on device from CSR-sized transfers.
+    # doubling inverse of a HOST-BUILT slab was measured AND REJECTED
+    # (shipping the dense (nb, S, S) blocks costs ~20 s through this
+    # environment's tunnel); the device-scattered build above avoids
+    # exactly that transfer, like the packed trisolve's slab.
     from scipy.linalg import get_lapack_funcs
     (trtri,) = get_lapack_funcs(("trtri",), (Lb[0],))
     inv = np.empty((nb, S, S), v.dtype)
@@ -137,18 +205,6 @@ def plan_block_trisolve(data, lower: bool, unit_diagonal: bool,
         # algorithm='auto' falls back to the inverse-free level solve
         # instead of applying inf/nan
         return None
-
-    # cross-block value planes (diag plane excluded — never cross)
-    keep = [di for di, off in enumerate(offsets) if int(off) != 0]
-    ov = np.ascontiguousarray(dvb[keep].transpose(1, 0, 2))  # (nb, Dc, S)
-    cross_offsets = tuple(int(offsets[di]) for di in keep)
-    if unroll is None:
-        # v5e sweep at n=262k (27-pt IC(0) factor): S=256/U=8 is the
-        # plateau minimum (0.97 ms; U=4 1.09, U=16 2.3, S=64 3.2 —
-        # per-sub-block issue cost ~0.6 us dominates below S=128)
-        unroll = 8 if nb >= 128 else (4 if nb >= 16 else 1)
-    meta = dict(n=n, S=S, P=P, nb=nb, offsets=cross_offsets,
-                flip=not lower, unroll=int(unroll))
     return dict(inv=inv, ov=ov), meta
 
 

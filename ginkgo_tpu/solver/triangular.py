@@ -195,17 +195,13 @@ class _TrsFactory:
             on = r == c
             diag[r[on]] = v[on]
             diag[diag == 0] = 1
-        levels = compute_levels(n, r, c, self.lower)
-        num_levels = int(levels.max()) + 1 if n else 1
-        off = r != c
-        from ..matrix.csr import Csr
-        off_op = Csr.from_data(
-            MatrixData(data.shape, r[off], c[off], v[off]),
-            strategy="automatical")
         # resolve 'auto' HERE (generate time: tier + off layout known) so
         # only the chosen algorithm's device arrays are materialized —
         # the level schedule is ~3x the factor's nnz in padded arrays,
-        # dead weight in HBM when the sweep form runs
+        # dead weight in HBM when the sweep form runs.  The level DAG
+        # and the strictly-triangular Csr (with its SpMV planning and
+        # stream transfers) are built LAZILY below: the exact paths,
+        # which serve every banded/packed factor, need neither.
         algo = self.algorithm
         tri_kw = dict(tri_inv=None, tri_ov=None, tri_meta=None,
                       pk_arrays=None)
@@ -249,6 +245,17 @@ class _TrsFactory:
                     "or 'jacobi' for this factor")
             if algo == "banded":
                 algo = "exact"
+        off_op = None
+        num_levels = 1
+        if algo in ("auto", "jacobi", "level"):
+            levels = compute_levels(n, r, c, self.lower)
+            num_levels = int(levels.max()) + 1 if n else 1
+        if algo in ("auto", "jacobi"):
+            off = r != c
+            from ..matrix.csr import Csr
+            off_op = Csr.from_data(
+                MatrixData(data.shape, r[off], c[off], v[off]),
+                strategy="automatical")
         if algo == "auto":
             from ..ops.registry import current_tier
             fast_off = getattr(off_op, "strategy",

@@ -532,3 +532,43 @@ def test_packed_trisolve_budget_and_dtype_guards(monkeypatch):
     tp._SYM_CACHE.clear()
     monkeypatch.setattr(tp, "_MAX_PLAN_BYTES", 1 << 20)
     assert tp.plan_packed_trisolve(d, True, False) is None
+
+
+def test_banded_device_inverse_matches_host_build():
+    """The device-side block-inverse build (scatter the compact (D, n)
+    planes into the slab on device + MXU doubling inverse) must agree
+    with the host LAPACK trtri build and solve the same system; f32
+    accelerator path, forced here via device_build=True."""
+    import numpy as np
+    import scipy.sparse as sp
+    from scipy.sparse.linalg import spsolve_triangular
+    from ginkgo_tpu.base.matrix_data import MatrixData
+    from ginkgo_tpu.ops.tri_banded import (block_trisolve_apply,
+                                           plan_block_trisolve)
+    rng = np.random.default_rng(21)
+    n = 1500
+    offs = [0, -1, -3, -17, -160, -300]   # crosses the S=256 boundary
+    rows, cols, vals = [], [], []
+    for off in offs:
+        r = np.arange(-off, n)
+        rows.append(r)
+        cols.append(r + off)
+        vals.append((2.0 + rng.random(r.size) if off == 0
+                     else 0.3 * rng.standard_normal(r.size)))
+    d = MatrixData((n, n), np.concatenate(rows), np.concatenate(cols),
+                   np.concatenate(vals).astype(np.float32)).canonical()
+    host = plan_block_trisolve(d, True, False, device_build=False)
+    dev = plan_block_trisolve(d, True, False, device_build=True)
+    assert host is not None and dev is not None
+    assert dev[1] == host[1]                       # same meta
+    np.testing.assert_allclose(np.asarray(dev[0]["inv"]),
+                               host[0]["inv"], rtol=2e-5, atol=2e-6)
+    b = jnp.asarray(rng.standard_normal((n, 2)).astype(np.float32))
+    x = np.asarray(block_trisolve_apply(
+        jnp.asarray(dev[0]["inv"]), jnp.asarray(dev[0]["ov"]),
+        tuple(sorted(dev[1].items())), b))
+    T = sp.csr_matrix((d.values, (d.row_idx, d.col_idx)), shape=(n, n))
+    want = np.stack([spsolve_triangular(
+        T, np.asarray(b)[:, i].astype(np.float64), lower=True)
+        for i in range(2)], 1)
+    assert np.abs(x - want).max() / np.abs(want).max() < 1e-5
