@@ -343,3 +343,7 @@ if __name__ == "__main__":
         c64_gmres()
     elif what == "e2e262k":
         e2e_262k(*(int(x) for x in sys.argv[2:]))
+    else:
+        raise SystemExit(f"unknown subcommand {what!r}: kernel | "
+                         "ilut262k | isai262k | pgm262k | c64gmres | "
+                         "e2e262k")
