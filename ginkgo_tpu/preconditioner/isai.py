@@ -271,24 +271,28 @@ def generate_isai(A, sparsity_power: int = 1, mode: str = "general") -> Csr:
         sym = _ISAI_SYM_CACHE.get(mode, dig)
         if sym is _ISAI_SYM_CACHE.MISS:
             sym = _isai_packed_symbolics(d, ptr, lens, S, prow, pcol)
+            # msel: per-pattern-entry flat (row, slot) position — the
+            # result gather runs ON DEVICE so only nnzp values come
+            # back over the host link, not the (n, S) slab
+            sym["msel"] = (prow * S + sym["a_slot"]).astype(np.int32)
             with stagetimer.stage("transfer"):
                 sym["dev"] = stagetimer.sync(tuple(
                     jnp.asarray(sym[k].astype(np.int32) if k != "hit"
                                 else sym[k])
-                    for k in ("dest", "loc", "hit", "dslot")))
+                    for k in ("dest", "loc", "hit", "dslot", "msel")))
             _ISAI_SYM_CACHE.put(mode, dig, sym)
         cdtype = _dtypes.canonicalize_dtype(dtype)
         with stagetimer.stage("transfer"):
             avals = stagetimer.sync(
                 jnp.asarray(d.values.astype(cdtype)))
         with stagetimer.stage("device"):
-            dest_d, loc_d, hit_d, dslot_d = sym["dev"]
-            sols = stagetimer.sync(_isai_packed_kernel(
-                avals, dest_d, loc_d, hit_d, dslot_d, n=n, S=S))
+            dest_d, loc_d, hit_d, dslot_d, msel_d = sym["dev"]
+            sols = _isai_packed_kernel(
+                avals, dest_d, loc_d, hit_d, dslot_d, n=n, S=S)
+            mv = stagetimer.sync(sols.reshape(-1)[msel_d])
         with stagetimer.stage("transfer"):
-            sols = np.asarray(sols)
-        m_data = MatrixData((n, n), prow, pcol,
-                            sols[prow, sym["a_slot"]].astype(dtype))
+            mvals = np.asarray(mv)
+        m_data = MatrixData((n, n), prow, pcol, mvals.astype(dtype))
         return Csr.from_data(m_data.canonical(), strategy="automatical")
 
     a_slot = np.arange(nnzp) - ptr[prow]           # position within row
