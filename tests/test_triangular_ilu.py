@@ -572,3 +572,40 @@ def test_banded_device_inverse_matches_host_build():
         T, np.asarray(b)[:, i].astype(np.float64), lower=True)
         for i in range(2)], 1)
     assert np.abs(x - want).max() / np.abs(want).max() < 1e-5
+
+
+def test_exact_path_skips_level_and_sweep_arrays():
+    """generate() resolves the algorithm FIRST and only builds the
+    arrays that algorithm reads: the exact paths must not pay the
+    level-DAG pass or the strictly-triangular Csr's SpMV planning
+    (seconds on unstructured factors), and level must not carry the
+    sweep operator."""
+    dense = _rand_lower(300, seed=31)
+    L = Csr.from_dense(dense)
+    op = LowerTrs.build().generate(L)     # small dense-ish: level/jacobi
+    assert op.algorithm in ("level", "jacobi")
+    exact = LowerTrs.build(algorithm="level").generate(L)
+    assert exact.off_op is None           # level solve never reads it
+    import numpy as np
+    from ginkgo_tpu.base.matrix_data import MatrixData
+    n = 2048
+    r = np.arange(n)
+    d = MatrixData((n, n),
+                   np.concatenate([r[1:], r]),
+                   np.concatenate([r[:-1], r]),
+                   np.concatenate([np.full(n - 1, -0.5),
+                                   np.ones(n)]).astype(np.float32)
+                   ).canonical()
+
+    class _H:
+        def __init__(s, dd): s._d = dd
+        def to_matrix_data(s): return s._d
+
+    ex = LowerTrs.build().generate(_H(d))
+    assert ex.algorithm == "exact"
+    assert ex.off_op is None and ex.num_levels == 1
+    b = jnp.asarray(np.ones(n, np.float32))
+    x = np.asarray(ex._apply(b[:, None]))[:, 0]
+    ref = np.asarray(LowerTrs.build(algorithm="level")
+                     .generate(_H(d))._apply(b[:, None]))[:, 0]
+    np.testing.assert_allclose(x, ref, rtol=1e-5)
