@@ -26,6 +26,8 @@ flipped), so one code path serves LowerTrs and UpperTrs.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -61,28 +63,26 @@ def _want_device_inverse(dtype) -> bool:
             and _dtypes.canonicalize_dtype(dtype) == jnp.float32)
 
 
+@functools.partial(jax.jit, static_argnames=("offsets", "nb", "S"))
+def _scatter_invert(dvb, offsets, nb, S):
+    from .tri_inv import batched_lowtri_inverse
+    t = np.arange(S)
+    Lb = jnp.zeros((nb, S, S), jnp.float32)
+    for di, off in enumerate(offsets):
+        off = int(off)
+        if off <= -S:
+            continue            # always cross-block
+        rows = t[t >= -off]
+        Lb = Lb.at[:, rows, rows + off].set(dvb[di][:, rows])
+    return batched_lowtri_inverse(Lb)
+
+
 def _build_inverse_device(dvb, offsets, nb, S):
     """dvb: (D, nb, S) f32 per-offset block value planes (diag plane
     guaranteed nonzero by the caller); returns (nb, S, S) inverses."""
-    import functools
-
     from ..utils.compile_cache import enable_compilation_cache
     enable_compilation_cache()      # persist the build executable
-
-    @functools.partial(jax.jit, static_argnames=("offsets", "nb", "S"))
-    def build(dvb, offsets, nb, S):
-        from .tri_inv import batched_lowtri_inverse
-        t = np.arange(S)
-        Lb = jnp.zeros((nb, S, S), jnp.float32)
-        for di, off in enumerate(offsets):
-            off = int(off)
-            if off <= -S:
-                continue        # always cross-block
-            rows = t[t >= -off]
-            Lb = Lb.at[:, rows, rows + off].set(dvb[di][:, rows])
-        return batched_lowtri_inverse(Lb)
-
-    return build(jnp.asarray(dvb, jnp.float32), tuple(
+    return _scatter_invert(jnp.asarray(dvb, jnp.float32), tuple(
         int(o) for o in offsets), int(nb), int(S))
 
 
