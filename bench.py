@@ -32,10 +32,18 @@ def _time_call(f, args, reps=3):
     return min(ts)
 
 
-def _net_iter_time(make_chain, args, k1, k2):
-    t1 = _time_call(make_chain(k1), args)
-    t2 = _time_call(make_chain(k2), args)
-    return max((t2 - t1) / (k2 - k1), 1e-9)
+def _net_iter_time(make_chain, args, k1, k2, samples=3):
+    # Median of independent difference measurements: one tunnel-tail-latency
+    # hit on
+    # a k1 batch inflates (t2-t1)⁻¹ past speed of light (observed: a
+    # STREAM "1020 GB/s" sample on 819 GB/s HBM); the median discards it.
+    f1, f2 = make_chain(k1), make_chain(k2)
+    ts = []
+    for _ in range(samples):
+        t1 = _time_call(f1, args)
+        t2 = _time_call(f2, args)
+        ts.append(max((t2 - t1) / (k2 - k1), 1e-9))
+    return sorted(ts)[len(ts) // 2]
 
 
 def measure_stream_gbps(on_tpu):
